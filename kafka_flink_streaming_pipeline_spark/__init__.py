@@ -1,0 +1,27 @@
+"""PySpark-native analytics engine with the query surface of
+DS-argus/kafka-flink-streaming-pipeline.
+
+The reference composes Flink SQL / PyFlink / Postgres SQL into a
+clickstream feature pipeline (see SURVEY.md). This package re-expresses
+that entire query surface — sources, windowed feature pipelines, the nine
+analytical queries, upsert sinks — as idiomatic Spark DataFrame / SQL /
+Structured Streaming plans, plus the large-scale training-data operators
+(dedup, similarity search, text analysis, multimodal plumbing) that a
+100 TB pipeline needs.
+
+Design rules (enforced throughout):
+- DataFrame/SQL only; no RDDs; no driver-side collect loops in operators.
+- Relative-time filters use a broadcast 1-row max-timestamp aggregate
+  (reference pattern `flink-analysis.sql:13-17`), which Catalyst turns
+  into a BroadcastNestedLoopJoin over a single row — partition-prunable.
+- Window aggregations use `F.window` (two-phase hash agg, map-side
+  partial) instead of per-key driver logic.
+- Small dimensions are broadcast; big joins rely on AQE + shuffle hash.
+- Python stays out of the hot path: the parity surface needs zero UDFs
+  (SURVEY.md §2.10); extensions use Arrow-batched pandas UDFs only where
+  built-ins genuinely cannot express the op.
+"""
+
+from kafka_flink_streaming_pipeline_spark.session import get_spark
+
+__all__ = ["get_spark"]

@@ -1,0 +1,281 @@
+"""Star-schema analytical plans over the driver's TPC-H-ish tables.
+
+The reference's operator surface (SURVEY.md §2) includes batch equi-joins
+(J2/J3), broadcast of tiny aggregates (J4), two-phase hash aggregation
+(A3-A8) and rank windows (W1). The clickstream corpus exercises them on
+one table; these plans exercise the same operators across multi-table
+joins at bench scale (sf0.1: 600k lineitem), plus semi/anti joins —
+operators Spark offers beyond the reference, included for the
+training-pipeline surface.
+
+Scale design:
+- `region`/`nation`/`supplier` are broadcast (dimension tables stay tiny
+  relative to facts at any SF) — no shuffle of the fact side for those
+  joins; customer⋈orders⋈lineitem are shuffle joins on their keys, which
+  AQE re-plans to broadcast when a filtered side fits.
+- Money arithmetic casts to DECIMAL(18,2) in BOTH engines before
+  summing: decimal sums are exact, so results are independent of
+  partition/summation order — the only way a distributed sum can
+  hash-match a single-threaded oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
+from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+# --- pricing summary (TPC-H Q1 shape; A3/A5 aggregate battery) ------------
+
+
+def _q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(_dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_TPCH_Q1_ORACLE = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)       AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)  AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) *
+                (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+         AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)      AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*)      AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- shipping priority (TPC-H Q3 shape; 3-way join + top-k) ---------------
+
+
+def _q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_TPCH_Q3_ORACLE = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- regional revenue (TPC-H Q5 shape; broadcast dim chain) ---------------
+
+
+def _q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        # TPC-H requires customer and supplier in the same nation
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "r_name", "n_name")
+    )
+
+
+_TPCH_Q5_ORACLE = """
+SELECT r_name,
+       n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY r_name, n_name
+ORDER BY revenue DESC, r_name, n_name
+"""
+
+
+# --- top supplier per nation (W1 rank window on star schema) --------------
+
+
+def _top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    w = Window.partitionBy("n_name").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        supplier.join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("n_name", "s_suppkey", "s_name", "s_acctbal", "rn")
+        .orderBy("n_name", "rn")
+    )
+
+
+_TOP_SUPPLIER_ORACLE = """
+SELECT n_name, s_suppkey, s_name, s_acctbal, rn
+FROM (
+  SELECT n_name, s_suppkey, s_name, s_acctbal,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY s_acctbal DESC, s_suppkey ASC) AS rn
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+) t
+WHERE rn <= 3
+ORDER BY n_name, rn
+"""
+
+
+# --- order priority w/ EXISTS (semi join — TPC-H Q4 shape) ----------------
+
+
+def _order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORDER_PRIORITY_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- customers without orders (anti join) ---------------------------------
+
+
+def _cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scoped to recent orders: on this data every customer has *some*
+    # order, so the unscoped anti join would be vacuously empty.
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("lapsed_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+_CUST_NO_ORDERS_ORACLE = """
+SELECT c_mktsegment, count(*) AS lapsed_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "tpch_q1_pricing_summary": QuerySpec(
+        "tpch_q1_pricing_summary", _q1, _TPCH_Q1_ORACLE, "pricing summary (agg battery)"
+    ),
+    "tpch_q3_shipping_priority": QuerySpec(
+        "tpch_q3_shipping_priority", _q3, _TPCH_Q3_ORACLE, "3-way join + top-k"
+    ),
+    "tpch_q5_regional_revenue": QuerySpec(
+        "tpch_q5_regional_revenue", _q5, _TPCH_Q5_ORACLE, "broadcast dim-chain join"
+    ),
+    "top_supplier_per_nation": QuerySpec(
+        "top_supplier_per_nation", _top_supplier, _TOP_SUPPLIER_ORACLE, "rank window"
+    ),
+    "order_priority_semi_join": QuerySpec(
+        "order_priority_semi_join", _order_priority, _ORDER_PRIORITY_ORACLE, "EXISTS semi join"
+    ),
+    "customers_without_orders_anti_join": QuerySpec(
+        "customers_without_orders_anti_join",
+        _cust_no_orders,
+        _CUST_NO_ORDERS_ORACLE,
+        "NOT EXISTS anti join",
+    ),
+}

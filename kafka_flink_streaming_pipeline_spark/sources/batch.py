@@ -1,0 +1,44 @@
+"""Batch sources — partitioned-parquet scans (reference S8-S10).
+
+The reference reads partitioned parquet through a hand-rolled pyarrow
+loop that resolves `platform=<id>/event_date=<date>` paths itself
+(`kafka_stream_producer.py:242-259`). In Spark that entire mechanism is
+one declarative scan: partition discovery + partition pruning + column
+pruning + predicate pushdown all happen in the parquet source, visible
+as `PushedFilters`/`partitionFilters` in `.explain`. Nothing to build —
+just never circumvent it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver testdata table (single parquet file per table).
+
+    `events.parquet` stores TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; we read nanos as long (legacy conf, settable at
+    runtime so it works under any session) and truncate to microseconds
+    — exactly what DuckDB does when it surfaces the column as TIMESTAMP,
+    so oracle comparisons stay bit-equal.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        for f in df.schema.fields:
+            if f.name == "ts" and isinstance(f.dataType, T.LongType):
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register testdata tables as temp views for spark.sql() plans."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
