@@ -1,0 +1,80 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is built fresh and fully materialized (count) per run; value
+is the sum of per-query wall-clock. A warm-up materialization of one
+tiny plan absorbs JVM/codegen start-up so numbers reflect steady-state
+query execution, which is what a long-lived cluster sees.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "q1_events_per_min",
+    "q2_top_docs_6h",
+    "q3_geo_pv_24h",
+    "q4_traffic_source_24h",
+    "q5_session_stats_12h",
+    "q6_avg_delay_5m",
+    "q7_heatmap_7d",
+    "q8_hourly_top20_24h",
+    "q9_retention_d7",
+    "fp2_user_features_5m",
+    "fp3_features_20m",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_regional_revenue",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from kafka_flink_streaming_pipeline_spark import get_spark
+    from kafka_flink_streaming_pipeline_spark.plans import merged
+
+    spark = get_spark("kfsp-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    plans = merged()
+
+    # warm-up: tiny plan to absorb JVM/codegen cold start
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in plans:
+            continue
+        t0 = time.time()
+        df = plans[name].build(spark, sf_dir)
+        n = df.count()
+        per_query[name] = round(time.time() - t0, 3)
+        assert n >= 0
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
