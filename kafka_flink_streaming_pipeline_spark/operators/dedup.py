@@ -1,0 +1,351 @@
+"""Deduplication operators over the `documents` table.
+
+The five standard near-dup strategies for large-scale training-data
+curation, each expressed as a shuffle-friendly relational plan (no
+pairwise O(n^2) arrays on the driver, no Python in the row path):
+
+- exact         : hash-groupBy on the content fingerprint.
+- word jaccard  : inverted-index self-join on distinct words.
+- n-gram jaccard: same, over 3-word shingles (more discriminative).
+- MinHash + LSH : banded minhash signatures; candidates join on band
+                  key — the O(n) scale path for 100 TB corpora.
+- SimHash       : per-hex-position majority vote over word hashes.
+
+Hashing uses md5 hex strings in both engines (Spark `md5` and DuckDB
+`md5` produce identical lowercase hex), so minima/equality agree
+bit-for-bit and every operator is oracle-checkable.
+
+Scale notes: the exact-jaccard self-joins shuffle |doc x word| rows on
+the token — correct but quadratic in hot tokens; they exist as the
+verification baseline. Production near-dup at 100 TB is the MinHash-LSH
+plan: signature computation is one groupBy(doc, perm), banding is one
+groupBy(doc, band), and the candidate join shuffles only band keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
+from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+# --- shared building blocks ----------------------------------------------
+
+_WORDS_SQL = "SELECT doc_id, string_split(text, ' ') AS ws FROM documents"
+
+
+def _doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, word) distinct pairs — the inverted index."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+    )
+
+
+_DOC_WORDS_SQL = f"""
+  SELECT DISTINCT doc_id, unnest(ws) AS word FROM ({_WORDS_SQL}) w
+"""
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, 3-word shingle) distinct pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n = F.size(words)
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i),
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+        ),
+    )
+    return d.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+
+
+_DOC_SHINGLES_SQL = f"""
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(ws) >= 3
+                     THEN list_transform(range(1, len(ws) - 1),
+                                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                     ELSE CAST([] AS VARCHAR[]) END) AS shingle
+  FROM ({_WORDS_SQL}) w
+"""
+
+
+def _jaccard_pairs(tokens: DataFrame, token_col: str, threshold: float) -> DataFrame:
+    """Inverted-index exact jaccard: join token postings, count common
+    tokens per pair, |A∪B| = |A|+|B|-common."""
+    cnt = tokens.groupBy("doc_id").agg(F.count("*").alias("c"))
+    a = tokens.select(F.col("doc_id").alias("d1"), F.col(token_col).alias("t"))
+    b = tokens.select(F.col("doc_id").alias("d2"), F.col(token_col).alias("t"))
+    common = (
+        a.join(b, (a.t == b.t) & (F.col("d1") < F.col("d2")))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("common"))
+    )
+    c1 = cnt.select(F.col("doc_id").alias("d1"), F.col("c").alias("c1"))
+    c2 = cnt.select(F.col("doc_id").alias("d2"), F.col("c").alias("c2"))
+    jac = F.round(
+        F.col("common").cast("double") / (F.col("c1") + F.col("c2") - F.col("common")), 6
+    )
+    return (
+        common.join(c1, "d1")
+        .join(c2, "d2")
+        .select("d1", "d2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("d1", "d2")
+    )
+
+
+def _jaccard_oracle(postings_sql: str, token_col: str, threshold: float) -> str:
+    return f"""
+WITH dw AS ({postings_sql}),
+cnt AS (SELECT doc_id, count(*) AS c FROM dw GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+  FROM dw a JOIN dw b ON a.{token_col} = b.{token_col} AND a.doc_id < b.doc_id
+  GROUP BY d1, d2
+)
+SELECT d1, d2,
+       round(CAST(common AS DOUBLE) / (c1.c + c2.c - common), 6) AS jaccard
+FROM common
+JOIN cnt c1 ON c1.doc_id = d1
+JOIN cnt c2 ON c2.doc_id = d2
+WHERE round(CAST(common AS DOUBLE) / (c1.c + c2.c - common), 6) >= {threshold}
+ORDER BY d1, d2
+"""
+
+
+# --- exact dedup ----------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on the content fingerprint, keep min doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]", "")
+    return (
+        d.select("doc_id", F.md5(normalized.cast("binary")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+        .orderBy("keeper_doc_id")
+    )
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY fingerprint
+ORDER BY keeper_doc_id
+"""
+
+
+# --- exact jaccard (word / 3-gram) ----------------------------------------
+
+_WORD_JACCARD_T = 0.9
+_NGRAM_JACCARD_T = 0.5
+
+
+def dedup_word_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _jaccard_pairs(_doc_words(spark, sf_dir), "word", _WORD_JACCARD_T)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _jaccard_pairs(_doc_shingles(spark, sf_dir), "shingle", _NGRAM_JACCARD_T)
+
+
+# --- MinHash + LSH --------------------------------------------------------
+
+_N_PERM = 12
+_BAND_SIZE = 4  # -> 3 bands
+
+
+def _minhash_sigs(shingles: DataFrame, spark: SparkSession) -> DataFrame:
+    """(doc_id, perm, h): h = min over shingles of the first 16 hex chars
+    of md5(perm || ':' || shingle). String minima agree across engines."""
+    perms = spark.range(_N_PERM).select(F.col("id").cast("int").alias("perm"))
+    return (
+        shingles.crossJoin(F.broadcast(perms))
+        .select(
+            "doc_id",
+            "perm",
+            F.substring(
+                F.md5(
+                    F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("shingle")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                16,
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "perm")
+        .agg(F.min("h").alias("h"))
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _minhash_sigs(_doc_shingles(spark, sf_dir), spark)
+    bands = (
+        sigs.withColumn("band", F.col("perm") % F.lit(_N_PERM // _BAND_SIZE))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("perm", "h"))),
+                    lambda s: s["h"],
+                ),
+                ",",
+            ).alias("band_key")
+        )
+    )
+    b1 = bands.select(F.col("doc_id").alias("d1"), "band", "band_key")
+    b2 = bands.select(F.col("doc_id").alias("d2"), "band", "band_key")
+    cand = (
+        b1.join(b2, ["band", "band_key"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    s1 = sigs.select(F.col("doc_id").alias("d1"), "perm", F.col("h").alias("h1"))
+    s2 = sigs.select(F.col("doc_id").alias("d2"), "perm", F.col("h").alias("h2"))
+    est = (
+        cand.join(s1, "d1")
+        .join(s2, ["d2", "perm"])
+        .groupBy("d1", "d2")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("h1") == F.col("h2"), 1).otherwise(0)).cast("double")
+                / _N_PERM,
+                6,
+            ).alias("est_jaccard")
+        )
+    )
+    return est.orderBy("d1", "d2")
+
+
+_N_BANDS = _N_PERM // _BAND_SIZE
+DEDUP_MINHASH_ORACLE = f"""
+WITH sh AS ({_DOC_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id, p.perm,
+         min(substr(md5(CAST(p.perm AS VARCHAR) || ':' || shingle), 1, 16)) AS h
+  FROM sh CROSS JOIN (SELECT unnest(range(0, {_N_PERM})) AS perm) p
+  GROUP BY doc_id, p.perm
+),
+bands AS (
+  SELECT doc_id, perm % {_N_BANDS} AS band,
+         string_agg(h, ',' ORDER BY perm) AS band_key
+  FROM sigs
+  GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT d1, d2,
+       round(CAST(sum(CASE WHEN s1.h = s2.h THEN 1 ELSE 0 END) AS DOUBLE) / {_N_PERM}, 6)
+         AS est_jaccard
+FROM cand
+JOIN sigs s1 ON s1.doc_id = d1
+JOIN sigs s2 ON s2.doc_id = d2 AND s2.perm = s1.perm
+GROUP BY d1, d2
+ORDER BY d1, d2
+"""
+
+
+# --- SimHash --------------------------------------------------------------
+
+_SIMHASH_POS = 16  # one vote per hex position of md5(word)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex-granular simhash: for each of the 16 leading hex positions of
+    md5(word), majority-vote (digit >= '8' → +1 else -1) over the doc's
+    distinct words; the 16 resulting bits form the signature."""
+    words = _doc_words(spark, sf_dir)
+    pos = F.broadcast(
+        words.sparkSession.range(1, _SIMHASH_POS + 1).select(
+            F.col("id").cast("int").alias("pos")
+        )
+    )
+    votes = (
+        words.withColumn("wh", F.md5(F.col("word").cast("binary")))
+        .crossJoin(pos)
+        .select(
+            "doc_id",
+            "pos",
+            F.when(F.substring("wh", F.col("pos"), F.lit(1)) >= "8", 1)
+            .otherwise(-1)
+            .alias("vote"),
+        )
+        .groupBy("doc_id", "pos")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return (
+        votes.withColumn("bit", F.when(F.col("v") > 0, "1").otherwise("0"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "bit"))),
+                    lambda s: s["bit"],
+                ),
+                "",
+            ).alias("simhash")
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_SIMHASH_ORACLE = f"""
+WITH dw AS ({_DOC_WORDS_SQL}),
+votes AS (
+  SELECT doc_id, p.pos,
+         sum(CASE WHEN substr(md5(word), p.pos, 1) >= '8' THEN 1 ELSE -1 END) AS v
+  FROM dw CROSS JOIN (SELECT unnest(range(1, {_SIMHASH_POS + 1})) AS pos) p
+  GROUP BY doc_id, p.pos
+)
+SELECT doc_id,
+       string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS simhash
+FROM votes
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dedup_exact": QuerySpec(
+        "dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE, "fingerprint hash-groupBy"
+    ),
+    "dedup_word_jaccard": QuerySpec(
+        "dedup_word_jaccard",
+        dedup_word_jaccard,
+        _jaccard_oracle(_DOC_WORDS_SQL, "word", _WORD_JACCARD_T),
+        "exact word-set jaccard pairs",
+    ),
+    "dedup_ngram_jaccard": QuerySpec(
+        "dedup_ngram_jaccard",
+        dedup_ngram_jaccard,
+        _jaccard_oracle(_DOC_SHINGLES_SQL, "shingle", _NGRAM_JACCARD_T),
+        "exact 3-gram jaccard pairs",
+    ),
+    "dedup_minhash_lsh": QuerySpec(
+        "dedup_minhash_lsh",
+        dedup_minhash_lsh,
+        DEDUP_MINHASH_ORACLE,
+        "banded minhash candidates + estimated jaccard",
+    ),
+    "dedup_simhash": QuerySpec(
+        "dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE, "16-bit simhash signatures"
+    ),
+}

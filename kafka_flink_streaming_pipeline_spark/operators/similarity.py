@@ -1,0 +1,267 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-dim).
+
+Two plans:
+- brute-force cosine top-k: broadcast the query vectors, scan all
+  candidates once, per-partition partial top-k via rank window. The
+  correct-by-construction baseline; at 100 TB this is one full scan
+  per query batch — still the right tool for small query sets.
+- LSH-bucketed ANN: 8 deterministic sign-random-hyperplanes (entries
+  ±1 from md5 parity) hash every vector to an 8-bit bucket; queries
+  only score candidates in their own bucket. Bucket assignment is one
+  narrow aggregation; the candidate join shuffles bucket keys only —
+  the scale path when the query set is itself huge.
+
+Determinism: dot products are computed with `F.zip_with` +
+`F.aggregate` (sequential double fold, fixed order) on the Spark side
+and with an explicit ordered-index join in DuckDB; cosine =
+dot/sqrt(n1)/sqrt(n2) with the same expression shape in both engines,
+rounded to 6 decimals before ranking, with vec_id tiebreaks — so the
+top-k frontier is identical across engines.
+
+Also here: embedding-cosine near-dup pairs (the fifth dedup modality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
+from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+_N_QUERIES = 5  # vec_id < 5 are the query vectors
+_TOP_K = 10
+_NEAR_DUP_T = 0.4
+_N_PLANES = 8
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential double fold over zip_with products — order-fixed."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cosine(va: Column, vb: Column) -> Column:
+    return F.round(_dot(va, vb) / F.sqrt(_dot(va, va)) / F.sqrt(_dot(vb, vb)), 6)
+
+
+# DuckDB: same formula over DOUBLE[] lists (list_dot_product folds in
+# list order, matching the Spark-side sequential fold).
+_DUCK_COS = (
+    "round(list_dot_product(q.v, c.v) / sqrt(list_dot_product(q.v, q.v))"
+    " / sqrt(list_dot_product(c.v, c.v)), 6)"
+)
+_DUCK_EMB = "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+
+
+# --- brute-force cosine top-k --------------------------------------------
+
+
+def topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = F.broadcast(
+        e.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+    )
+    cands = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    scored = (
+        queries.crossJoin(cands)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", _cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+TOPK_ORACLE = f"""
+WITH e AS ({_DUCK_EMB}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_DUCK_COS} AS cosine
+  FROM e q CROSS JOIN e c
+  WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, rank
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+# --- embedding-cosine near-dup pairs (dedup modality #5) ------------------
+
+
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
+    b = e.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    return (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .select("v1", "v2", _cosine(F.col("e1"), F.col("e2")).alias("cosine"))
+        .filter(F.col("cosine") >= _NEAR_DUP_T)
+        .orderBy("v1", "v2")
+    )
+
+
+NEAR_DUP_ORACLE = f"""
+WITH e AS ({_DUCK_EMB})
+SELECT q.vec_id AS v1, c.vec_id AS v2, {_DUCK_COS} AS cosine
+FROM e q JOIN e c ON q.vec_id < c.vec_id
+WHERE {_DUCK_COS} >= {_NEAR_DUP_T}
+ORDER BY v1, v2
+"""
+
+
+# --- LSH-bucketed ANN -----------------------------------------------------
+
+
+def _planes(spark: SparkSession) -> DataFrame:
+    """(plane, i, w): ±1 hyperplane entries from md5 parity — fully
+    deterministic, reproducible in SQL on any engine."""
+    p = spark.range(_N_PLANES).select(F.col("id").cast("int").alias("plane"))
+    d = spark.range(64).select(F.col("id").cast("int").alias("i"))
+    return p.crossJoin(d).select(
+        "plane",
+        "i",
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("plane").cast("string"), F.lit("_"), F.col("i").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                1,
+            )
+            <= "7",
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("w"),
+    )
+
+
+def _buckets(e: DataFrame, spark: SparkSession) -> DataFrame:
+    """8-bit sign bucket per vector via relational dot products."""
+    comp = e.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    proj = (
+        comp.join(F.broadcast(_planes(spark)), "i")
+        .groupBy("vec_id", "plane")
+        .agg(F.sum(F.col("w") * F.col("x")).alias("proj"))
+    )
+    return (
+        proj.withColumn("bit", F.when(F.col("proj") > 0, "1").otherwise("0"))
+        .groupBy("vec_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("plane", "bit"))),
+                    lambda s: s["bit"],
+                ),
+                "",
+            ).alias("bucket")
+        )
+    )
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    buckets = _buckets(e, spark)
+    vecs = e.select("vec_id", "embedding")
+    q = (
+        buckets.filter(F.col("vec_id") < _N_QUERIES)
+        .join(vecs, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("bucket"),
+            F.col("embedding").alias("qv"),
+        )
+    )
+    c = buckets.join(vecs, "vec_id").select(
+        F.col("vec_id").alias("cand_id"), F.col("bucket"), F.col("embedding").alias("cv")
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", _cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_LSH_ORACLE = f"""
+WITH e AS ({_DUCK_EMB}),
+planes AS (
+  SELECT p.plane, i.i,
+         CASE WHEN substr(md5(CAST(p.plane AS VARCHAR) || '_' || CAST(i.i AS VARCHAR)), 1, 1)
+                   <= '7' THEN 1.0 ELSE -1.0 END AS w
+  FROM (SELECT unnest(range(0, {_N_PLANES})) AS plane) p
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+),
+comp AS (
+  SELECT vec_id, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x FROM e
+),
+proj AS (
+  SELECT c.vec_id, p.plane, sum(p.w * c.x) AS proj
+  FROM comp c JOIN planes p ON c.i = p.i
+  GROUP BY c.vec_id, p.plane
+),
+buckets AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN proj > 0 THEN '1' ELSE '0' END, '' ORDER BY plane) AS bucket
+  FROM proj GROUP BY vec_id
+),
+scored AS (
+  SELECT bq.vec_id AS query_id, bc.vec_id AS cand_id, {_DUCK_COS} AS cosine
+  FROM buckets bq
+  JOIN buckets bc ON bq.bucket = bc.bucket AND bq.vec_id <> bc.vec_id
+  JOIN e q ON q.vec_id = bq.vec_id
+  JOIN e c ON c.vec_id = bc.vec_id
+  WHERE bq.vec_id < {_N_QUERIES}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, rank
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "sim_topk_cosine": QuerySpec(
+        "sim_topk_cosine", topk_cosine, TOPK_ORACLE, "brute-force cosine top-k"
+    ),
+    "dedup_embedding_cosine": QuerySpec(
+        "dedup_embedding_cosine",
+        embedding_near_dups,
+        NEAR_DUP_ORACLE,
+        "embedding near-dup pairs",
+    ),
+    "sim_ann_lsh": QuerySpec(
+        "sim_ann_lsh", ann_lsh, ANN_LSH_ORACLE, "LSH-bucketed approximate top-k"
+    ),
+}

@@ -1,0 +1,206 @@
+"""Text-analysis operators over the `documents` table.
+
+Training-data pipeline surface (north-star extensions beyond the
+reference, SURVEY.md §7 step 7): language ID, quality scoring, token
+counting, document fingerprinting. Everything is built from JVM-side
+Catalyst expressions (regexp_count / md5 / split) — no Python in the
+row path — so these run at full whole-stage-codegen speed over 100 TB
+of text, and every one is DuckDB-oracle-checkable.
+
+All ratios divide exact integer counts once, so doubles are bit-equal
+across engines regardless of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
+from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+# word-boundary marker lists per language (tiny stopword heuristic;
+# the operator contract is determinism, not linguistic accuracy)
+_LANG_MARKERS = {
+    "en": r"\b(the|a|is|of|and)\b",
+    "fr": r"\b(le|la|les|et|un)\b",
+    "es": r"\b(el|los|y|una|es)\b",
+    "de": r"\b(der|die|das|und|ein)\b",
+    "zh": r"(的|是|了)",
+}
+_STOPWORDS = r"\b(the|a|of|and|to|in|is|it)\b"
+_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"  # BPE-ish: word / number / symbol
+
+
+# --- quality scoring ------------------------------------------------------
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.regexp_count("text", F.lit(r"[a-z0-9]+"))
+    stops = F.regexp_count("text", F.lit(_STOPWORDS))
+    ratio = F.round(stops.cast("double") / F.nullif(n_tokens, F.lit(0)), 6)
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        ratio.alias("stopword_ratio"),
+        F.round(
+            (F.lit(1.0) - F.coalesce(ratio, F.lit(1.0)))
+            * F.least(n_tokens, F.lit(200)).cast("double")
+            / 200.0,
+            6,
+        ).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         length(text) AS n_chars_actual,
+         length(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens,
+         length(regexp_extract_all(text, '{_STOPWORDS}')) AS n_stops
+  FROM documents
+)
+SELECT doc_id, n_chars_actual, n_tokens,
+       round(CAST(n_stops AS DOUBLE) / nullif(n_tokens, 0), 6) AS stopword_ratio,
+       round((1.0 - coalesce(round(CAST(n_stops AS DOUBLE) / nullif(n_tokens, 0), 6), 1.0))
+             * CAST(least(n_tokens, 200) AS DOUBLE) / 200.0, 6) AS quality_score
+FROM t
+ORDER BY doc_id
+"""
+
+
+# --- language ID (n-gram/stopword heuristic) ------------------------------
+
+
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scores = {k: F.regexp_count("text", F.lit(v)) for k, v in _LANG_MARKERS.items()}
+    s = d.select("doc_id", "lang", *[scores[k].alias(f"s_{k}") for k in _LANG_MARKERS])
+    # fixed precedence en > fr > es > de > zh on score ties, mirrored in SQL
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_zh")),
+            "en",
+        )
+        .when(
+            (F.col("s_fr") >= F.col("s_es"))
+            & (F.col("s_fr") >= F.col("s_de"))
+            & (F.col("s_fr") >= F.col("s_zh")),
+            "fr",
+        )
+        .when((F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_zh")), "es")
+        .when(F.col("s_de") >= F.col("s_zh"), "de")
+        .otherwise("zh")
+    )
+    return (
+        s.select("lang", pred.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+_mk = _LANG_MARKERS
+LANGID_ORACLE = f"""
+WITH s AS (
+  SELECT lang,
+         length(regexp_extract_all(text, '{_mk["en"]}')) AS s_en,
+         length(regexp_extract_all(text, '{_mk["fr"]}')) AS s_fr,
+         length(regexp_extract_all(text, '{_mk["es"]}')) AS s_es,
+         length(regexp_extract_all(text, '{_mk["de"]}')) AS s_de,
+         length(regexp_extract_all(text, '{_mk["zh"]}')) AS s_zh
+  FROM documents
+),
+p AS (
+  SELECT lang,
+         CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+              WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+              WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+              WHEN s_de >= s_zh THEN 'de'
+              ELSE 'zh' END AS predicted_lang
+  FROM s
+)
+SELECT lang, predicted_lang, count(*) AS n
+FROM p
+GROUP BY lang, predicted_lang
+ORDER BY lang, predicted_lang
+"""
+
+
+# --- token counting (whitespace + BPE-ish regex) --------------------------
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws_tokens = F.size(F.split(F.col("text"), r"\s+"))
+    bpe_tokens = F.regexp_count("text", F.lit(_TOKEN_RE))
+    per_doc = d.select("source", ws_tokens.alias("wt"), bpe_tokens.alias("bt"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("wt").alias("sum_ws_tokens"),
+            F.sum("bt").alias("sum_bpe_tokens"),
+            F.round(F.sum("bt").cast("double") / F.count("*"), 2).alias("avg_bpe_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+TOKEN_ORACLE = f"""
+WITH t AS (
+  SELECT source,
+         length(string_split_regex(text, '\\s+')) AS wt,
+         length(regexp_extract_all(text, '{_TOKEN_RE}')) AS bt
+  FROM documents
+)
+SELECT source, count(*) AS docs,
+       sum(wt) AS sum_ws_tokens,
+       sum(bt) AS sum_bpe_tokens,
+       round(CAST(sum(bt) AS DOUBLE) / count(*), 2) AS avg_bpe_tokens
+FROM t
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --- document fingerprinting ---------------------------------------------
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined fingerprint: md5 over the normalized text
+    (lowercased, all non-alphanumerics stripped) — robust to whitespace
+    and punctuation differences; the exact-dedup operator groups on it."""
+    d = load_table(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]", "")
+    return d.select(
+        "doc_id", F.md5(normalized.cast("binary")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+FINGERPRINT_ORACLE = """
+SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "text_quality_scores": QuerySpec(
+        "text_quality_scores", quality_scores, QUALITY_ORACLE, "per-doc quality metrics"
+    ),
+    "text_langid_confusion": QuerySpec(
+        "text_langid_confusion", langid_confusion, LANGID_ORACLE, "language-ID heuristic"
+    ),
+    "text_token_stats": QuerySpec(
+        "text_token_stats", token_stats, TOKEN_ORACLE, "token counting per source"
+    ),
+    "text_fingerprints": QuerySpec(
+        "text_fingerprints", fingerprints, FINGERPRINT_ORACLE, "content fingerprint"
+    ),
+}
