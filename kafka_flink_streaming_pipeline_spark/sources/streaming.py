@@ -1,0 +1,123 @@
+"""Streaming sources (reference S1/S2/S10/S11 — SURVEY.md §2.1).
+
+Three ways to get the clickstream as a streaming DataFrame:
+
+- `kafka_stream`: the production path, mapping the reference's Flink
+  Kafka source DDL (events_postgres_sink.sql:14-32) option-for-option:
+  subscribe topic, earliest offsets, JSON value decoded with a declared
+  schema, event_time derived, watermark assigned. Untestable in this
+  container (no broker) but the code path is the real one.
+- `replay_stream`: file-based replay — the testable stand-in for the
+  reference's producer replay (kafka_stream_producer.py:324-435): rows
+  land as parquet chunk files and are consumed in arrival order with
+  `maxFilesPerTrigger=1`, so each chunk plays the role of one
+  micro-batch of Kafka messages.
+- `prepare_replay_chunks`: writes a bounded events table into N
+  timestamp-ordered chunk files for `replay_stream` to consume —
+  timestamp-ordered merge replay like the reference producer (without
+  the wall-clock sleeps; correctness tests don't need pacing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_flink_streaming_pipeline_spark.session import EPOCH_ANCHOR_MS
+
+#: Streamed clickstream row as it appears on the wire (testdata shape).
+WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def kafka_stream(
+    spark: SparkSession,
+    topic: str,
+    schema: T.StructType,
+    brokers: str = "localhost:9092",
+    watermark: str = "5 seconds",
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """S1/S2: Kafka JSON source with declared schema + watermark.
+
+    Mirrors `CREATE TABLE events_src ... WITH ('connector'='kafka',
+    'format'='json', 'scan.startup.mode'='group-offsets',
+    'properties.auto.offset.reset'='earliest')` plus the computed
+    `event_time` column and 5 s watermark
+    (events_postgres_sink.sql:14-32).
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    parsed = raw.select(
+        F.col("key").cast("string").alias("kafka_key"),
+        F.from_json(F.col("value").cast("string"), schema).alias("data"),
+    ).select("kafka_key", "data.*")
+    if "timestamp" in parsed.columns:  # reference schema: ms offset + anchor
+        parsed = parsed.withColumn(
+            "event_time", F.timestamp_millis(F.col("timestamp") + F.lit(EPOCH_ANCHOR_MS))
+        )
+    elif "ts" in parsed.columns:  # testdata shape: absolute timestamp
+        parsed = parsed.withColumn("event_time", F.col("ts"))
+    return parsed.withWatermark("event_time", watermark)
+
+
+def prepare_replay_chunks(
+    spark: SparkSession, events: DataFrame, chunk_dir: str, n_chunks: int = 8
+) -> None:
+    """Write `events` as n timestamp-ordered single-file parquet chunks
+    in a flat watch directory (chunk_0001.parquet, ...).
+
+    ntile over the event-time order gives contiguous time slices, so
+    chunk files arrive in the same order the reference producer replays
+    rows (global timestamp-ordered merge). Test utility — the driver-
+    side file moves are fine at fixture scale."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    os.makedirs(chunk_dir, exist_ok=True)
+    w = Window.orderBy("ts")
+    chunked = events.withColumn("chunk", F.ntile(n_chunks).over(w))
+    staging = chunk_dir.rstrip("/") + "__staging"
+    for i in range(1, n_chunks + 1):
+        (
+            chunked.filter(F.col("chunk") == i)
+            .drop("chunk")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        part = glob.glob(f"{staging}/part-*.parquet")[0]
+        shutil.copy(part, f"{chunk_dir}/chunk_{i:04d}.parquet")
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def replay_stream(
+    spark: SparkSession, chunk_dir: str, watermark: str = "5 seconds"
+) -> DataFrame:
+    """File-source replay: one chunk file per micro-batch, declared
+    schema, event_time + watermark — semantically the kafka_stream
+    shape without a broker."""
+    return (
+        spark.readStream.schema(WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+        .withColumn("event_time", F.col("ts"))
+        .withWatermark("event_time", watermark)
+    )

@@ -1,0 +1,112 @@
+"""Streaming semantics tests (SURVEY.md §5.3): streaming ≡ batch for
+FP2, upsert idempotency under redelivery, watermark late-drop."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+from kafka_flink_streaming_pipeline_spark.sources.streaming import (
+    WIRE_SCHEMA,
+    prepare_replay_chunks,
+    replay_stream,
+)
+from kafka_flink_streaming_pipeline_spark.streaming.jobs import (
+    feature_stream_job,
+    raw_sink_job,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def chunks(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("chunks"))
+    events = load_table(spark, SF_SMOKE, "events")
+    prepare_replay_chunks(spark, events, d, n_chunks=6)
+    return d
+
+
+def test_fp2_streaming_equals_batch(spark, tmp_path, chunks):
+    """Replaying the bounded events through the streaming FP2 job must
+    produce exactly the batch FP2 result (J1 restructuring proof)."""
+    table = str(tmp_path / "features")
+    q = feature_stream_job(
+        replay_stream(spark, chunks), table, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+
+    from kafka_flink_streaming_pipeline_spark.plans.clickstream import _fp2
+
+    batch = {
+        (r.uuid, r.window_end, r.click5m, r.view5m, r.redis_key)
+        for r in _fp2(spark, SF_SMOKE).collect()
+    }
+    streamed = {
+        (
+            r.uuid,
+            r.window_end.strftime("%Y-%m-%d %H:%M:%S"),
+            r.click5m,
+            r.view5m,
+            r.redis_key,
+        )
+        for r in spark.read.parquet(table).collect()
+    }
+    assert streamed == batch
+
+
+def test_fp1_upsert_idempotent(spark, tmp_path, chunks):
+    """Re-delivering every batch (fresh checkpoint, same sink table)
+    must leave one row per key — the reference's PK-upsert idempotency
+    concern (README.md:43-47)."""
+    table = str(tmp_path / "raw")
+    for run in range(2):
+        q = raw_sink_job(
+            replay_stream(spark, chunks), table, str(tmp_path / f"ckpt{run}")
+        )
+        q.awaitTermination(300)
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    got = spark.read.parquet(table)
+    assert got.count() == n_events
+    assert got.select("event_id").distinct().count() == n_events
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A row arriving after the watermark passed its window must be
+    dropped by the window aggregate (T3 — Flink default, no allowed
+    lateness)."""
+    t = datetime.datetime(2024, 3, 1, 10, 0, 0)
+
+    def row(eid, minutes, etype="click", uid=1):
+        return (eid, t + datetime.timedelta(minutes=minutes), uid, etype, 1.0, "{}")
+
+    chunk_dir = str(tmp_path / "chunks")
+    # chunk 1: on-time clicks 10:00-10:20 → watermark advances to ~10:19:55
+    c1 = spark.createDataFrame([row(i, i) for i in range(20)], WIRE_SCHEMA)
+    # chunk 2: one click an hour EARLIER (09:00) — far below the watermark
+    c2 = spark.createDataFrame([row(100, -60), row(101, 21)], WIRE_SCHEMA)
+    import os
+
+    os.makedirs(chunk_dir)
+    c1.coalesce(1).write.mode("append").parquet(chunk_dir + "/stage1")
+    c2.coalesce(1).write.mode("append").parquet(chunk_dir + "/stage2")
+    import glob
+    import shutil
+
+    shutil.copy(glob.glob(chunk_dir + "/stage1/part-*.parquet")[0], chunk_dir + "/c1.parquet")
+    table = str(tmp_path / "features")
+    q = feature_stream_job(replay_stream(spark, chunk_dir), table, str(tmp_path / "ck"))
+    q.awaitTermination(300)
+    shutil.copy(glob.glob(chunk_dir + "/stage2/part-*.parquet")[0], chunk_dir + "/c2.parquet")
+    q2 = feature_stream_job(replay_stream(spark, chunk_dir), table, str(tmp_path / "ck"))
+    q2.awaitTermination(300)
+
+    got = spark.read.parquet(table)
+    windows = {r.window_end.strftime("%H:%M") for r in got.collect()}
+    # on-time windows present, including the 10:21 row from chunk 2
+    assert "10:05" in windows and "10:25" in windows
+    # the 09:00 late row's window (end 09:05) must have been dropped
+    assert "09:05" not in windows
