@@ -24,10 +24,15 @@ class QuerySpec:
 
 
 def merged() -> dict[str, QuerySpec]:
-    from kafka_flink_streaming_pipeline_spark.plans import clickstream, tpch
+    from kafka_flink_streaming_pipeline_spark.plans import (
+        clickstream,
+        feature_store,
+        preprocess,
+        tpch,
+    )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (clickstream, tpch):
+    for mod in (clickstream, tpch, feature_store, preprocess):
         for k, v in mod.QUERIES.items():
             assert k not in out, f"duplicate query name {k}"
             out[k] = v

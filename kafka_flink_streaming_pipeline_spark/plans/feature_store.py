@@ -1,0 +1,305 @@
+"""Feature-store extras — the ⊘ declared-capability surface.
+
+The reference's `redis_sink copy.sql` carries a commented-out feature
+catalogue that the README advertises (README.md:56-67): per-document
+window counts, top geo per window (FIRST_VALUE — W4), active users per
+window over a UNION of both streams (U1 + A6), and the global-feature
+join of two window aggregates (J5). These plans implement that surface
+batch-first (oracle-checked); the streaming variants reuse the same
+aggregation bodies via the jobs module.
+
+Also here:
+- the Redis hash row itself (F6 `MAP[...]` constructor → `create_map`
+  serialized to JSON for engine-comparable output), and
+- the Kafka producer wire frame (S11/F17): key = uuid, value =
+  `to_json(struct(...))` — the reference producer's JSON encoding
+  (kafka_stream_producer.py:374-424) as a declarative projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_flink_streaming_pipeline_spark.functions import redis_feature_key
+from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
+from kafka_flink_streaming_pipeline_spark.plans.clickstream import (
+    ENRICHED_SQL,
+    TS_FMT,
+    _enriched,
+)
+
+_WIN5_US = 5 * 60 * 1_000_000
+
+_BASE5_SQL = f"""{ENRICHED_SQL},
+base AS (
+  SELECT uuid, event_type, document_id, geo_location,
+         make_timestamp((epoch_us(event_time) // {_WIN5_US} + 1) * {_WIN5_US}) AS win_end
+  FROM enriched
+)
+"""
+
+
+def _win5(df: DataFrame) -> F.Column:
+    return F.window("event_time", "5 minutes")
+
+
+# --- per-document view counts per 5-min window (⊘ doc_view_cnt_5m) --------
+
+
+def doc_counts_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _enriched(spark, sf_dir).filter(F.col("event_type") == "view")
+    return (
+        e.groupBy(F.col("document_id"), _win5(e).alias("w"))
+        .agg(F.count("*").alias("view5m"))
+        .select(
+            "document_id",
+            F.date_format("w.end", TS_FMT).alias("window_end"),
+            "view5m",
+        )
+        .orderBy("document_id", "window_end")
+    )
+
+
+DOC_COUNTS_ORACLE = f"""{_BASE5_SQL}
+SELECT document_id,
+       strftime(win_end, '%Y-%m-%d %H:%M:%S') AS window_end,
+       count(*) AS view5m
+FROM base
+WHERE event_type = 'view'
+GROUP BY document_id, win_end
+ORDER BY document_id, window_end
+"""
+
+
+# --- top geo per 5-min window (⊘ geo_top_5m — W4 FIRST_VALUE) -------------
+
+
+def geo_top_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _enriched(spark, sf_dir).filter(F.col("event_type") == "view")
+    counts = (
+        e.groupBy(F.col("geo_location"), _win5(e).alias("w"))
+        .agg(F.count("*").alias("total"))
+        .select("geo_location", F.col("w.end").alias("win_end"), "total")
+    )
+    w = Window.partitionBy("win_end").orderBy(F.desc("total"), F.asc("geo_location"))
+    return (
+        counts.withColumn("top_geo", F.first_value("geo_location").over(w))
+        .withColumn("top_total", F.first_value("total").over(w))
+        .select(
+            F.date_format("win_end", TS_FMT).alias("window_end"), "top_geo", "top_total"
+        )
+        .distinct()
+        .orderBy("window_end")
+    )
+
+
+GEO_TOP_ORACLE = f"""{_BASE5_SQL},
+counts AS (
+  SELECT geo_location, win_end, count(*) AS total
+  FROM base WHERE event_type = 'view'
+  GROUP BY geo_location, win_end
+)
+SELECT DISTINCT strftime(win_end, '%Y-%m-%d %H:%M:%S') AS window_end,
+       first_value(geo_location)
+         OVER (PARTITION BY win_end ORDER BY total DESC, geo_location ASC) AS top_geo,
+       first_value(total)
+         OVER (PARTITION BY win_end ORDER BY total DESC, geo_location ASC) AS top_total
+FROM counts
+ORDER BY window_end
+"""
+
+
+# --- active users per window over UNION of streams (⊘ U1 + A6) ------------
+
+
+def active_users_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _enriched(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select("uuid", "event_time")
+    views = e.filter(F.col("event_type") == "view").select("uuid", "event_time")
+    both = clicks.unionByName(views)
+    return (
+        both.groupBy(F.window("event_time", "5 minutes").alias("w"))
+        .agg(F.count_distinct("uuid").alias("active_users"))
+        .select(F.date_format("w.end", TS_FMT).alias("window_end"), "active_users")
+        .orderBy("window_end")
+    )
+
+
+ACTIVE_USERS_ORACLE = f"""{_BASE5_SQL}
+SELECT strftime(win_end, '%Y-%m-%d %H:%M:%S') AS window_end,
+       count(DISTINCT uuid) AS active_users
+FROM (
+  SELECT uuid, win_end FROM base WHERE event_type = 'click'
+  UNION ALL
+  SELECT uuid, win_end FROM base WHERE event_type = 'view'
+) u
+GROUP BY win_end
+ORDER BY window_end
+"""
+
+
+def active_users_5m_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-legal variant: `approx_count_distinct` (HLL). Exact
+    distinct isn't supported under streaming append mode (SURVEY.md A6);
+    this documents the deviation. HLL sketches differ across engines →
+    rows-only check (no oracle)."""
+    e = _enriched(spark, sf_dir)
+    both = e.filter(F.col("event_type").isin("click", "view")).select("uuid", "event_time")
+    return (
+        both.groupBy(F.window("event_time", "5 minutes").alias("w"))
+        .agg(F.approx_count_distinct("uuid").alias("active_users_approx"))
+        .select(
+            F.date_format("w.end", TS_FMT).alias("window_end"), "active_users_approx"
+        )
+        .orderBy("window_end")
+    )
+
+
+# --- global features: join of two window aggregates (⊘ J5) ----------------
+
+
+def global_features_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    top = geo_top_5m(spark, sf_dir)
+    active = active_users_5m(spark, sf_dir)
+    return top.join(active, "window_end").orderBy("window_end")
+
+
+GLOBAL_FEATURES_ORACLE = f"""{_BASE5_SQL},
+counts AS (
+  SELECT geo_location, win_end, count(*) AS total
+  FROM base WHERE event_type = 'view'
+  GROUP BY geo_location, win_end
+),
+geo_top AS (
+  SELECT DISTINCT strftime(win_end, '%Y-%m-%d %H:%M:%S') AS window_end,
+         first_value(geo_location)
+           OVER (PARTITION BY win_end ORDER BY total DESC, geo_location ASC) AS top_geo,
+         first_value(total)
+           OVER (PARTITION BY win_end ORDER BY total DESC, geo_location ASC) AS top_total
+  FROM counts
+),
+active AS (
+  SELECT strftime(win_end, '%Y-%m-%d %H:%M:%S') AS window_end,
+         count(DISTINCT uuid) AS active_users
+  FROM (
+    SELECT uuid, win_end FROM base WHERE event_type = 'click'
+    UNION ALL
+    SELECT uuid, win_end FROM base WHERE event_type = 'view'
+  ) u
+  GROUP BY win_end
+)
+SELECT g.window_end, g.top_geo, g.top_total, a.active_users
+FROM geo_top g JOIN active a USING (window_end)
+ORDER BY g.window_end
+"""
+
+
+# --- FP2 as Redis KV rows (F6 MAP constructor) ----------------------------
+
+
+def fp2_kv_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _enriched(spark, sf_dir)
+    agg = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("uuid", F.window("event_time", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("click5m"),
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("view5m"),
+        )
+        .filter(F.col("click5m") > 0)
+    )
+    redis_hash = F.create_map(
+        F.lit("click5m"),
+        F.col("click5m").cast("string"),
+        F.lit("view5m"),
+        F.col("view5m").cast("string"),
+    )
+    return agg.select(
+        redis_feature_key(F.col("uuid"), F.col("w.end")).alias("redis_key"),
+        F.to_json(redis_hash).alias("redis_hash_json"),
+    ).orderBy("redis_key")
+
+
+FP2_KV_ORACLE = f"""{_BASE5_SQL},
+agg AS (
+  SELECT uuid, win_end,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click5m,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view5m
+  FROM base WHERE event_type IN ('click', 'view')
+  GROUP BY uuid, win_end
+)
+SELECT 'feat:user:{{' || CAST(uuid AS VARCHAR) || '}}:' ||
+         strftime(win_end, '%Y%m%d%H%M') AS redis_key,
+       '{{"click5m":"' || CAST(click5m AS VARCHAR) ||
+         '","view5m":"' || CAST(view5m AS VARCHAR) || '"}}' AS redis_hash_json
+FROM agg
+WHERE click5m > 0
+ORDER BY redis_key
+"""
+
+
+# --- Kafka producer wire frame (S11 + F17) --------------------------------
+
+
+def kafka_wire_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The replay producer's wire format as a declarative projection:
+    key = uuid, value = compact JSON of the enriched row — what
+    `df.write.format("kafka")` would ship (kafka_stream_producer.py:
+    374-424 does this row-by-row in Python; one Spark projection
+    replaces the whole loop)."""
+    e = _enriched(spark, sf_dir)
+    payload = F.struct(
+        F.col("uuid"),
+        F.col("document_id"),
+        F.date_format("event_time", TS_FMT).alias("event_time"),
+        F.col("event_type"),
+    )
+    return e.select(
+        F.col("uuid").cast("string").alias("key"), F.to_json(payload).alias("value")
+    ).orderBy("key", "value")
+
+
+KAFKA_WIRE_ORACLE = f"""{ENRICHED_SQL}
+SELECT CAST(uuid AS VARCHAR) AS key,
+       '{{"uuid":' || CAST(uuid AS VARCHAR) ||
+       ',"document_id":' || CAST(document_id AS VARCHAR) ||
+       ',"event_time":"' || strftime(event_time, '%Y-%m-%d %H:%M:%S') ||
+       '","event_type":"' || event_type || '"}}' AS value
+FROM enriched
+ORDER BY key, value
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "fp_doc_counts_5m": QuerySpec(
+        "fp_doc_counts_5m", doc_counts_5m, DOC_COUNTS_ORACLE, "per-doc 5m view counts (⊘)"
+    ),
+    "fp_geo_top_5m": QuerySpec(
+        "fp_geo_top_5m", geo_top_5m, GEO_TOP_ORACLE, "top geo per window — FIRST_VALUE (⊘ W4)"
+    ),
+    "fp_active_users_5m": QuerySpec(
+        "fp_active_users_5m",
+        active_users_5m,
+        ACTIVE_USERS_ORACLE,
+        "union of streams + exact distinct (⊘ U1/A6)",
+    ),
+    "fp_active_users_5m_approx": QuerySpec(
+        "fp_active_users_5m_approx",
+        active_users_5m_approx,
+        None,  # HLL sketches differ across engines — documented deviation
+        "streaming-legal approx distinct (A6 deviation)",
+    ),
+    "fp_global_features_5m": QuerySpec(
+        "fp_global_features_5m",
+        global_features_5m,
+        GLOBAL_FEATURES_ORACLE,
+        "join of two window aggregates (⊘ J5)",
+    ),
+    "fp2_kv_rows": QuerySpec(
+        "fp2_kv_rows", fp2_kv_rows, FP2_KV_ORACLE, "Redis KV rows — MAP constructor (F6)"
+    ),
+    "kafka_wire_frame": QuerySpec(
+        "kafka_wire_frame", kafka_wire_frame, KAFKA_WIRE_ORACLE, "producer wire JSON (S11/F17)"
+    ),
+}

@@ -1,0 +1,83 @@
+"""Sinks (reference S3/S4/S7/S11 — SURVEY.md §2.1).
+
+The keyed upsert (S3/S7 analogue) lives in `streaming.upsert`; this
+module holds the external-system writers. Kafka and JDBC are
+option-for-option mappings of the reference's connector configs; they
+need a broker/database to run, so they're code paths with gated
+execution, not covered by the oracle suite (the wire *format* is —
+plans.feature_store.kafka_wire_frame).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_kafka(
+    df: DataFrame,
+    topic: str,
+    brokers: str = "localhost:9092",
+    key_col: str = "key",
+    value_col: str = "value",
+):
+    """S11: batch/stream write to Kafka, mirroring the reference
+    producer's batching knobs (kafka_config.yml:7-24 — 128 KB batches,
+    50 ms linger, lz4, acks=1)."""
+    out = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("string").alias("value"),
+    )
+    writer = (
+        out.write.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("kafka.batch.size", str(128 * 1024))
+        .option("kafka.linger.ms", "50")
+        .option("kafka.compression.type", "lz4")
+        .option("kafka.acks", "1")
+    )
+    return writer.save()
+
+
+def write_jdbc_upsert(
+    df: DataFrame,
+    url: str,
+    table: str,
+    keys: list[str],
+    properties: dict[str, str] | None = None,
+    batch_size: int = 1000,
+) -> None:
+    """S3/S7: JDBC upsert analogue of the Flink sink
+    (`sink.buffer-flush.max-rows'='1000'` — events_postgres_sink.sql:55).
+
+    Spark's JDBC writer has no ON CONFLICT mode, so production use pairs
+    `mode("append")` with a staging table + server-side MERGE, or swaps
+    in the keyed-parquet/Delta upsert (streaming.upsert) when the target
+    is lake storage. Executed only when a JDBC URL is reachable."""
+    (
+        df.write.mode("append")
+        .option("batchsize", str(batch_size))
+        .jdbc(url, table, properties=properties or {})
+    )
+
+
+def foreach_partition_kv_writer(keys_values: DataFrame, writer_factory):
+    """S4/S5 done right: per-partition KV-store writes on executors
+    (the reference's redis_sink.py collects to the driver — S5 — which
+    SURVEY.md flags as the anti-pattern; `foreachPartition` keeps
+    connections and writes distributed).
+
+    `writer_factory` → a callable returning an object with
+    `.hset(key, mapping)` and `.close()`; created once per partition.
+    """
+
+    def _write(partition):
+        client = writer_factory()
+        try:
+            for row in partition:
+                client.hset(row["redis_key"], mapping=row["redis_hash"])
+        finally:
+            client.close()
+
+    keys_values.foreachPartition(_write)
