@@ -1,0 +1,88 @@
+"""Physical-plan hygiene tests — the scale contract.
+
+Correctness tests prove the answers match; these prove the *plans* are
+the ones we'd want on a 1000-executor cluster reading 100 TB:
+broadcasts where a side is tiny, filters pushed to the parquet scan,
+single-shuffle aggregations, and zero Python in the hot path of the
+parity surface.
+"""
+
+from __future__ import annotations
+
+import re
+
+from kafka_flink_streaming_pipeline_spark.plans import merged
+
+from tests.conftest import SF_CORRECT
+
+
+def _plan(spark, name: str) -> str:
+    df = merged()[name].build(spark, SF_CORRECT)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_max_ts_pattern_broadcasts(spark):
+    """J4: the 1-row max-timestamp aggregate must broadcast — a shuffle
+    join against a single row would be absurd at scale."""
+    plan = _plan(spark, "q2_top_docs_6h")
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_fp2_is_single_shuffle_no_join(spark):
+    """J1 restructuring: union-pivot must produce ONE aggregation
+    exchange (plus the presentation sort) and no join operator — the
+    reference's two-aggregate LEFT JOIN would cost >= 2 shuffles + join
+    state."""
+    plan = _plan(spark, "fp2_user_features_5m")
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
+
+
+def test_dim_chain_broadcasts_and_pushdown(spark):
+    """TPC-H Q5 shape: dimension joins broadcast (no sort-merge at this
+    scale) and the o_orderdate range filter reaches the parquet scan."""
+    plan = _plan(spark, "tpch_q5_regional_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate", plan)
+
+
+def test_event_type_filter_pushdown(spark):
+    """Scan-level pushdown: the click/view membership filter must land
+    in PushedFilters, not only as a post-scan Filter."""
+    plan = _plan(spark, "fp2_user_features_5m")
+    assert re.search(r"PushedFilters: \[[^\]]*In\(event_type", plan)
+
+
+def test_parity_surface_has_no_python(spark):
+    """SURVEY.md §2.10: the reference needs zero UDFs — our parity
+    plans must stay fully JVM-side (whole-stage codegen eligible)."""
+    for name in [
+        "q1_events_per_min",
+        "q5_session_stats_12h",
+        "q8_hourly_top20_24h",
+        "q9_retention_d7",
+        "fp2_user_features_5m",
+        "fp3_features_20m",
+        "tpch_q1_pricing_summary",
+        "dedup_minhash_lsh",
+        "sim_topk_cosine",
+    ]:
+        plan = _plan(spark, name)
+        assert "Python" not in plan, f"{name} has Python in the hot path"
+
+
+def test_multimodal_uses_arrow_batches(spark):
+    """The multimodal decode must run as MapInPandas (Arrow batches),
+    not row-at-a-time python UDF."""
+    plan = _plan(spark, "multimodal_media_features")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_topk_is_take_ordered(spark):
+    """Global ORDER BY + LIMIT must compile to TakeOrderedAndProject
+    (per-partition top-k, no global sort shuffle)."""
+    plan = _plan(spark, "tpch_q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
