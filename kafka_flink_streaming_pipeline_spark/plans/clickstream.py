@@ -288,6 +288,101 @@ FROM (
 """
 
 
+# --- Q5a: per-row session marks (flink-analysis.sql:100-121, stmt 1) ------
+
+
+def _q5a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _enriched(spark, sf_dir)
+    mx = e.agg(F.max("event_time").alias("max_ts"))
+    w = Window.partitionBy("uuid").orderBy("event_time")
+    ordered = (
+        _views(e)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("event_time") >= F.col("max_ts") - F.expr("INTERVAL 12 HOURS"))
+        .withColumn("prev_time", F.lag("event_time").over(w))
+    )
+    return ordered.select(
+        "uuid",
+        F.date_format("event_time", TS_FMT).alias("event_time"),
+        F.when(
+            F.col("prev_time").isNull()
+            | ((F.unix_micros("event_time") - F.unix_micros("prev_time")) > F.lit(_GAP_US)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    ).orderBy("uuid", "event_time")
+
+
+_Q5A_ORACLE = f"""{ENRICHED_SQL},
+ordered AS (
+  SELECT uuid, event_time,
+         lag(event_time) OVER (PARTITION BY uuid ORDER BY event_time) AS prev_time
+  FROM enriched p, latest
+  WHERE p.event_type = 'view'
+    AND p.event_time >= latest.max_ts - INTERVAL 12 HOURS
+)
+SELECT uuid,
+       strftime(event_time, '%Y-%m-%d %H:%M:%S') AS event_time,
+       CASE WHEN prev_time IS NULL
+              OR date_diff('microsecond', prev_time, event_time) > {_GAP_US}
+            THEN 1 ELSE 0 END AS new_session
+FROM ordered
+ORDER BY uuid, event_time
+"""
+
+
+# --- session_window variant (T9 — Spark-native sessionization) ------------
+
+
+def _session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same 30-min-idle sessions built with Spark's native
+    `session_window` (usable in batch AND streaming, unlike the LAG
+    formulation which is batch-only). Note the boundary difference:
+    session_window starts a new session at gap >= 30 min, the
+    reference's LAG rule at gap > 30 min — identical on real
+    (microsecond) data, and the oracle below uses the >= rule."""
+    e = _enriched(spark, sf_dir)
+    return (
+        _views(e)
+        .groupBy("uuid", F.session_window("event_time", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("events_per_session"))
+        .select(
+            "uuid",
+            F.date_format("w.start", TS_FMT).alias("session_start"),
+            "events_per_session",
+        )
+        .orderBy("uuid", "session_start")
+    )
+
+
+_SESSION_WINDOW_ORACLE = f"""{ENRICHED_SQL},
+ordered AS (
+  SELECT uuid, event_time,
+         lag(event_time) OVER (PARTITION BY uuid ORDER BY event_time) AS prev_time
+  FROM enriched WHERE event_type = 'view'
+),
+marks AS (
+  SELECT uuid, event_time,
+         CASE WHEN prev_time IS NULL
+                OR date_diff('microsecond', prev_time, event_time) >= {_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sess AS (
+  SELECT uuid, event_time,
+         sum(new_session) OVER (PARTITION BY uuid ORDER BY event_time) AS session_id
+  FROM marks
+)
+SELECT uuid,
+       strftime(min(event_time), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS events_per_session
+FROM sess
+GROUP BY uuid, session_id
+ORDER BY uuid, session_start
+"""
+
+
 # --- Q6: end-to-end delay monitor, 5 min (flink-analysis.sql:156-164) -----
 
 
@@ -604,6 +699,15 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q5_session_stats_12h": QuerySpec(
         "q5_session_stats_12h", _q5, _Q5_ORACLE, "sessionization stats (Q5)"
+    ),
+    "q5a_session_marks_12h": QuerySpec(
+        "q5a_session_marks_12h", _q5a, _Q5A_ORACLE, "per-row session marks (Q5 stmt 1)"
+    ),
+    "session_window_stats": QuerySpec(
+        "session_window_stats",
+        _session_windows,
+        _SESSION_WINDOW_ORACLE,
+        "native session_window sessions (T9)",
     ),
     "q6_avg_delay_5m": QuerySpec("q6_avg_delay_5m", _q6, _Q6_ORACLE, "delay monitor (Q6)"),
     "q7_heatmap_7d": QuerySpec("q7_heatmap_7d", _q7, _Q7_ORACLE, "hour x weekday heatmap (Q7)"),

@@ -256,6 +256,83 @@ ORDER BY c_mktsegment
 """
 
 
+# --- literal outer joins (J1/J2 operator forms) ---------------------------
+#
+# FP2/FP3 implement the reference's outer-join *semantics* via the
+# union-pivot (the scale-correct form); these exercise the literal
+# left/right outer join operators with COALESCE over the null side —
+# the exact J2 shape of feature_batch_update.py:85-113.
+
+
+def _cust_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+    )
+    counts = recent.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    return (
+        cust.join(counts, cust.c_custkey == counts.o_custkey, "left_outer")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce(F.col("n"), F.lit(0)).alias("recent_orders"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+_CUST_LEFT_JOIN_ORACLE = """
+SELECT c_custkey, c_mktsegment, COALESCE(n, 0) AS recent_orders
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, count(*) AS n
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+  GROUP BY o_custkey
+) o ON c_custkey = o_custkey
+ORDER BY c_custkey
+"""
+
+
+def _orders_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J2 literal: aggregate RIGHT JOIN aggregate with COALESCE on both
+    # key sides, exactly like the 20-min feature batch job.
+    li = load_table(spark, sf_dir, "lineitem")
+    hi = (
+        li.filter(F.col("l_discount") >= 0.08)
+        .groupBy(F.col("l_orderkey").alias("k1"))
+        .agg(F.count("*").alias("hi_disc_items"))
+    )
+    all_items = li.groupBy(F.col("l_orderkey").alias("k2")).agg(
+        F.count("*").alias("items")
+    )
+    return (
+        hi.join(all_items, hi.k1 == all_items.k2, "right_outer")
+        .select(
+            F.coalesce(F.col("k1"), F.col("k2")).alias("l_orderkey"),
+            F.coalesce(F.col("hi_disc_items"), F.lit(0)).alias("hi_disc_items"),
+            F.col("items"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+_ORDERS_RIGHT_JOIN_ORACLE = """
+SELECT COALESCE(h.k1, a.k2) AS l_orderkey,
+       COALESCE(h.hi_disc_items, 0) AS hi_disc_items,
+       a.items
+FROM (
+  SELECT l_orderkey AS k1, count(*) AS hi_disc_items
+  FROM lineitem WHERE l_discount >= 0.08 GROUP BY l_orderkey
+) h
+RIGHT JOIN (
+  SELECT l_orderkey AS k2, count(*) AS items
+  FROM lineitem GROUP BY l_orderkey
+) a ON h.k1 = a.k2
+ORDER BY l_orderkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "tpch_q1_pricing_summary": QuerySpec(
         "tpch_q1_pricing_summary", _q1, _TPCH_Q1_ORACLE, "pricing summary (agg battery)"
@@ -277,5 +354,17 @@ QUERIES: dict[str, QuerySpec] = {
         _cust_no_orders,
         _CUST_NO_ORDERS_ORACLE,
         "NOT EXISTS anti join",
+    ),
+    "customer_order_counts_left_join": QuerySpec(
+        "customer_order_counts_left_join",
+        _cust_left_join,
+        _CUST_LEFT_JOIN_ORACLE,
+        "literal LEFT OUTER join + COALESCE (J1 form)",
+    ),
+    "order_items_right_join": QuerySpec(
+        "order_items_right_join",
+        _orders_right_join,
+        _ORDERS_RIGHT_JOIN_ORACLE,
+        "aggregate RIGHT OUTER aggregate + COALESCE (J2 form)",
     ),
 }

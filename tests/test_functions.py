@@ -1,0 +1,72 @@
+"""Unit tests for the exact-semantics function layer (F1-F18)."""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+from pyspark.sql import functions as F
+
+from kafka_flink_streaming_pipeline_spark.functions import (
+    decode_traffic_source,
+    event_time_from_offset,
+    geo_part,
+    redis_feature_key,
+)
+from kafka_flink_streaming_pipeline_spark.session import EPOCH_ANCHOR_MS
+
+
+def test_event_time_anchor_matches_reference_formula(spark):
+    """F1: event_time = TO_TIMESTAMP_LTZ(timestamp + 1465876799998, 3)
+    (events_postgres_sink.sql:21) — checked against DuckDB arithmetic
+    over the same ms offsets."""
+    offsets = [0, 1, 1000, 86_400_000, 1_296_000_001]  # up to +15 days
+    df = spark.createDataFrame([(o,) for o in offsets], "timestamp: long")
+    got = {
+        r[0]: r[1]
+        for r in df.select(
+            "timestamp", event_time_from_offset(F.col("timestamp")).alias("et")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for o in offsets:
+        expected = con.execute(
+            f"SELECT make_timestamp(({o} + {EPOCH_ANCHOR_MS}) * 1000)"
+        ).fetchone()[0]
+        assert got[o] == expected, o
+    # anchor sanity: offset 0 lands on the dataset epoch 2016-06-14
+    assert got[0].date() == datetime.date(2016, 6, 14)
+
+
+def test_geo_part_missing_segments(spark):
+    """F8: split_part returns '' for missing parts (Postgres parity) —
+    the 1/2-part geo edge cases from FIXTURES.md."""
+    df = spark.createDataFrame([("US>VA>511",), ("US>CA",), ("US",)], "geo: string")
+    rows = df.select(
+        geo_part(F.col("geo"), 1).alias("c"),
+        geo_part(F.col("geo"), 2).alias("s"),
+        geo_part(F.col("geo"), 3).alias("d"),
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        ("US", "VA", "511"),
+        ("US", "CA", ""),
+        ("US", "", ""),
+    ]
+
+
+def test_redis_key_format(spark):
+    """F3/F4: feat:user:{uuid}:yyyyMMddHHmm (redis_sink copy.sql:172-174)."""
+    df = spark.createDataFrame(
+        [("83e9ec48908c6a", datetime.datetime(2016, 6, 14, 21, 35, 0))],
+        "uuid: string, win_end: timestamp",
+    )
+    row = df.select(
+        redis_feature_key(F.col("uuid"), F.col("win_end")).alias("k")
+    ).collect()[0]
+    assert row.k == "feat:user:{83e9ec48908c6a}:201606142135"
+
+
+def test_traffic_source_decode(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,), (0,), (4,), (None,)], "s: int")
+    got = [r[0] for r in df.select(decode_traffic_source(F.col("s"))).collect()]
+    assert got == ["Desktop", "Mobile", "Tablet", "Other", "Other", "Other"]

@@ -74,6 +74,53 @@ def test_fp1_upsert_idempotent(spark, tmp_path, chunks):
     assert got.select("event_id").distinct().count() == n_events
 
 
+def test_session_window_streaming_matches_batch(spark, tmp_path, chunks):
+    """T9: native session_window under streaming append mode must emit
+    exactly the batch sessions whose window closed before the final
+    watermark (the still-open tail sessions are legitimately withheld)."""
+    from kafka_flink_streaming_pipeline_spark.sources.streaming import replay_stream
+
+    stream = replay_stream(spark, chunks).filter(F.col("event_type") == "view")
+    sessions = (
+        stream.groupBy(
+            F.col("user_id").alias("uuid"),
+            F.session_window("event_time", "30 minutes").alias("w"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select("uuid", F.col("w.start").alias("s"), F.col("w.end").alias("e"), "n")
+    )
+    out = str(tmp_path / "sessions")
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = {
+        (r.uuid, r.s, r.n) for r in spark.read.parquet(out).collect()
+    }
+
+    ev = load_table(spark, SF_SMOKE, "events").filter(F.col("event_type") == "view")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    batch = (
+        ev.groupBy(
+            F.col("user_id").alias("uuid"),
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select("uuid", F.col("w.start").alias("s"), F.col("w.end").alias("e"), "n")
+    )
+    import datetime
+
+    wm = max_ts - datetime.timedelta(seconds=5)
+    closed = {(r.uuid, r.s, r.n) for r in batch.collect() if r.e < wm}
+    assert streamed == closed
+    assert len(streamed) > 0
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """A row arriving after the watermark passed its window must be
     dropped by the window aggregate (T3 — Flink default, no allowed
