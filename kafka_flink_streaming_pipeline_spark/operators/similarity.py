@@ -48,6 +48,21 @@ def _cosine(va: Column, vb: Column) -> Column:
     return F.round(_dot(va, vb) / F.sqrt(_dot(va, va)) / F.sqrt(_dot(vb, vb)), 6)
 
 
+def _with_norm(e: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+    """Precompute sqrt(dot(v,v)) once per vector — the pairwise scorer
+    then does ONE array fold per pair instead of three. Same arithmetic
+    (dot / sqrt(na) / sqrt(nb)), so oracle values are unchanged."""
+    return e.select(
+        F.col("vec_id").alias(id_alias),
+        F.col("embedding").alias(vec_alias),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias(f"{id_alias}_nrm"),
+    )
+
+
+def _pair_cosine(qv: Column, cv: Column, q_nrm: Column, c_nrm: Column) -> Column:
+    return F.round(_dot(qv, cv) / q_nrm / c_nrm, 6)
+
+
 # DuckDB: same formula over DOUBLE[] lists (list_dot_product folds in
 # list order, matching the Spark-side sequential fold).
 _DUCK_COS = (
@@ -63,15 +78,19 @@ _DUCK_EMB = "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddi
 def topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = F.broadcast(
-        e.filter(F.col("vec_id") < _N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-        )
+        _with_norm(e.filter(F.col("vec_id") < _N_QUERIES), "query_id", "qv")
     )
-    cands = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    cands = _with_norm(e, "cand_id", "cv")
     scored = (
         queries.crossJoin(cands)
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", _cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+        .select(
+            "query_id",
+            "cand_id",
+            _pair_cosine(
+                F.col("qv"), F.col("cv"), F.col("query_id_nrm"), F.col("cand_id_nrm")
+            ).alias("cosine"),
+        )
     )
     from pyspark.sql import Window
 
@@ -106,11 +125,17 @@ ORDER BY query_id, rank
 
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
-    b = e.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    a = _with_norm(e, "v1", "e1")
+    b = _with_norm(e, "v2", "e2")
     return (
         a.join(b, F.col("v1") < F.col("v2"))
-        .select("v1", "v2", _cosine(F.col("e1"), F.col("e2")).alias("cosine"))
+        .select(
+            "v1",
+            "v2",
+            _pair_cosine(F.col("e1"), F.col("e2"), F.col("v1_nrm"), F.col("v2_nrm")).alias(
+                "cosine"
+            ),
+        )
         .filter(F.col("cosine") >= _NEAR_DUP_T)
         .orderBy("v1", "v2")
     )
@@ -183,22 +208,34 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     buckets = _buckets(e, spark)
     vecs = e.select("vec_id", "embedding")
-    q = (
-        buckets.filter(F.col("vec_id") < _N_QUERIES)
-        .join(vecs, "vec_id")
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("bucket"),
-            F.col("embedding").alias("qv"),
-        )
+    with_norm = buckets.join(vecs, "vec_id").select(
+        "vec_id",
+        "bucket",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
-    c = buckets.join(vecs, "vec_id").select(
-        F.col("vec_id").alias("cand_id"), F.col("bucket"), F.col("embedding").alias("cv")
+    q = with_norm.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("bucket"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = with_norm.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("bucket"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("c_nrm"),
     )
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", _cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+        .select(
+            "query_id",
+            "cand_id",
+            _pair_cosine(F.col("qv"), F.col("cv"), F.col("q_nrm"), F.col("c_nrm")).alias(
+                "cosine"
+            ),
+        )
     )
     from pyspark.sql import Window
 
