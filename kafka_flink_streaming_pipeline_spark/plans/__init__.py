@@ -28,11 +28,12 @@ def merged() -> dict[str, QuerySpec]:
         clickstream,
         feature_store,
         preprocess,
+        stateful_stream,
         tpch,
     )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (clickstream, tpch, feature_store, preprocess):
+    for mod in (clickstream, tpch, feature_store, preprocess, stateful_stream):
         for k, v in mod.QUERIES.items():
             assert k not in out, f"duplicate query name {k}"
             out[k] = v

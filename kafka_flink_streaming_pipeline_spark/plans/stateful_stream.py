@@ -1,0 +1,124 @@
+"""Driver-contract wrapper for the custom stateful streaming operator
+(streaming/stateful.py): runs the REAL `applyInPandasWithState`
+sessionizer as a bounded availableNow streaming job over a replay of
+the events table, then hands the emitted closed sessions back as a
+DataFrame the oracle can check.
+
+This is the one `queries()` entry that exercises an actual streaming
+micro-batch execution (state store, event-time timeouts, watermark) —
+everything else on the parity surface is batch. Two far-future
+sentinel chunks (user_id = -1, filtered from the output) push the
+watermark past every real session's idle timeout so the operator
+flushes all of them; the sentinel user's own open session is the only
+state legitimately withheld.
+
+Oracle: the reference's LAG + running-SUM sessionization
+(analysis/flink-analysis.sql:94-152) with per-session start/end/count
+outputs — the batch-SQL ground truth the stateful operator must match.
+"""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
+
+_GAP_US = 30 * 60 * 1_000_000
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _stateful_sessions_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+    from kafka_flink_streaming_pipeline_spark.sources.streaming import (
+        WIRE_SCHEMA,
+        prepare_replay_chunks,
+        replay_stream,
+    )
+    from kafka_flink_streaming_pipeline_spark.streaming.stateful import (
+        stateful_session_job,
+    )
+
+    work = tempfile.mkdtemp(prefix="stateful_sessions_")
+    chunks = os.path.join(work, "chunks")
+    events = load_table(spark, sf_dir, "events")
+    prepare_replay_chunks(spark, events, chunks, n_chunks=3)
+
+    # Two sentinel chunks: the first advances max event time, so the
+    # watermark crosses every real session's (last_ts + gap) before the
+    # second batch runs and fires the timeouts.
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    staging = os.path.join(work, "staging")
+    for i, days in enumerate((10, 20), start=1):
+        row = [(10**12 + i, max_ts + datetime.timedelta(days=days), -1, "view", 0.0, "{}")]
+        spark.createDataFrame(row, WIRE_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        shutil.copy(
+            glob.glob(f"{staging}/part-*.parquet")[0],
+            f"{chunks}/zz_sentinel_{i}.parquet",
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+
+    out = os.path.join(work, "sessions")
+    q = stateful_session_job(
+        replay_stream(spark, chunks), out, os.path.join(work, "ckpt")
+    )
+    q.awaitTermination(600)
+
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("uuid") != -1)
+        .select(
+            "uuid",
+            F.date_format("session_start", _TS_FMT).alias("session_start"),
+            F.date_format("session_end", _TS_FMT).alias("session_end"),
+            "n_events",
+            "n_clicks",
+        )
+    )
+
+
+_STATEFUL_SESSIONS_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+marks AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN prev_ts IS NULL
+                OR date_diff('microsecond', prev_ts, ts) > {_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, ts, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marks
+)
+SELECT user_id AS uuid,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events,
+       count(*) FILTER (WHERE event_type = 'click') AS n_clicks
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "stateful_sessions_stream": QuerySpec(
+        "stateful_sessions_stream",
+        _stateful_sessions_build,
+        _STATEFUL_SESSIONS_ORACLE,
+        "applyInPandasWithState 30-min sessionizer vs batch LAG oracle (T9 custom)",
+    ),
+}

@@ -121,6 +121,74 @@ def test_session_window_streaming_matches_batch(spark, tmp_path, chunks):
     assert len(streamed) > 0
 
 
+def test_stateful_sessionizer_matches_batch_lag(spark, tmp_path):
+    """The applyInPandasWithState sessionizer must emit exactly the
+    sessions the reference's batch LAG formulation produces (gap > 30
+    min rule), once sentinel rows push the watermark past every real
+    session's timeout."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from kafka_flink_streaming_pipeline_spark.streaming.stateful import (
+        stateful_session_job,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    chunk_dir = str(tmp_path / "chunks")
+    prepare_replay_chunks(spark, events, chunk_dir, n_chunks=4)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    staging = str(tmp_path / "staging")
+    for i, days in enumerate((10, 20), start=1):
+        row = [(10**12 + i, max_ts + datetime.timedelta(days=days), -1, "view", 0.0, "{}")]
+        spark.createDataFrame(row, WIRE_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        shutil.copy(
+            glob.glob(f"{staging}/part-*.parquet")[0],
+            f"{chunk_dir}/zz_sentinel_{i}.parquet",
+        )
+
+    out = str(tmp_path / "sessions")
+    q = stateful_session_job(
+        replay_stream(spark, chunk_dir), out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+    streamed = {
+        (r.uuid, r.session_start, r.session_end, r.n_events, r.n_clicks)
+        for r in spark.read.parquet(out).filter(F.col("uuid") != -1).collect()
+    }
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marks = events.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 30 * 60 * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = marks.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    batch = {
+        (r.uuid, r.session_start, r.session_end, r.n_events, r.n_clicks)
+        for r in sess.groupBy(F.col("user_id").alias("uuid"), "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
+        )
+        .drop("session_id")
+        .collect()
+    }
+    assert len(streamed) > 0
+    assert streamed == batch
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """A row arriving after the watermark passed its window must be
     dropped by the window aggregate (T3 — Flink default, no allowed
