@@ -35,9 +35,21 @@ from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
 _WORDS_SQL = "SELECT doc_id, string_split(text, ' ') AS ws FROM documents"
 
 
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents scan, spread across the cluster. The testdata table
+    is one small parquet file → one input split, which would serialize
+    every downstream tokenize/hash stage onto a single task; a real
+    100 TB corpus arrives as many splits, and this round-robin
+    repartition (one cheap shuffle of the raw rows) restores that
+    parallelism locally."""
+    return load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, word) distinct pairs — the inverted index."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_parallel(spark, sf_dir)
     return (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .distinct()
@@ -49,15 +61,21 @@ _DOC_WORDS_SQL = f"""
 """
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, 3-word shingle) distinct pairs.
+def _doc_shingles(
+    spark: SparkSession, sf_dir: str, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, 3-word shingle) pairs; ``distinct=True`` for set
+    semantics (jaccard needs it — one dedup shuffle), ``False`` for the
+    raw stream (minhash minima are duplicate-invariant, so skipping the
+    distinct lets tokenize → hash → partial-min fuse into the scan
+    stage with no shuffle before the per-doc combine).
 
     The words array is materialized in its own projection FIRST: putting
     `split(text)` inline inside the transform lambda would embed the
     split into every element_at — re-tokenizing the document once per
     shingle (O(len²) per doc; measured 2x slower end-to-end at sf0.1).
     """
-    d = load_table(spark, sf_dir, "documents").select(
+    d = _docs_parallel(spark, sf_dir).select(
         "doc_id", F.split("text", " ").alias("ws")
     )
     ws = F.col("ws")
@@ -74,7 +92,8 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(ws, i + 2),
         ),
     )
-    return d.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+    out = d.select("doc_id", F.explode(shingles).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 _DOC_SHINGLES_SQL = f"""
@@ -177,18 +196,22 @@ _BAND_SIZE = 4  # -> 3 bands
 
 
 def _minhash_sigs_columnar(shingles: DataFrame) -> DataFrame:
-    """(doc_id, h0..h11): each column = min over shingles of the first
-    16 hex chars of md5(perm || ':' || shingle). One projection computes
-    all 12 hashes per shingle row, ONE groupBy(doc) aggregates all 12
-    minima — no 12x row explosion, no (doc, perm) shuffle key. String
-    minima agree across engines. At 100 TB this is a single map-side-
-    combinable aggregation over the shingle stream."""
+    """(doc_id, h0..h11): perm p = the 16-hex-char half (p % 2) of
+    md5((p // 2) || ':' || shingle) — each md5 digest yields TWO
+    independent 64-bit hash functions, so 12 permutations cost 6 md5
+    invocations per shingle. One projection computes them all, ONE
+    groupBy(doc) takes all 12 minima — no 12x row explosion, no
+    (doc, perm) shuffle key. String minima agree across engines. At
+    100 TB this is a single map-side-combinable aggregation over the
+    shingle stream, and md5 count is the dominant CPU term."""
+    digests = [
+        F.md5(F.concat(F.lit(f"{g}:"), F.col("shingle")).cast("binary"))
+        for g in range(_N_PERM // 2)
+    ]
     hashed = shingles.select(
         "doc_id",
         *[
-            F.substring(
-                F.md5(F.concat(F.lit(f"{p}:"), F.col("shingle")).cast("binary")), 1, 16
-            ).alias(f"x{p}")
+            F.substring(digests[p // 2], 1 + 16 * (p % 2), 16).alias(f"x{p}")
             for p in range(_N_PERM)
         ],
     )
@@ -198,51 +221,45 @@ def _minhash_sigs_columnar(shingles: DataFrame) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = _minhash_sigs_columnar(_doc_shingles(spark, sf_dir))
+    """One-pass banded LSH: the signature ARRAY rides along into the
+    band self-join, so the estimated jaccard is computed directly on
+    the joined rows — no second and third join back to the signature
+    table (the naive 3-use plan recomputed the whole md5 pipeline per
+    use; Catalyst has no exchange to reuse across differing
+    projections). The tiny per-doc signature table is persisted: at
+    100 TB it is |docs| x 200 bytes — always worth caching, never worth
+    recomputing from the shingle stream."""
+    sigs = _minhash_sigs_columnar(_doc_shingles(spark, sf_dir, distinct=False)).persist()
     n_bands = _N_PERM // _BAND_SIZE
     # band key b = concat of the signature values whose perm % n_bands == b
     # (same grouping as the oracle's perm % 3 with ORDER BY perm)
-    band_cols = [
-        F.concat_ws(",", *[F.col(f"h{p}") for p in range(_N_PERM) if p % n_bands == b]).alias(
-            f"b{b}"
+    sig_arr = F.array(*[F.col(f"h{p}") for p in range(_N_PERM)]).alias("sig")
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",", *[F.col(f"h{p}") for p in range(_N_PERM) if p % n_bands == b]
+            ).alias("band_key"),
         )
         for b in range(n_bands)
     ]
-    banded = sigs.select("doc_id", *[F.col(f"h{p}") for p in range(_N_PERM)], *band_cols)
-    bands = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("band_key"))
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.band_key")
-    b1 = bands.select(F.col("doc_id").alias("d1"), "band", "band_key")
-    b2 = bands.select(F.col("doc_id").alias("d2"), "band", "band_key")
+    bands = sigs.select(
+        "doc_id", sig_arr, F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "sig", "bk.band", "bk.band_key")
+    b1 = bands.select(F.col("doc_id").alias("d1"), F.col("sig").alias("sig1"), "band", "band_key")
+    b2 = bands.select(F.col("doc_id").alias("d2"), F.col("sig").alias("sig2"), "band", "band_key")
     cand = (
         b1.join(b2, ["band", "band_key"])
         .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
-        .distinct()
+        .select("d1", "d2", "sig1", "sig2")
+        .distinct()  # sig arrays are functions of the doc ids — safe in the key
     )
-    s1 = sigs.select(F.col("doc_id").alias("d1"), *[F.col(f"h{p}").alias(f"a{p}") for p in range(_N_PERM)])
-    s2 = sigs.select(F.col("doc_id").alias("d2"), *[F.col(f"h{p}").alias(f"c{p}") for p in range(_N_PERM)])
-    matches = sum(
-        F.when(F.col(f"a{p}") == F.col(f"c{p}"), 1).otherwise(0) for p in range(_N_PERM)
-    )
-    return (
-        cand.join(s1, "d1")
-        .join(s2, "d2")
-        .select(
-            "d1",
-            "d2",
-            F.round(matches.cast("double") / _N_PERM, 6).alias("est_jaccard"),
-        )
-        .orderBy("d1", "d2")
-    )
+    matches = F.size(F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y), lambda m: m))
+    return cand.select(
+        "d1",
+        "d2",
+        F.round(matches.cast("double") / _N_PERM, 6).alias("est_jaccard"),
+    ).orderBy("d1", "d2")
 
 
 _N_BANDS = _N_PERM // _BAND_SIZE
@@ -250,7 +267,8 @@ DEDUP_MINHASH_ORACLE = f"""
 WITH sh AS ({_DOC_SHINGLES_SQL}),
 sigs AS (
   SELECT doc_id, p.perm,
-         min(substr(md5(CAST(p.perm AS VARCHAR) || ':' || shingle), 1, 16)) AS h
+         min(substr(md5(CAST(p.perm // 2 AS VARCHAR) || ':' || shingle),
+                    1 + 16 * (p.perm % 2), 16)) AS h
   FROM sh CROSS JOIN (SELECT unnest(range(0, {_N_PERM})) AS perm) p
   GROUP BY doc_id, p.perm
 ),

@@ -24,6 +24,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     runtime so it works under any session) and truncate to microseconds
     — exactly what DuckDB does when it surfaces the column as TIMESTAMP,
     so oracle comparisons stay bit-equal.
+
+    The testdata files are single-row-group, so each scan is one input
+    split. That is fine for scan-light plans (the shuffle after the
+    first partial agg restores parallelism); operators whose cost is
+    dominated by per-row CPU (tokenize + hash in dedup/text) repartition
+    explicitly at their input — see `operators.dedup._docs_parallel`.
+    A real 100 TB table arrives as many splits and needs neither.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
