@@ -121,11 +121,150 @@ ORDER BY doc_id
 """
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orig_bytes", T.LongType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("resized_md5", T.StringType()),
+    ]
+)
+
+_RESIZE_W, _RESIZE_H = 64, 48  # fake target raster = 3072 "pixels"/bytes
+
+
+def make_resize_batches():
+    """Fake resize: crop the payload to the target raster's byte budget
+    (w*h) and fingerprint the result — the real path would decode,
+    `Image.resize`, re-encode; schema/batching/closure rules identical.
+    Built by a factory so cloudpickle ships it by value."""
+    w, h = _RESIZE_W, _RESIZE_H
+
+    def resize_batches(batches):
+        import hashlib
+
+        import pandas as pd
+
+        budget = w * h
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_bytes": pdf["payload"].map(len).astype("int64"),
+                    "out_width": w,
+                    "out_height": h,
+                    "resized_md5": pdf["payload"].map(
+                        lambda b: hashlib.md5(bytes(b)[:budget]).hexdigest()
+                    ),
+                }
+            )
+
+    return resize_batches
+
+
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        media_table(spark, sf_dir)
+        .mapInPandas(make_resize_batches(), schema=RESIZE_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+MEDIA_RESIZE_ORACLE = f"""
+SELECT doc_id,
+       octet_length(encode(text)) AS orig_bytes,
+       {_RESIZE_W} AS out_width,
+       {_RESIZE_H} AS out_height,
+       md5(substr(text, 1, {_RESIZE_W * _RESIZE_H})) AS resized_md5
+FROM documents
+ORDER BY doc_id
+"""
+# The substr/md5 equivalence holds because the corpus is single-byte
+# text; the Spark side operates on raw payload bytes either way.
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_len", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+_FRAME_BYTES = 128   # fake frame size
+_FRAME_STRIDE = 256  # sample every other frame
+_MAX_FRAMES = 4
+
+
+def make_frame_sample_batches():
+    """Fake frame sampler: one input row fans out to up to _MAX_FRAMES
+    output rows (frame f = payload[f*stride : f*stride+frame_bytes]) —
+    the row-expanding mapInPandas shape a real ffmpeg keyframe sampler
+    uses. Factory-built closure, serialized by value."""
+    fb, stride, mx = _FRAME_BYTES, _FRAME_STRIDE, _MAX_FRAMES
+
+    def frame_batches(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_len": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for f in range(mx):
+                    off = f * stride
+                    if off >= len(b):
+                        break
+                    frame = b[off : off + fb]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(f)
+                    out["frame_len"].append(len(frame))
+                    out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return frame_batches
+
+
+def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        media_table(spark, sf_dir)
+        .mapInPandas(make_frame_sample_batches(), schema=FRAME_SCHEMA)
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+MEDIA_FRAMES_ORACLE = f"""
+SELECT d.doc_id,
+       CAST(f.f AS INT) AS frame_idx,
+       CAST(least({_FRAME_BYTES}, length(text) - f.f * {_FRAME_STRIDE}) AS INT)
+         AS frame_len,
+       md5(substr(text, f.f * {_FRAME_STRIDE} + 1, {_FRAME_BYTES})) AS frame_md5
+FROM documents d
+CROSS JOIN (SELECT unnest(range(0, {_MAX_FRAMES})) AS f) f
+WHERE f.f * {_FRAME_STRIDE} < length(text)
+ORDER BY doc_id, frame_idx
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "multimodal_media_features": QuerySpec(
         "multimodal_media_features",
         media_features,
         MEDIA_FEATURES_ORACLE,
         "binary payload → mapInPandas fake decode → typed features",
+    ),
+    "multimodal_resize": QuerySpec(
+        "multimodal_resize",
+        media_resize,
+        MEDIA_RESIZE_ORACLE,
+        "fake resize: crop-to-raster + fingerprint via mapInPandas",
+    ),
+    "multimodal_frame_samples": QuerySpec(
+        "multimodal_frame_samples",
+        media_frame_samples,
+        MEDIA_FRAMES_ORACLE,
+        "row-expanding frame sampler (1 → N frames) via mapInPandas",
     ),
 }
