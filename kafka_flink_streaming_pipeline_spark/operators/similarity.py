@@ -288,9 +288,137 @@ ORDER BY query_id, rank
 """
 
 
+# --- IVF-bucketed ANN -----------------------------------------------------
+
+_IVF_K = 8  # coarse-quantizer cells; centroids = vec_ids [_N_QUERIES, _N_QUERIES+K)
+
+
+def _ivf_assign(with_norm: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id): nearest seed centroid by cosine.
+
+    The coarse quantizer uses K fixed seed vectors as centroids
+    (training-free IVF — at 100 TB you'd k-means a sample, but the
+    assign/probe dataflow is identical and the seeds keep the operator
+    deterministic and oracle-checkable). Assignment is a broadcast
+    cross-score + per-vector argmax: one pass over the corpus, no
+    shuffle of the vectors themselves."""
+    from pyspark.sql import Window
+
+    cents = F.broadcast(
+        with_norm.filter(
+            (F.col("vec_id") >= _N_QUERIES) & (F.col("vec_id") < _N_QUERIES + _IVF_K)
+        ).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cent"),
+            F.col("nrm").alias("cent_nrm"),
+        )
+    )
+    scored = with_norm.crossJoin(cents).select(
+        "vec_id",
+        "centroid_id",
+        _pair_cosine(F.col("embedding"), F.col("cent"), F.col("nrm"), F.col("cent_nrm")).alias(
+            "ccos"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=1: queries score only their own cell — the
+    inverted-file scale path (cells partition the corpus; each query
+    touches |corpus|/K candidates instead of all of them)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    with_norm = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    assigned = _ivf_assign(with_norm).join(with_norm, "vec_id")
+    q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("centroid_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("centroid_id"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    scored = (
+        q.join(c, "centroid_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            _pair_cosine(F.col("qv"), F.col("cv"), F.col("q_nrm"), F.col("c_nrm")).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+_DUCK_CENT_COS = (
+    "round(list_dot_product(a.v, k.v) / sqrt(list_dot_product(a.v, a.v))"
+    " / sqrt(list_dot_product(k.v, k.v)), 6)"
+)
+
+ANN_IVF_ORACLE = f"""
+WITH e AS ({_DUCK_EMB}),
+cents AS (
+  SELECT vec_id AS centroid_id, v FROM e
+  WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES + _IVF_K}
+),
+assign_scored AS (
+  SELECT a.vec_id, k.centroid_id, {_DUCK_CENT_COS} AS ccos
+  FROM e a CROSS JOIN (SELECT centroid_id, v FROM cents) k
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, centroid_id ASC) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT aq.vec_id AS query_id, ac.vec_id AS cand_id, {_DUCK_COS} AS cosine
+  FROM assigned aq
+  JOIN assigned ac ON aq.centroid_id = ac.centroid_id AND aq.vec_id <> ac.vec_id
+  JOIN e q ON q.vec_id = aq.vec_id
+  JOIN e c ON c.vec_id = ac.vec_id
+  WHERE aq.vec_id < {_N_QUERIES}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, rank
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sim_topk_cosine": QuerySpec(
         "sim_topk_cosine", topk_cosine, TOPK_ORACLE, "brute-force cosine top-k"
+    ),
+    "sim_ann_ivf": QuerySpec(
+        "sim_ann_ivf", ann_ivf, ANN_IVF_ORACLE, "IVF coarse-quantized approximate top-k"
     ),
     "dedup_embedding_cosine": QuerySpec(
         "dedup_embedding_cosine",
