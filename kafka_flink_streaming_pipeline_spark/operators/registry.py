@@ -2,11 +2,17 @@
 
 from __future__ import annotations
 
-from kafka_flink_streaming_pipeline_spark.operators import dedup, multimodal, similarity, text
+from kafka_flink_streaming_pipeline_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    skew,
+    text,
+)
 from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
 
 QUERIES: dict[str, QuerySpec] = {}
-for _mod in (text, dedup, similarity, multimodal):
+for _mod in (text, dedup, similarity, multimodal, skew):
     for _k, _v in _mod.QUERIES.items():
         assert _k not in QUERIES, f"duplicate operator query {_k}"
         QUERIES[_k] = _v

@@ -11,9 +11,11 @@ from __future__ import annotations
 
 import re
 
+from pyspark.sql import functions as F
+
 from kafka_flink_streaming_pipeline_spark.plans import merged
 
-from tests.conftest import SF_CORRECT
+from tests.conftest import SF_CORRECT, SF_SMOKE
 
 
 def _plan(spark, name: str) -> str:
@@ -86,3 +88,38 @@ def test_topk_is_take_ordered(spark):
     (per-partition top-k, no global sort shuffle)."""
     plan = _plan(spark, "tpch_q3_shipping_priority")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Co-located joins via bucketing (task-brief scale requirement):
+    two tables bucketed on the join key must sort-merge-join with NO
+    exchange on either side — the 100 TB pattern for repeated fact-fact
+    joins on the same key."""
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+    # (spark.sql.warehouse.dir is static — managed tables land in the
+    # default ./spark-warehouse, dropped at the end and gitignored)
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode(
+        "overwrite"
+    ).saveAsTable("orders_b")
+    customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode(
+        "overwrite"
+    ).saveAsTable("customer_b")
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("orders_b").join(
+            spark.table("customer_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        n = joined.count()
+        assert n == load_table(spark, SF_SMOKE, "orders").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
