@@ -23,6 +23,9 @@ Also here: embedding-cosine near-dup pairs (the fifth dedup modality).
 
 from __future__ import annotations
 
+import pandas as pd  # module-global so stringified pandas_udf type
+                     # hints ('pd.Series') resolve under PEP 563
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -288,6 +291,67 @@ ORDER BY query_id, rank
 """
 
 
+# --- brute-force top-k, Arrow-vectorized variant --------------------------
+
+
+def make_cosine_pandas_udf():
+    """Arrow-batched cosine scorer: vectorized across ROWS with numpy,
+    but accumulated dimension-by-dimension IN ORDER so every pair's
+    float64 addition sequence is identical to the JVM-side sequential
+    `F.aggregate` fold (and DuckDB's list_dot_product) — bit-equal
+    results, which blind np.dot (pairwise/SIMD summation) would not
+    guarantee at the rounding frontier. Factory-built closure so
+    cloudpickle ships it by value."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(qv: pd.Series, cv: pd.Series, qn: pd.Series, cn: pd.Series) -> pd.Series:
+        import numpy as np
+
+        a = np.stack(qv.to_numpy()).astype("float64")
+        b = np.stack(cv.to_numpy()).astype("float64")
+        acc = np.zeros(len(a))
+        for i in range(a.shape[1]):
+            acc = acc + a[:, i] * b[:, i]
+        return pd.Series(acc / qn.to_numpy() / cn.to_numpy())
+
+    return cos
+
+
+def topk_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query as `topk_cosine`, scored through the Arrow/pandas
+    path — the shape to reach for when the per-pair math outgrows
+    Catalyst expressions (learned metrics, quantized dot products)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = F.broadcast(
+        _with_norm(e.filter(F.col("vec_id") < _N_QUERIES), "query_id", "qv")
+    )
+    cands = _with_norm(e, "cand_id", "cv")
+    cos_udf = make_cosine_pandas_udf()
+    scored = (
+        queries.crossJoin(cands)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                cos_udf(
+                    F.col("qv"), F.col("cv"), F.col("query_id_nrm"), F.col("cand_id_nrm")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
 # --- IVF-bucketed ANN -----------------------------------------------------
 
 _IVF_K = 8  # coarse-quantizer cells; centroids = vec_ids [_N_QUERIES, _N_QUERIES+K)
@@ -416,6 +480,12 @@ ORDER BY query_id, rank
 QUERIES: dict[str, QuerySpec] = {
     "sim_topk_cosine": QuerySpec(
         "sim_topk_cosine", topk_cosine, TOPK_ORACLE, "brute-force cosine top-k"
+    ),
+    "sim_topk_cosine_pandas": QuerySpec(
+        "sim_topk_cosine_pandas",
+        topk_cosine_pandas,
+        TOPK_ORACLE,
+        "brute-force top-k via Arrow-vectorized pandas_udf (same oracle)",
     ),
     "sim_ann_ivf": QuerySpec(
         "sim_ann_ivf", ann_ivf, ANN_IVF_ORACLE, "IVF coarse-quantized approximate top-k"

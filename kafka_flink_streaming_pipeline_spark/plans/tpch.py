@@ -333,7 +333,91 @@ ORDER BY l_orderkey
 """
 
 
+# --- forecast revenue (TPC-H Q6 shape; pure scan-side filter + agg) -------
+
+
+def _q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-table band filters + one global sum — every predicate is
+    parquet-pushable (shipdate range, discount band, quantity cap), so
+    at 100 TB this reads only the row groups whose min/max stats
+    overlap the bands."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").cast("decimal(18,2)") >= F.lit("0.05").cast("decimal(18,2)"))
+            & (F.col("l_discount").cast("decimal(18,2)") <= F.lit("0.07").cast("decimal(18,2)"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_TPCH_Q6_ORACLE = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+               CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN CAST('0.05' AS DECIMAL(18,2))
+                                            AND CAST('0.07' AS DECIMAL(18,2))
+  AND l_quantity < 24
+"""
+
+
+# --- order priority with EXISTS (TPC-H Q4 shape; correlated semi-join) ----
+
+
+def _q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS with a non-equi correlation (a line shipped >90 days
+    after the order date) → LEFT SEMI join with a composite condition.
+    (Classic Q4 uses commitdate/receiptdate, absent from this schema;
+    the late-shipment predicate keeps the same correlated-EXISTS
+    shape.) The semi join shuffles on o_orderkey/l_orderkey only and
+    keeps at most one probe hit per order — no fact-fact row blowup."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_TPCH_Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "tpch_q4_order_priority": QuerySpec(
+        "tpch_q4_order_priority", _q4, _TPCH_Q4_ORACLE, "correlated EXISTS → semi join (Q4)"
+    ),
+    "tpch_q6_forecast_revenue": QuerySpec(
+        "tpch_q6_forecast_revenue", _q6, _TPCH_Q6_ORACLE, "band-filter revenue scan (Q6)"
+    ),
     "tpch_q1_pricing_summary": QuerySpec(
         "tpch_q1_pricing_summary", _q1, _TPCH_Q1_ORACLE, "pricing summary (agg battery)"
     ),
