@@ -42,8 +42,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         keepers.join(quality, "doc_id")
         .filter(F.col("quality_score") >= _QUALITY_T)
         .select("doc_id", "fingerprint", "n_copies", "n_tokens", "quality_score")
-        .orderBy("doc_id")
-    )
+    )  # unsorted: curated output is corpus-sized at scale
 
 
 _CURATION_ORACLE = f"""

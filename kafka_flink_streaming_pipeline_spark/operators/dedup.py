@@ -127,8 +127,8 @@ def _jaccard_pairs(tokens: DataFrame, token_col: str, threshold: float) -> DataF
         .join(c2, "d2")
         .select("d1", "d2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
-        .orderBy("d1", "d2")
-    )
+    )  # no trailing global sort: pair output is corpus-sized at scale
+    #    and the oracle compare is order-insensitive
 
 
 def _jaccard_oracle(postings_sql: str, token_col: str, threshold: float) -> str:
@@ -161,8 +161,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.md5(normalized.cast("binary")).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
-        .orderBy("keeper_doc_id")
-    )
+    )  # unsorted: one row per unique doc — corpus-sized at scale
 
 
 DEDUP_EXACT_ORACLE = """
@@ -259,7 +258,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d1",
         "d2",
         F.round(matches.cast("double") / _N_PERM, 6).alias("est_jaccard"),
-    ).orderBy("d1", "d2")
+    )  # unsorted candidate pairs
 
 
 _N_BANDS = _N_PERM // _BAND_SIZE
@@ -334,8 +333,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "",
             ).alias("simhash")
         )
-        .orderBy("doc_id")
-    )
+    )  # unsorted per-doc signatures
 
 
 DEDUP_SIMHASH_ORACLE = f"""

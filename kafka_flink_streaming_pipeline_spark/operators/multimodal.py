@@ -104,8 +104,7 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         media_table(spark, sf_dir)
         .mapInPandas(make_decode_batches(), schema=FEATURE_SCHEMA)
-        .orderBy("doc_id")
-    )
+    )  # unsorted per-doc output
 
 
 MEDIA_FEATURES_ORACLE = """
@@ -167,8 +166,7 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         media_table(spark, sf_dir)
         .mapInPandas(make_resize_batches(), schema=RESIZE_SCHEMA)
-        .orderBy("doc_id")
-    )
+    )  # unsorted per-doc output
 
 
 MEDIA_RESIZE_ORACLE = f"""
@@ -231,8 +229,7 @@ def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         media_table(spark, sf_dir)
         .mapInPandas(make_frame_sample_batches(), schema=FRAME_SCHEMA)
-        .orderBy("doc_id", "frame_idx")
-    )
+    )  # unsorted per-frame output
 
 
 MEDIA_FRAMES_ORACLE = f"""

@@ -51,7 +51,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 200.0,
             6,
         ).alias("quality_score"),
-    ).orderBy("doc_id")
+    )  # unsorted per-doc scores (corpus-sized at scale)
 
 
 QUALITY_ORACLE = f"""
@@ -180,7 +180,7 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized = F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]", "")
     return d.select(
         "doc_id", F.md5(normalized.cast("binary")).alias("fingerprint")
-    ).orderBy("doc_id")
+    )  # unsorted per-doc fingerprints
 
 
 FINGERPRINT_ORACLE = """

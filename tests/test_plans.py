@@ -90,6 +90,27 @@ def test_topk_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_corpus_sized_outputs_have_no_global_sort(spark):
+    """Per-document outputs (dedup pairs, quality scores, multimodal
+    features, curated corpus) must not end in a presentational global
+    sort — at 100 TB that is a full range-partition shuffle of the
+    entire result. The oracle compare is order-insensitive by design."""
+    for name in [
+        "dedup_exact",
+        "dedup_word_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "text_quality_scores",
+        "text_fingerprints",
+        "multimodal_media_features",
+        "multimodal_resize",
+        "multimodal_frame_samples",
+        "curation_pipeline",
+    ]:
+        plan = _plan(spark, name)
+        assert "rangepartitioning" not in plan.lower(), f"{name} globally sorts its output"
+
+
 def test_bucketed_join_skips_shuffle(spark, tmp_path):
     """Co-located joins via bucketing (task-brief scale requirement):
     two tables bucketed on the join key must sort-merge-join with NO
