@@ -84,6 +84,87 @@ def user_features_5m(stream: DataFrame) -> DataFrame:
     )
 
 
+def global_features_stream_jobs(
+    stream: DataFrame, actives_path: str, geo_path: str, checkpoint_dir: str
+) -> list[StreamingQuery]:
+    """⊘ J5 surface, streaming-side (redis_sink copy.sql:139-162,229-231):
+    per-window exact active users and top geo, as two streaming queries
+    over the same source — exactly how the reference splits them into
+    views before joining.
+
+    - actives: chained stateful operators (streaming dedup on
+      (uuid, window) → windowed count), append mode — Spark ≥3.4
+      multi-stateful support; state for both stages evicts at the
+      watermark. This is the EXACT distinct the reference declares
+      (count(DISTINCT uuid)), not the approx fallback.
+    - top geo: per-(geo, window) counts close atomically when the
+      watermark passes the window end, so the FIRST_VALUE/rank top-1 is
+      computed per emitted batch in foreachBatch and upserted on
+      window_end — the J5/W4 foreachBatch treatment (SURVEY.md §4).
+
+    The batch `global_features_5m` plan then equals actives ⋈ geo_top
+    over the closed windows (proven in tests)."""
+    spark = stream.sparkSession
+    base = stream.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("uuid"),
+        "event_time",
+        F.window("event_time", "5 minutes").alias("w"),
+        synth_geo_from_stream().alias("geo_location"),
+    )
+    actives_q = (
+        base.dropDuplicates(["uuid", "w"])
+        .groupBy("w")
+        .agg(F.count("*").alias("active_users"))
+        .select(F.col("w.end").alias("window_end"), "active_users")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", actives_path)
+        .option("checkpointLocation", f"{checkpoint_dir}/actives")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+    def top1_upsert(df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        rnk = W.partitionBy("window_end").orderBy(
+            F.desc("total"), F.asc("geo_location")
+        )
+        top = (
+            df.withColumn("rn", F.row_number().over(rnk))
+            .filter(F.col("rn") == 1)
+            .select("window_end", F.col("geo_location").alias("top_geo"),
+                    F.col("total").alias("top_total"))
+            .withColumn("batch_seq", F.lit(batch_id).cast("long"))
+        )
+        upsert_sink(spark, geo_path, ["window_end"], "batch_seq")(top, batch_id)
+
+    geo_q = (
+        base.filter(F.col("geo_location").isNotNull())
+        .groupBy("w", "geo_location")
+        .agg(F.count("*").alias("total"))
+        .select(F.col("w.end").alias("window_end"), "geo_location", "total")
+        .writeStream.outputMode("append")
+        .foreachBatch(top1_upsert)
+        .option("checkpointLocation", f"{checkpoint_dir}/geo")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return [actives_q, geo_q]
+
+
+def synth_geo_from_stream():
+    """The enrichment geo expression over the wire columns (matches
+    plans.clickstream._enriched's synth_geo mapping for view rows)."""
+    from kafka_flink_streaming_pipeline_spark.functions import synth_geo
+
+    doc_id = F.get_json_object("props", "$.k").cast("bigint")
+    return F.when(
+        F.col("event_type") == "view",
+        synth_geo(F.col("event_type"), F.col("user_id"), doc_id),
+    )
+
+
 def feature_stream_job(stream: DataFrame, table_path: str, checkpoint: str) -> StreamingQuery:
     """FP2 end-to-end: windowed features upserted on (uuid, window_end)
     each trigger — the Redis HSET sink analogue (S4), keyed exactly like

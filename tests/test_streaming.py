@@ -121,6 +121,71 @@ def test_session_window_streaming_matches_batch(spark, tmp_path, chunks):
     assert len(streamed) > 0
 
 
+def test_global_features_streaming_matches_batch(spark, tmp_path, chunks):
+    """⊘ J5 streaming-side: the two-query split (chained dedup→count
+    actives; foreachBatch top-1 geo) must reproduce the batch
+    global-features join exactly. Two far-future 'view' sentinel chunks
+    push the watermark past every real window so all of them flush
+    under availableNow (sentinels must be of a SURVIVING event_type:
+    Catalyst pushes the click/view filter below the watermark operator,
+    so filtered-out rows never advance the watermark). The sentinels'
+    own far-future windows are excluded from the comparison."""
+    import glob
+    import shutil
+
+    from kafka_flink_streaming_pipeline_spark.plans.feature_store import (
+        global_features_5m,
+    )
+    from kafka_flink_streaming_pipeline_spark.streaming.jobs import (
+        global_features_stream_jobs,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    chunk_dir = str(tmp_path / "chunks")
+    prepare_replay_chunks(spark, events, chunk_dir, n_chunks=4)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    staging = str(tmp_path / "staging")
+    for i, days in enumerate((10, 20), start=1):
+        row = [
+            (10**12 + i, max_ts + datetime.timedelta(days=days), -1, "view", 0.0, "{}")
+        ]
+        spark.createDataFrame(row, WIRE_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        shutil.copy(
+            glob.glob(f"{staging}/part-*.parquet")[0],
+            f"{chunk_dir}/zz_sentinel_{i}.parquet",
+        )
+
+    actives_p = str(tmp_path / "actives")
+    geo_p = str(tmp_path / "geo")
+    qs = global_features_stream_jobs(
+        replay_stream(spark, chunk_dir), actives_p, geo_p, str(tmp_path / "ck")
+    )
+    for q in qs:
+        q.awaitTermination(300)
+
+    actives = spark.read.parquet(actives_p)
+    geo = spark.read.parquet(geo_p).drop("batch_seq")
+    horizon = max_ts + datetime.timedelta(minutes=10)  # excludes sentinel windows
+    streamed = {
+        (
+            r.window_end.strftime("%Y-%m-%d %H:%M:%S"),
+            r.top_geo,
+            r.top_total,
+            r.active_users,
+        )
+        for r in geo.join(actives, "window_end").collect()
+        if r.window_end <= horizon
+    }
+    batch = {
+        (r.window_end, r.top_geo, r.top_total, r.active_users)
+        for r in global_features_5m(spark, SF_SMOKE).collect()
+    }
+    assert len(streamed) > 0
+    assert streamed == batch
+
+
 def test_ingest_rate_exceeds_reference_baseline(spark, tmp_path):
     """BASELINE.md ingest target: the reference's producers sustained
     ~536 msg/s aggregate (README.md:84). The FP1 ingest path (replay →
