@@ -352,9 +352,50 @@ ORDER BY doc_id
 """
 
 
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash candidate pairing: identical 16-bit signatures bucket
+    together (hamming distance 0 — the degenerate band). At 100 TB the
+    general hamming<=k search splits the signature into k+1 bands and
+    equi-joins each, exactly the MinHash banding machinery; with this
+    16-bit toy signature one band suffices to demonstrate the join."""
+    sigs = dedup_simhash(spark, sf_dir)
+    a = sigs.select(F.col("doc_id").alias("d1"), "simhash")
+    b = sigs.select(F.col("doc_id").alias("d2"), "simhash")
+    return (
+        a.join(b, "simhash")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "simhash")
+    )  # unsorted candidate pairs
+
+
+DEDUP_SIMHASH_PAIRS_ORACLE = f"""
+WITH dw AS ({_DOC_WORDS_SQL}),
+votes AS (
+  SELECT doc_id, p.pos,
+         sum(CASE WHEN substr(md5(word), p.pos, 1) >= '8' THEN 1 ELSE -1 END) AS v
+  FROM dw CROSS JOIN (SELECT unnest(range(1, {_SIMHASH_POS + 1})) AS pos) p
+  GROUP BY doc_id, p.pos
+),
+sigs AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS simhash
+  FROM votes
+  GROUP BY doc_id
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2, a.simhash
+FROM sigs a JOIN sigs b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(
         "dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE, "fingerprint hash-groupBy"
+    ),
+    "dedup_simhash_pairs": QuerySpec(
+        "dedup_simhash_pairs",
+        dedup_simhash_pairs,
+        DEDUP_SIMHASH_PAIRS_ORACLE,
+        "simhash signature-bucket candidate pairs",
     ),
     "dedup_word_jaccard": QuerySpec(
         "dedup_word_jaccard",
