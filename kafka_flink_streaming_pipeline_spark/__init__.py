@@ -24,4 +24,24 @@ Design rules (enforced throughout):
 
 from kafka_flink_streaming_pipeline_spark.session import get_spark
 
-__all__ = ["get_spark"]
+
+def list_queries() -> list[str]:
+    """Names of every registered query/operator (SURVEY.md §2 surface +
+    training-data extensions)."""
+    from kafka_flink_streaming_pipeline_spark.plans import merged
+
+    return sorted(merged())
+
+
+def run_query(spark, name: str, sf_dir: str = "/root/testdata/sf0.001"):
+    """Build one registered query against a testdata directory; returns
+    the (lazy) DataFrame."""
+    from kafka_flink_streaming_pipeline_spark.plans import merged
+
+    specs = merged()
+    if name not in specs:
+        raise KeyError(f"unknown query {name!r}; see list_queries()")
+    return specs[name].build(spark, sf_dir)
+
+
+__all__ = ["get_spark", "list_queries", "run_query"]
