@@ -11,6 +11,13 @@ pairwise O(n^2) arrays on the driver, no Python in the row path):
                   key — the O(n) scale path for 100 TB corpora.
 - SimHash       : per-hex-position majority vote over word hashes.
 
+Algorithms are the standard public ones: MinHash resemblance sketches
+(Broder, "On the resemblance and containment of documents", 1997) with
+banded LSH candidate generation (Indyk & Motwani 1998; the banding
+scheme as popularized by Mining of Massive Datasets ch. 3), and SimHash
+(Charikar, "Similarity estimation techniques from rounding algorithms",
+STOC 2002).
+
 Hashing uses md5 hex strings in both engines (Spark `md5` and DuckDB
 `md5` produce identical lowercase hex), so minima/equality agree
 bit-for-bit and every operator is oracle-checkable.

@@ -1,6 +1,11 @@
 """Similarity search over the `embeddings` table (array<float>, 64-dim).
 
-Two plans:
+Standard public methods: sign-random-projection LSH (Charikar 2002),
+inverted-file coarse quantization (IVF — Jegou, Douze & Schmid, "Product
+quantization for nearest neighbor search", TPAMI 2011, minus the PQ
+residual codes), and exact brute force as ground truth.
+
+Plans:
 - brute-force cosine top-k: broadcast the query vectors, scan all
   candidates once, per-partition partial top-k via rank window. The
   correct-by-construction baseline; at 100 TB this is one full scan

@@ -110,6 +110,58 @@ ORDER BY window_end
 """
 
 
+# --- top-1 document per geo x window (⊘ geo_top_doc_5m — W1 rank) ---------
+
+
+def geo_top_doc_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference (C) view `geo_top_doc_5m` (redis_sink copy.sql:98-116):
+    per (geo, 5-min window) document counts → ROW_NUMBER rank → rn = 1.
+    Tiebreak on document_id makes the frontier deterministic in both
+    engines (the reference's bare `ORDER BY cnt DESC` is ambiguous)."""
+    e = _enriched(spark, sf_dir).filter(F.col("event_type") == "view")
+    counts = (
+        e.groupBy("geo_location", "document_id", _win5(e).alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "geo_location",
+            "document_id",
+            F.col("w.end").alias("win_end"),
+            "cnt",
+        )
+    )
+    w = Window.partitionBy("geo_location", "win_end").orderBy(
+        F.desc("cnt"), F.asc("document_id")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "geo_location",
+            F.date_format("win_end", TS_FMT).alias("window_end"),
+            "document_id",
+            "cnt",
+        )
+    )  # unsorted: one row per (geo, window) — fact-sized at scale
+
+
+GEO_TOP_DOC_ORACLE = f"""{_BASE5_SQL},
+counts AS (
+  SELECT geo_location, document_id, win_end, count(*) AS cnt
+  FROM base WHERE event_type = 'view'
+  GROUP BY geo_location, document_id, win_end
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY geo_location, win_end
+                               ORDER BY cnt DESC, document_id ASC) AS rn
+  FROM counts
+)
+SELECT geo_location,
+       strftime(win_end, '%Y-%m-%d %H:%M:%S') AS window_end,
+       document_id, cnt
+FROM ranked WHERE rn = 1
+"""
+
+
 # --- active users per window over UNION of streams (⊘ U1 + A6) ------------
 
 
@@ -274,6 +326,12 @@ ORDER BY key, value
 QUERIES: dict[str, QuerySpec] = {
     "fp_doc_counts_5m": QuerySpec(
         "fp_doc_counts_5m", doc_counts_5m, DOC_COUNTS_ORACLE, "per-doc 5m view counts (⊘)"
+    ),
+    "fp_geo_top_doc_5m": QuerySpec(
+        "fp_geo_top_doc_5m",
+        geo_top_doc_5m,
+        GEO_TOP_DOC_ORACLE,
+        "top-1 document per geo x 5-min window (⊘ C view, W1 rank)",
     ),
     "fp_geo_top_5m": QuerySpec(
         "fp_geo_top_5m", geo_top_5m, GEO_TOP_ORACLE, "top geo per window — FIRST_VALUE (⊘ W4)"
