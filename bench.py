@@ -44,7 +44,14 @@ HEADLINE = [
     "text_quality_scores",
     "dedup_minhash_lsh",
     "sim_topk_cosine",
+    "sim_ann_ivf",
     "multimodal_media_features",
+    "multimodal_frame_samples",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "skew_salted_join",
+    "curation_pipeline",
+    "fp_geo_top_doc_5m",
 ]
 
 

@@ -48,7 +48,7 @@ def _stateful_sessions_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="stateful_sessions_")
     chunks = os.path.join(work, "chunks")
     events = load_table(spark, sf_dir, "events")
-    prepare_replay_chunks(spark, events, chunks, n_chunks=3)
+    prepare_replay_chunks(spark, events, chunks, n_chunks=2)
 
     # Two sentinel chunks: the first advances max event time, so the
     # watermark crosses every real session's (last_ts + gap) before the
