@@ -90,6 +90,32 @@ def test_topk_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_results_invariant_to_shuffle_partitioning(spark):
+    """The determinism contract behind the oracle gate: results must be
+    bit-identical under any partitioning (decimal exact sums, fixed
+    fold orders, explicit tiebreaks). Re-run representative queries
+    with a hostile partition count and compare row sets."""
+    names = [
+        "tpch_q1_pricing_summary",   # decimal sums + averages
+        "q5_session_stats_12h",      # window functions + two-level agg
+        "dedup_minhash_lsh",         # md5 minima + band joins
+        "sim_topk_cosine",           # float fold + rank frontier
+    ]
+    specs = merged()
+    baseline = {
+        n: sorted(map(tuple, specs[n].build(spark, SF_CORRECT).collect()))
+        for n in names
+    }
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        for n in names:
+            again = sorted(map(tuple, specs[n].build(spark, SF_CORRECT).collect()))
+            assert again == baseline[n], f"{n} changed under repartitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def test_corpus_sized_outputs_have_no_global_sort(spark):
     """Per-document outputs (dedup pairs, quality scores, multimodal
     features, curated corpus) must not end in a presentational global
