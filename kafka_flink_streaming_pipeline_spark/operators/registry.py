@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from kafka_flink_streaming_pipeline_spark.operators import (
+    asof,
     curation,
     dedup,
     multimodal,
@@ -13,7 +14,7 @@ from kafka_flink_streaming_pipeline_spark.operators import (
 from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
 
 QUERIES: dict[str, QuerySpec] = {}
-for _mod in (text, dedup, similarity, multimodal, skew, curation):
+for _mod in (text, dedup, similarity, multimodal, skew, curation, asof):
     for _k, _v in _mod.QUERIES.items():
         assert _k not in QUERIES, f"duplicate operator query {_k}"
         QUERIES[_k] = _v
