@@ -51,6 +51,7 @@ HEADLINE = [
     "tpch_q6_forecast_revenue",
     "skew_salted_join",
     "curation_pipeline",
+    "asof_feature_join",
     "fp_geo_top_doc_5m",
 ]
 
