@@ -482,9 +482,49 @@ ORDER BY query_id, rank
 """
 
 
+# --- int8 quantization (the 4x memory lever for embedding stores) ---------
+
+
+def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|x| / 127,
+    q_i = trunc(x_i / scale). Truncation (not rounding) is used because
+    Spark's int cast truncates while SQL round() ties differ across
+    engines — and for storage quantization the 0.5-ulp difference is
+    immaterial. Output stays relational (array<int> + scale column), so
+    the quantized table drops straight into the same ANN plans at a
+    quarter of the shuffle width."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = (amax / F.lit(127.0)).alias("scale")
+    q = F.transform(v, lambda x: (x / (amax / F.lit(127.0))).cast("int")).alias("qvec")
+    return e.select("vec_id", scale, q).filter(F.col("scale") > 0)
+    # unsorted: one row per vector — corpus-sized at scale
+
+
+QUANTIZE_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS scale
+  FROM e
+)
+SELECT vec_id, scale,
+       list_transform(v, x -> CAST(trunc(x / scale) AS INT)) AS qvec
+FROM s
+WHERE scale > 0
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sim_topk_cosine": QuerySpec(
         "sim_topk_cosine", topk_cosine, TOPK_ORACLE, "brute-force cosine top-k"
+    ),
+    "embedding_quantize_int8": QuerySpec(
+        "embedding_quantize_int8",
+        quantize_int8,
+        QUANTIZE_ORACLE,
+        "symmetric per-vector int8 quantization",
     ),
     "sim_topk_cosine_pandas": QuerySpec(
         "sim_topk_cosine_pandas",

@@ -190,7 +190,38 @@ ORDER BY doc_id
 """
 
 
+# --- corpus vocabulary (tf / df) ------------------------------------------
+
+
+def vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with term frequency and document frequency —
+    the first pass of any tokenizer/vocab build over a training corpus.
+    One explode + one two-metric aggregation; at 100 TB the map-side
+    partial agg collapses each partition to its local vocab before the
+    shuffle, so the exchange carries |vocab| rows, not |tokens|."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    return (
+        words.groupBy("word")
+        .agg(
+            F.count("*").alias("tf"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+    )  # unsorted: vocabulary can be huge at scale
+
+
+VOCABULARY_ORACLE = f"""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+SELECT word, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM w
+GROUP BY word
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_vocabulary": QuerySpec(
+        "text_vocabulary", vocabulary, VOCABULARY_ORACLE, "corpus vocab tf/df"
+    ),
     "text_quality_scores": QuerySpec(
         "text_quality_scores", quality_scores, QUALITY_ORACLE, "per-doc quality metrics"
     ),
