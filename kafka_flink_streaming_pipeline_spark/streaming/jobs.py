@@ -165,6 +165,46 @@ def synth_geo_from_stream():
     )
 
 
+def stream_stream_attribution(
+    clicks: DataFrame, views: DataFrame, bound: str = "5 minutes"
+) -> DataFrame:
+    """Native stream-stream interval join (Flink interval-join analogue,
+    batch form in operators/interval_join.py): every view by the same
+    user within `bound` after a click. Both sides carry watermarks and
+    the join has an event-time range condition, so Spark bounds the
+    join state to the interval — state evicts as the watermark moves.
+    Inner join emits matches eagerly (no withholding), so a bounded
+    replay yields the complete batch-equal pair set."""
+    # both inputs arrive from kafka_stream/replay_stream with the 5 s
+    # watermark already attached; it follows the renamed attributes
+    # (re-applying would be a disallowed watermark redefinition)
+    c = clicks.select(
+        F.col("user_id").alias("uuid"),
+        F.col("event_id").alias("click_id"),
+        F.col("event_time").alias("click_time"),
+    )
+    v = views.select(
+        F.col("user_id").alias("v_uuid"),
+        F.col("event_id").alias("view_id"),
+        F.col("event_time").alias("view_time"),
+    )
+    return c.join(
+        v,
+        F.expr(
+            f"""uuid = v_uuid
+                AND view_time >= click_time
+                AND view_time <= click_time + INTERVAL {bound}"""
+        ),
+    ).select(
+        "uuid",
+        "click_id",
+        "view_id",
+        ((F.unix_micros("view_time") - F.unix_micros("click_time")) / 1000)
+        .cast("long")
+        .alias("lag_ms"),
+    )
+
+
 def feature_stream_job(stream: DataFrame, table_path: str, checkpoint: str) -> StreamingQuery:
     """FP2 end-to-end: windowed features upserted on (uuid, window_end)
     each trigger — the Redis HSET sink analogue (S4), keyed exactly like

@@ -186,6 +186,63 @@ def test_global_features_streaming_matches_batch(spark, tmp_path, chunks):
     assert streamed == batch
 
 
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path, chunks):
+    """Native stream-stream join with event-time range condition must
+    produce exactly the batch banded-interval-join pairs (inner join
+    emits eagerly — nothing withheld at the end of a bounded replay)."""
+    from kafka_flink_streaming_pipeline_spark.streaming.jobs import (
+        stream_stream_attribution,
+    )
+
+    # sf0.001 events are sparse — no same-user pairs inside 5 minutes —
+    # so the test uses a 24 h bound (the operator is bound-parameterized)
+    bound = "24 hours"
+    s1 = replay_stream(spark, chunks).filter(F.col("event_type") == "click")
+    s2 = replay_stream(spark, chunks).filter(F.col("event_type") == "view")
+    out = str(tmp_path / "pairs")
+    q = (
+        stream_stream_attribution(s1, s2, bound=bound)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = {
+        (r.uuid, r.click_id, r.view_id, r.lag_ms)
+        for r in spark.read.parquet(out).collect()
+    }
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("uuid"),
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("c_us"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_uuid"),
+        F.col("event_id").alias("view_id"),
+        F.unix_micros("ts").alias("v_us"),
+    )
+    bound_us = 24 * 3600 * 1_000_000
+    batch = {
+        (r.uuid, r.click_id, r.view_id, r.lag_ms)
+        for r in c.join(v, F.col("uuid") == F.col("v_uuid"))
+        .filter((F.col("v_us") >= F.col("c_us")) & (F.col("v_us") <= F.col("c_us") + bound_us))
+        .select(
+            "uuid",
+            "click_id",
+            "view_id",
+            ((F.col("v_us") - F.col("c_us")) / 1000).cast("long").alias("lag_ms"),
+        )
+        .collect()
+    }
+    assert len(streamed) > 0
+    assert streamed == batch
+
+
 def test_ingest_rate_exceeds_reference_baseline(spark, tmp_path):
     """BASELINE.md ingest target: the reference's producers sustained
     ~536 msg/s aggregate (README.md:84). The FP1 ingest path (replay →
