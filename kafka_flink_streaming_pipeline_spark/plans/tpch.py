@@ -411,7 +411,105 @@ ORDER BY o_orderpriority
 """
 
 
+# --- returned-item revenue per customer (TPC-H Q10 shape; 4-way join) -----
+
+
+def _q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem(returnflag='R') ⋈ nation, revenue
+    per customer, top-20. The two dims broadcast; the fact-fact join
+    shuffles on the order key; revenue uses the exact decimal formula.
+    Tiebreak on c_custkey pins the LIMIT frontier in both engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_TPCH_Q10_ORACLE = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+
+def _q2_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point (`spark.sql` over registered views) — the
+    same Q2 top-docs plan authored as SQL text instead of DataFrame
+    calls; Catalyst produces the identical physical plan, proving the
+    engine's surface is reachable from either API."""
+    from kafka_flink_streaming_pipeline_spark.sources.batch import register_views
+
+    register_views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        WITH enriched AS (
+          SELECT CAST(get_json_object(props, '$.k') AS BIGINT) AS document_id,
+                 ts AS event_time
+          FROM events
+        ),
+        latest AS (SELECT max(event_time) AS max_ts FROM enriched)
+        SELECT document_id, count(*) AS impressions
+        FROM enriched, latest
+        WHERE event_time >= max_ts - INTERVAL 6 HOURS
+        GROUP BY document_id
+        ORDER BY impressions DESC, document_id ASC
+        LIMIT 10
+        """
+    )
+
+
+_Q2_SQL_API_ORACLE = """
+WITH enriched AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS document_id,
+         ts AS event_time
+  FROM events
+),
+latest AS (SELECT max(event_time) AS max_ts FROM enriched)
+SELECT document_id, count(*) AS impressions
+FROM enriched, latest
+WHERE event_time >= max_ts - INTERVAL 6 HOUR
+GROUP BY document_id
+ORDER BY impressions DESC, document_id ASC
+LIMIT 10
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "tpch_q10_returned_items": QuerySpec(
+        "tpch_q10_returned_items", _q10, _TPCH_Q10_ORACLE, "returned-item revenue top-20 (Q10)"
+    ),
+    "q2_sql_api_variant": QuerySpec(
+        "q2_sql_api_variant",
+        _q2_sql_api,
+        _Q2_SQL_API_ORACLE,
+        "Q2 authored via spark.sql over registered views",
+    ),
     "tpch_q4_order_priority": QuerySpec(
         "tpch_q4_order_priority", _q4, _TPCH_Q4_ORACLE, "correlated EXISTS → semi join (Q4)"
     ),
