@@ -18,7 +18,7 @@ import argparse
 
 def main() -> None:
     p = argparse.ArgumentParser(description="streaming jobs (FP1 raw / FP2 features)")
-    p.add_argument("--job", choices=["raw", "features"], required=True)
+    p.add_argument("--job", choices=["raw", "features", "global"], required=True)
     p.add_argument("--source", choices=["file", "kafka"], default="file")
     p.add_argument("--chunks", help="watch dir (file source)")
     p.add_argument("--topic", default="events")
@@ -47,6 +47,19 @@ def main() -> None:
         stream = kafka_stream(
             spark, args.topic, WIRE_SCHEMA, brokers=args.brokers, watermark=args.watermark
         )
+    if args.job == "global":
+        from kafka_flink_streaming_pipeline_spark.streaming.jobs import (
+            global_features_stream_jobs,
+        )
+
+        qs = global_features_stream_jobs(
+            stream, f"{args.table}/actives", f"{args.table}/geo", args.checkpoint
+        )
+        for q in qs:
+            q.awaitTermination()
+        n = spark.read.parquet(f"{args.table}/actives").count()
+        print(f"global features: {n} active-user windows")
+        return
     job = raw_sink_job if args.job == "raw" else feature_stream_job
     q = job(stream, args.table, args.checkpoint)
     q.awaitTermination()
