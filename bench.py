@@ -53,6 +53,10 @@ HEADLINE = [
     "curation_pipeline",
     "asof_feature_join",
     "fp_geo_top_doc_5m",
+    "rollup_revenue_region_nation",
+    "tpch_q13_order_distribution",
+    "tpch_q18_large_orders",
+    "tpch_q19_band_revenue",
 ]
 
 

@@ -27,13 +27,14 @@ def merged() -> dict[str, QuerySpec]:
     from kafka_flink_streaming_pipeline_spark.plans import (
         clickstream,
         feature_store,
+        olap,
         preprocess,
         stateful_stream,
         tpch,
     )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (clickstream, tpch, feature_store, preprocess, stateful_stream):
+    for mod in (clickstream, tpch, olap, feature_store, preprocess, stateful_stream):
         for k, v in mod.QUERIES.items():
             assert k not in out, f"duplicate query name {k}"
             out[k] = v
