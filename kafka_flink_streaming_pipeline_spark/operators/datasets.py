@@ -1,0 +1,273 @@
+"""Dataset-assembly operators: the curation steps between "scored,
+deduped documents" and "a training mixture you can actually ship".
+
+Four operators a large-scale training-data pipeline runs after
+dedup/quality (operators/dedup.py, operators/text.py):
+
+- deterministic split assignment: train/val/test membership must be a
+  pure function of the document identity — never of row order,
+  partitioning, or a sampler's RNG state — so any job on any cluster
+  reproduces the exact same split. Implemented as md5(doc_id) bucket
+  arithmetic (engine-identical hex → int), the distributed-systems
+  version of hash-mod sharding.
+- token-count histogram: the length distribution that drives batch
+  packing and truncation decisions; integer bucket arithmetic only.
+- stratified quality cap: keep the top-N documents per language by
+  quality score — the per-group rank pattern (W1) applied to corpus
+  balancing, one shuffle on the group key.
+- connected components over the near-dup graph: pairwise similarity
+  (dedup_ngram_jaccard) gives EDGES; an actual dedup decision needs
+  COMPONENTS (A~B, B~C ⇒ keep one of {A,B,C}). Implemented as
+  iterative min-label propagation — each round is one distributed
+  join+groupBy shuffled on node id, the driver only checks the
+  converged count (no row data ever collects). Converges in
+  O(diameter) rounds; near-dup components are small cliques, so the
+  practical bound is a handful of rounds. At 100 TB scale the same
+  loop holds (each round is a shuffle on node id); if components grow
+  adversarially deep, swap the body for the large-star/small-star
+  rounds of Kiveris et al., "Connected Components in MapReduce and
+  Beyond" (SoCC 2014) — same loop skeleton, provably O(log^2 n)
+  rounds. The DuckDB oracle computes the same components with a
+  recursive transitive-closure CTE, so the distributed fixpoint is
+  checked against an independent single-node algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_flink_streaming_pipeline_spark.operators.dedup import (
+    _NGRAM_JACCARD_T,
+    _DOC_SHINGLES_SQL,
+    _doc_shingles,
+    _jaccard_pairs,
+)
+from kafka_flink_streaming_pipeline_spark.operators.text import QUALITY_ORACLE, quality_scores
+from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
+from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+# --- deterministic train/val/test split -----------------------------------
+
+_TRAIN_PCT, _VAL_PCT = 80, 10  # test gets the remainder
+
+
+def _split_bucket() -> F.Column:
+    """md5(doc_id) first 4 hex chars → int mod 100. Pure function of
+    the key: stable across engines, partitionings, and reruns."""
+    hex4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return F.conv(hex4, 16, 10).cast("int") % 100
+
+
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _split_bucket()
+    split = (
+        F.when(bucket < _TRAIN_PCT, "train")
+        .when(bucket < _TRAIN_PCT + _VAL_PCT, "val")
+        .otherwise("test")
+    )
+    n_tokens = F.regexp_count("text", F.lit(r"[a-z0-9]+"))
+    return (
+        d.select(split.alias("split"), F.col("lang"), n_tokens.alias("n_tokens"))
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("docs"), F.sum("n_tokens").alias("total_tokens"))
+        .orderBy("split", "lang")
+    )
+
+
+DATASET_SPLIT_ORACLE = f"""
+WITH t AS (
+  SELECT CASE
+           WHEN b < {_TRAIN_PCT} THEN 'train'
+           WHEN b < {_TRAIN_PCT + _VAL_PCT} THEN 'val'
+           ELSE 'test' END AS split,
+         lang,
+         length(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens
+  FROM (
+    SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS b,
+           lang, text
+    FROM documents
+  )
+)
+SELECT split, lang, count(*) AS docs, sum(n_tokens) AS total_tokens
+FROM t GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+
+# --- token-count histogram ------------------------------------------------
+
+_BUCKET = 25
+
+
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed length distribution; integer arithmetic only (n - n%w)
+    so bucket edges are exact in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.regexp_count("text", F.lit(r"[a-z0-9]+"))
+    bucket = (n_tokens - n_tokens % _BUCKET).alias("bucket_lo")
+    return (
+        d.select(bucket)
+        .groupBy("bucket_lo")
+        .agg(F.count("*").alias("docs"))
+        .orderBy("bucket_lo")
+    )
+
+
+TOKEN_HISTOGRAM_ORACLE = f"""
+WITH t AS (
+  SELECT length(regexp_extract_all(text, '[a-z0-9]+')) AS n FROM documents
+)
+SELECT n - n % {_BUCKET} AS bucket_lo, count(*) AS docs
+FROM t GROUP BY bucket_lo
+ORDER BY bucket_lo
+"""
+
+
+# --- stratified quality cap (top-N per language) --------------------------
+
+_CAP_PER_LANG = 5
+
+
+def curation_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus balancing: top-N docs per language by quality score.
+    Rank runs on the already-rounded score so the frontier is
+    deterministic (round-6 value, doc_id tiebreak) in both engines.
+    One shuffle on lang; the scored input reuses the tested
+    quality_scores plan."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    w = Window.partitionBy("lang").orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    return (
+        d.join(scored, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CAP_PER_LANG)
+        .select("lang", "rn", "doc_id", "quality_score")
+        .orderBy("lang", "rn")
+    )
+
+
+STRATIFIED_CAP_ORACLE = f"""
+WITH q AS ({QUALITY_ORACLE}),
+ranked AS (
+  SELECT d.lang, q.doc_id, q.quality_score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY q.quality_score DESC, q.doc_id ASC) AS rn
+  FROM q JOIN documents d ON q.doc_id = d.doc_id
+)
+SELECT lang, rn, doc_id, quality_score
+FROM ranked WHERE rn <= {_CAP_PER_LANG}
+ORDER BY lang, rn
+"""
+
+
+# --- connected components over the near-dup graph -------------------------
+
+_MAX_CC_ROUNDS = 20
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation to a fixpoint over ngram-jaccard edges.
+
+    Every doc starts labeled with its own id; each round every node
+    takes the min of its label and its neighbors' labels. The loop is
+    driver-orchestrated but fully distributed per round: one join
+    (labels onto edge endpoints, shuffled on node id) + one groupBy.
+    `localCheckpoint` truncates the lineage each round so the plan
+    does not grow with iteration count. The converged labeling maps
+    every doc to min(doc_id) of its component; `is_canonical` marks
+    the survivor each component keeps."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = _jaccard_pairs(
+        _doc_shingles(spark, sf_dir), "shingle", _NGRAM_JACCARD_T
+    ).select("d1", "d2")
+    edges = pairs.unionByName(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).localCheckpoint()
+
+    labels = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("label"))
+    for _ in range(_MAX_CC_ROUNDS):
+        nbr_min = (
+            edges.join(labels, edges.d2 == labels.node)
+            .groupBy(F.col("d1").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("component_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
+    )  # corpus-sized output: no global sort (oracle compare is order-insensitive)
+
+
+DEDUP_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE
+dw AS ({_DOC_SHINGLES_SQL}),
+cnt AS (SELECT doc_id, count(*) AS c FROM dw GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+  FROM dw a JOIN dw b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY d1, d2
+),
+pairs AS (
+  SELECT d1, d2 FROM common
+  JOIN cnt c1 ON c1.doc_id = d1
+  JOIN cnt c2 ON c2.doc_id = d2
+  WHERE round(CAST(common AS DOUBLE) / (c1.c + c2.c - common), 6) >= {_NGRAM_JACCARD_T}
+),
+edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2 AS d1, d1 AS d2 FROM pairs),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d1, reach.r FROM edges e JOIN reach ON reach.node = e.d2
+)
+SELECT node AS doc_id,
+       min(r) AS component_id,
+       (node = min(r)) AS is_canonical
+FROM reach GROUP BY node
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dataset_split_assign": QuerySpec(
+        "dataset_split_assign",
+        dataset_split_assign,
+        DATASET_SPLIT_ORACLE,
+        "deterministic hash-bucket train/val/test split",
+    ),
+    "token_histogram": QuerySpec(
+        "token_histogram",
+        token_histogram,
+        TOKEN_HISTOGRAM_ORACLE,
+        "bucketed token-length distribution",
+    ),
+    "curation_stratified_cap": QuerySpec(
+        "curation_stratified_cap",
+        curation_stratified_cap,
+        STRATIFIED_CAP_ORACLE,
+        "top-N per language by quality score",
+    ),
+    "dedup_components": QuerySpec(
+        "dedup_components",
+        dedup_components,
+        DEDUP_COMPONENTS_ORACLE,
+        "connected components over near-dup pairs (iterative label propagation)",
+    ),
+}

@@ -5,6 +5,7 @@ from __future__ import annotations
 from kafka_flink_streaming_pipeline_spark.operators import (
     asof,
     curation,
+    datasets,
     interval_join,
     dedup,
     multimodal,
@@ -15,7 +16,7 @@ from kafka_flink_streaming_pipeline_spark.operators import (
 from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
 
 QUERIES: dict[str, QuerySpec] = {}
-for _mod in (text, dedup, similarity, multimodal, skew, curation, asof, interval_join):
+for _mod in (text, dedup, similarity, multimodal, skew, curation, asof, interval_join, datasets):
     for _k, _v in _mod.QUERIES.items():
         assert _k not in QUERIES, f"duplicate operator query {_k}"
         QUERIES[_k] = _v
