@@ -162,6 +162,119 @@ ORDER BY lang, rn
 """
 
 
+# --- weighted mixture expansion (epochs per source) -----------------------
+
+_MIXTURE_EPOCHS = {"web": 1, "books": 3, "code": 2}  # default weight 1
+
+
+def dataset_mixture_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a weighted training mixture: each doc repeats
+    epoch-count times for its source (books 3x, code 2x, web 1x). The
+    row generator is declarative — explode(sequence(1, n)) — so it
+    runs inside whole-stage codegen with no Python and no driver loop;
+    at 100 TB this is the standard "repeat high-quality sources"
+    mixture step, and the expansion multiplies rows map-side without
+    any shuffle. Output aggregates the expanded corpus per source."""
+    d = load_table(spark, sf_dir, "documents")
+    epochs = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(n))
+            for s, n in sorted(_MIXTURE_EPOCHS.items())
+        ],
+        F.lit(1),
+    )
+    n_tokens = F.regexp_count("text", F.lit(r"[a-z0-9]+"))
+    expanded = d.select(
+        "source",
+        F.col("doc_id"),
+        n_tokens.alias("n_tokens"),
+        F.explode(F.sequence(F.lit(1), epochs)).alias("epoch"),
+    )
+    return (
+        expanded.groupBy("source")
+        .agg(
+            F.count("*").alias("expanded_docs"),
+            F.count_distinct("doc_id").alias("unique_docs"),
+            F.sum("n_tokens").alias("expanded_tokens"),
+            F.max("epoch").alias("max_epoch"),
+        )
+        .orderBy("source")
+    )
+
+
+_MIXTURE_CASE = " ".join(
+    f"WHEN '{s}' THEN {n}" for s, n in sorted(_MIXTURE_EPOCHS.items())
+)
+
+DATASET_MIXTURE_ORACLE = f"""
+WITH expanded AS (
+  SELECT source, doc_id,
+         length(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens,
+         unnest(range(1, 1 + (CASE source {_MIXTURE_CASE} ELSE 1 END))) AS epoch
+  FROM documents
+)
+SELECT source,
+       count(*) AS expanded_docs,
+       count(DISTINCT doc_id) AS unique_docs,
+       sum(n_tokens) AS expanded_tokens,
+       max(epoch) AS max_epoch
+FROM expanded GROUP BY source
+ORDER BY source
+"""
+
+
+# --- winsorization: clip at a per-group exact percentile ------------------
+
+
+def winsorize_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier clipping: cap o_totalprice at its per-priority p99.
+    The percentile aggregate produces one tiny row per group —
+    broadcast back onto the fact table (J4 pattern generalized to
+    per-group scalars), then clip and re-aggregate. Two passes over
+    the fact table but zero fact-side shuffles beyond the final
+    aggregation; the p99 frontier uses percentile_disc (an actual
+    data value) so the clip threshold is bit-identical across
+    engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    p99 = F.broadcast(
+        orders.groupBy("o_orderpriority").agg(
+            F.expr(
+                "percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice)"
+            ).alias("p99")
+        )
+    )
+    clipped = orders.join(p99, "o_orderpriority").select(
+        "o_orderpriority",
+        F.least(F.col("o_totalprice"), F.col("p99")).alias("clipped"),
+        (F.col("o_totalprice") > F.col("p99")).cast("int").alias("was_clipped"),
+    )
+    return (
+        clipped.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("clipped").cast("decimal(18,2)")).cast("double").alias("clipped_total"),
+            F.sum("was_clipped").alias("clipped_rows"),
+            F.count("*").alias("rows"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+WINSORIZE_ORACLE = """
+WITH p AS (
+  SELECT o_orderpriority, quantile_disc(o_totalprice, 0.99) AS p99
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       CAST(sum(CAST(least(o.o_totalprice, p.p99) AS DECIMAL(18,2))) AS DOUBLE)
+         AS clipped_total,
+       sum(CAST(o.o_totalprice > p.p99 AS INTEGER)) AS clipped_rows,
+       count(*) AS rows
+FROM orders o JOIN p USING (o_orderpriority)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
 # --- connected components over the near-dup graph -------------------------
 
 _MAX_CC_ROUNDS = 20
@@ -269,5 +382,17 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_components,
         DEDUP_COMPONENTS_ORACLE,
         "connected components over near-dup pairs (iterative label propagation)",
+    ),
+    "dataset_mixture_expand": QuerySpec(
+        "dataset_mixture_expand",
+        dataset_mixture_expand,
+        DATASET_MIXTURE_ORACLE,
+        "weighted mixture epochs via declarative row generator",
+    ),
+    "winsorize_order_totals": QuerySpec(
+        "winsorize_order_totals",
+        winsorize_order_totals,
+        WINSORIZE_ORACLE,
+        "per-group p99 clip via broadcast join-back",
     ),
 }

@@ -143,15 +143,20 @@ _PRIORITY_ALIASES = ["urgent", "high", "medium", "not_specified", "low"]
 
 
 def _pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """groupBy(status).pivot(priority, <declared list>).count(): the
-    declared value list matters at scale — without it Spark first runs
-    a distinct-values job over the whole fact table. One shuffle; the
-    pivot itself is map-side conditional aggregation."""
+    """Pivot cross-tab with a declared value list, lowered to map-side
+    conditional aggregation. Two pitfalls of the naive API at scale:
+    `df.pivot(col)` without values first runs a distinct-values job
+    over the whole fact table, and even WITH declared values Spark's
+    `pivot()` compiles to a double shuffle (pre-aggregate on
+    (status, priority), then a pivotfirst re-aggregate — visible in
+    `.explain`). A declared-list pivot is just N conditional counts,
+    which partial-aggregates map-side and shuffles ONCE."""
     orders = load_table(spark, sf_dir, "orders")
-    df = orders.groupBy("o_orderstatus").pivot("o_orderpriority", _PRIORITIES).count()
-    renamed = [F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(a)
-               for p, a in zip(_PRIORITIES, _PRIORITY_ALIASES)]
-    return df.select("o_orderstatus", *renamed).orderBy("o_orderstatus")
+    cells = [
+        F.count(F.when(F.col("o_orderpriority") == p, 1)).alias(a)
+        for p, a in zip(_PRIORITIES, _PRIORITY_ALIASES)
+    ]
+    return orders.groupBy("o_orderstatus").agg(*cells).orderBy("o_orderstatus")
 
 
 _PIVOT_ORDERS_ORACLE = """

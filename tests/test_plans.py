@@ -170,3 +170,71 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def _shuffles(plan: str) -> int:
+    """Count true shuffle exchanges (broadcast exchanges are not
+    shuffles of the fact side)."""
+    return len(re.findall(r"Exchange (?:hash|range|SinglePartition|rangepartitioning)", plan))
+
+
+def test_rollup_is_single_expand_pass(spark):
+    """ROLLUP must compile to ONE Expand + two-phase hash aggregate —
+    all grouping levels share a single shuffle; dims broadcast."""
+    plan = _plan(spark, "rollup_revenue_region_nation")
+    assert plan.count("Expand") == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    # one shuffle for the agg + the presentational sort only
+    assert _shuffles(plan) <= 2
+
+
+def test_pivot_is_single_shuffle_conditional_agg(spark):
+    """The declared-list pivot must lower to conditional aggregation:
+    one shuffle (plus presentation sort), no pivotfirst double
+    aggregation, no distinct-values pre-job, no join."""
+    plan = _plan(spark, "pivot_priority_by_status")
+    assert _shuffles(plan) <= 2
+    assert "pivotfirst" not in plan
+    assert "Join" not in plan
+
+
+def test_q19_broadcasts_part_and_keeps_band_or(spark):
+    """Q19 shape: `part` is tiny at any SF → broadcast; the OR-of-ANDs
+    band predicate stays a single Catalyst filter (no fact shuffle)."""
+    plan = _plan(spark, "tpch_q19_band_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q18_aggregates_before_join_back(spark):
+    """Q18 shape: the HAVING aggregate must run on lineitem FIRST and
+    its (tiny) survivor set drive the join back — never a join of raw
+    lineitem onto orders before aggregation. The executed plan shows
+    the quantity aggregate below the first join."""
+    plan = _plan(spark, "tpch_q18_large_orders")
+    agg_pos = plan.find("sum(cast(l_quantity")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    # executedPlan prints top-down: the join appears above (before) the
+    # aggregate feeding it
+    assert join_pos < agg_pos
+
+
+def test_dedup_components_converges_distributed(spark):
+    """The label-propagation loop must produce one component per
+    near-dup clique with the min doc_id as canonical, and every doc
+    exactly once — convergence is checked here at a hostile shuffle
+    partition count to prove partition-invariance of the fixpoint."""
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        rows = merged()["dedup_components"].build(spark, SF_CORRECT).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    by_doc = {r.doc_id: r for r in rows}
+    assert len(by_doc) == len(rows)  # each doc labeled exactly once
+    for r in rows:
+        assert r.component_id <= r.doc_id
+        assert r.is_canonical == (r.component_id == r.doc_id)
+        # component label is itself a member of the component
+        assert by_doc[r.component_id].component_id == r.component_id

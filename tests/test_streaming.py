@@ -371,3 +371,31 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert "10:05" in windows and "10:25" in windows
     # the 09:00 late row's window (end 09:05) must have been dropped
     assert "09:05" not in windows
+
+
+def test_streaming_dedup_exactly_once_under_redelivery(spark, tmp_path):
+    """Every event delivered TWICE through the stream; the
+    dropDuplicatesWithinWatermark job must emit each event_id exactly
+    once and match the batch distinct of the original table. Duplicate
+    copies share an event time, so chunking by time keeps each pair
+    within the watermark horizon — the redelivery pattern the state
+    bound is designed for."""
+    from kafka_flink_streaming_pipeline_spark.streaming.jobs import dedup_stream_job
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    doubled = events.unionByName(events)
+    chunk_dir = str(tmp_path / "chunks")
+    prepare_replay_chunks(spark, doubled, chunk_dir, n_chunks=6)
+
+    out = str(tmp_path / "deduped")
+    q = dedup_stream_job(
+        replay_stream(spark, chunk_dir), out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    n_events = events.count()
+    assert got.count() == n_events  # one row per original event
+    assert got.select("event_id").distinct().count() == n_events
