@@ -275,6 +275,50 @@ ORDER BY o.o_orderpriority
 """
 
 
+# --- stream-static enrichment: events x documents dimension ---------------
+
+_WIN5_US = 5 * 60 * 1_000_000
+
+
+def stream_enrich_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch formulation of the stream-static enrichment: events decode
+    their document_id from the JSON payload, join the `documents`
+    dimension (broadcast — the dim is tiny relative to the event
+    stream at any SF), and count 5-min windowed views per language.
+    `·/streaming/jobs.py::enrich_stream_job` runs the SAME plan over
+    the replayed stream (stream-static joins are stateless: the static
+    side is re-read per micro-batch, picking up dimension updates);
+    equivalence is proven in test_stream_static_enrich_matches_batch."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", F.get_json_object("props", "$.k").cast("bigint").alias("document_id")
+    )
+    docs = F.broadcast(load_table(spark, sf_dir, "documents").select("doc_id", "lang"))
+    return (
+        ev.join(docs, ev.document_id == docs.doc_id)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "lang")
+        .agg(F.count("*").alias("views"))
+        .select(
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "lang",
+            "views",
+        )
+        .orderBy("window_end", "lang")
+    )
+
+
+STREAM_ENRICH_ORACLE = f"""
+SELECT strftime(make_timestamp((epoch_us(ts) // {_WIN5_US} + 1) * {_WIN5_US}),
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       d.lang,
+       count(*) AS views
+FROM events e
+JOIN documents d
+  ON CAST(json_extract_string(e.props, '$.k') AS BIGINT) = d.doc_id
+GROUP BY window_end, d.lang
+ORDER BY window_end, d.lang
+"""
+
+
 # --- connected components over the near-dup graph -------------------------
 
 _MAX_CC_ROUNDS = 20
@@ -394,5 +438,11 @@ QUERIES: dict[str, QuerySpec] = {
         winsorize_order_totals,
         WINSORIZE_ORACLE,
         "per-group p99 clip via broadcast join-back",
+    ),
+    "stream_enrich_lang_counts": QuerySpec(
+        "stream_enrich_lang_counts",
+        stream_enrich_lang_counts,
+        STREAM_ENRICH_ORACLE,
+        "events x documents dimension enrichment, 5-min lang counts",
     ),
 }

@@ -394,9 +394,58 @@ FROM sigs a JOIN sigs b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
 """
 
 
+# --- blocked fuzzy matching (entity resolution) ---------------------------
+
+
+def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by edit distance, made scale-safe by BLOCKING:
+    candidate pairs only form within a blocking key (p_brand), so the
+    join is a hash equi-join on the block — never an all-pairs cross
+    product — and levenshtein (classic DP, identical in both engines)
+    runs codegen-side on the post-join pairs only. At 100 TB the
+    blocking key is what bounds the quadratic term: pairs per block,
+    not pairs per corpus. dist 0 (identical strings) is excluded —
+    that's `dedup_exact`'s job."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_brand").alias("p_brand"),
+            F.col("a.p_partkey").alias("k1"),
+            F.col("b.p_partkey").alias("k2"),
+            F.col("a.p_name").alias("name1"),
+            F.col("b.p_name").alias("name2"),
+            dist.alias("dist"),
+        )
+        .filter((F.col("dist") >= 1) & (F.col("dist") <= 2))
+    )  # corpus-sized pair output: no global sort
+
+
+FUZZY_MATCH_ORACLE = """
+SELECT a.p_brand, a.p_partkey AS k1, b.p_partkey AS k2,
+       a.p_name AS name1, b.p_name AS name2,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(
         "dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE, "fingerprint hash-groupBy"
+    ),
+    "fuzzy_match_part_names": QuerySpec(
+        "fuzzy_match_part_names",
+        fuzzy_match_part_names,
+        FUZZY_MATCH_ORACLE,
+        "blocked edit-distance entity resolution",
     ),
     "dedup_simhash_pairs": QuerySpec(
         "dedup_simhash_pairs",

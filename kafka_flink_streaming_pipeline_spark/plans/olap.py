@@ -521,7 +521,64 @@ ORDER BY c_nationkey
 """
 
 
+# --- set operations: INTERSECT / EXCEPT cohorts ---------------------------
+
+
+def _set_ops_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer cohort algebra across two half-years: INTERSECT and
+    EXCEPT (distinct semantics in both engines). Spark plans these as
+    aggregate + join — the distinct collapses each side BEFORE the
+    set-op join, so the shuffled key sets are already deduplicated."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def half(lo: str, hi: str) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+        ).select("o_custkey")
+
+    h1 = half("1996-01-01 00:00:00", "1996-07-01 00:00:00")
+    h2 = half("1996-07-01 00:00:00", "1997-01-01 00:00:00")
+
+    def tagged(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(F.count("*").alias("customers")).select(
+            F.lit(tag).alias("cohort"), "customers"
+        )
+
+    return (
+        tagged(h1.intersect(h2), "both")
+        .unionByName(tagged(h1.subtract(h2), "h1_only"))
+        .unionByName(tagged(h2.subtract(h1), "h2_only"))
+        .orderBy("cohort")
+    )
+
+
+_SET_OPS_ORACLE = """
+WITH h1 AS (SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'),
+     h2 AS (SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+SELECT 'both' AS cohort,
+       (SELECT count(*) FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)) AS customers
+UNION ALL
+SELECT 'h1_only',
+       (SELECT count(*) FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2))
+UNION ALL
+SELECT 'h2_only',
+       (SELECT count(*) FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1))
+ORDER BY cohort
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "set_ops_customer_cohorts": QuerySpec(
+        "set_ops_customer_cohorts",
+        _set_ops_cohorts,
+        _SET_OPS_ORACLE,
+        "INTERSECT / EXCEPT cohort algebra",
+    ),
     "rollup_revenue_region_nation": QuerySpec(
         "rollup_revenue_region_nation",
         _rollup_revenue,

@@ -253,3 +253,41 @@ def dedup_stream_job(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enrich_stream_job(
+    stream: DataFrame, static_docs: DataFrame, table_path: str, checkpoint: str
+) -> StreamingQuery:
+    """Stream-static enrichment join: the streamed events decode their
+    document_id and join the bounded `documents` dimension, then count
+    5-min windowed views per language.
+
+    Stream-static joins are STATELESS on the stream side — the static
+    DataFrame is re-read every micro-batch (so dimension updates are
+    picked up at batch granularity), and broadcasting it keeps each
+    micro-batch join shuffle-free. The windowed aggregate closes per
+    watermark; append mode emits each (window, lang) row exactly once.
+    Batch-equivalent plan: operators/datasets.py
+    stream_enrich_lang_counts."""
+    from pyspark.sql import functions as F  # noqa: F811 (jobs module style)
+
+    enriched = (
+        stream.withColumn(
+            "document_id", F.get_json_object("props", "$.k").cast("bigint")
+        )
+        .join(
+            F.broadcast(static_docs.select("doc_id", "lang")),
+            F.col("document_id") == F.col("doc_id"),
+        )
+        .groupBy(F.window("event_time", "5 minutes").alias("w"), "lang")
+        .agg(F.count("*").alias("views"))
+        .select(F.col("w.end").alias("window_end"), "lang", "views")
+    )
+    return (
+        enriched.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", table_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

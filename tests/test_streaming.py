@@ -399,3 +399,62 @@ def test_streaming_dedup_exactly_once_under_redelivery(spark, tmp_path):
     n_events = events.count()
     assert got.count() == n_events  # one row per original event
     assert got.select("event_id").distinct().count() == n_events
+
+
+def test_stream_static_enrich_matches_batch(spark, tmp_path, chunks):
+    """The stream-static enrichment job (events ⋈ documents dim,
+    5-min windowed views per language) must reproduce the batch plan
+    exactly. Sentinels carry a real document_id ({"k": 0}) so the
+    dimension join cannot drop them before they advance the watermark;
+    their own far-future windows are excluded from the comparison."""
+    import glob
+    import shutil
+
+    from kafka_flink_streaming_pipeline_spark.operators.datasets import (
+        stream_enrich_lang_counts,
+    )
+    from kafka_flink_streaming_pipeline_spark.streaming.jobs import enrich_stream_job
+
+    events = load_table(spark, SF_SMOKE, "events")
+    chunk_dir = str(tmp_path / "chunks")
+    prepare_replay_chunks(spark, events, chunk_dir, n_chunks=4)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    staging = str(tmp_path / "staging")
+    for i, days in enumerate((10, 20), start=1):
+        row = [
+            (
+                10**12 + i,
+                max_ts + datetime.timedelta(days=days),
+                -1,
+                "view",
+                0.0,
+                '{"k": 0}',
+            )
+        ]
+        spark.createDataFrame(row, WIRE_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        shutil.copy(
+            glob.glob(f"{staging}/part-*.parquet")[0],
+            f"{chunk_dir}/zz_sentinel_{i}.parquet",
+        )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "enriched")
+    q = enrich_stream_job(
+        replay_stream(spark, chunk_dir), docs, out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+
+    horizon = max_ts + datetime.timedelta(minutes=10)
+    streamed = {
+        (r.window_end.strftime("%Y-%m-%d %H:%M:%S"), r.lang, r.views)
+        for r in spark.read.parquet(out).collect()
+        if r.window_end <= horizon
+    }
+    batch = {
+        (r.window_end, r.lang, r.views)
+        for r in stream_enrich_lang_counts(spark, SF_SMOKE).collect()
+    }
+    assert len(streamed) > 0
+    assert streamed == batch
