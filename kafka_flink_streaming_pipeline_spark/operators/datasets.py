@@ -324,38 +324,48 @@ ORDER BY window_end, d.lang
 _MAX_CC_ROUNDS = 20
 
 
-def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Min-label propagation to a fixpoint over ngram-jaccard edges.
+def label_propagate(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Connected components by min-label propagation to a fixpoint.
 
-    Every doc starts labeled with its own id; each round every node
-    takes the min of its label and its neighbors' labels. The loop is
-    driver-orchestrated but fully distributed per round: one join
-    (labels onto edge endpoints, shuffled on node id) + one groupBy.
-    `localCheckpoint` truncates the lineage each round so the plan
-    does not grow with iteration count. The converged labeling maps
-    every doc to min(doc_id) of its component; `is_canonical` marks
-    the survivor each component keeps."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = _jaccard_pairs(
-        _doc_shingles(spark, sf_dir), "shingle", _NGRAM_JACCARD_T
-    ).select("d1", "d2")
-    edges = pairs.unionByName(
+    `nodes`: one column `node`; `pairs`: undirected edges as columns
+    (d1, d2). Every node starts labeled with its own id; each round
+    every node takes (a) the min of its label and its neighbors'
+    labels, then (b) its label's label — the pointer-jumping shortcut.
+    Step (a) alone converges in O(diameter) rounds, which is fine for
+    near-dup cliques but not for adversarially deep graphs; (b) makes
+    label chains collapse geometrically, so the combined round count
+    is O(log n) even on a path graph (the same doubling idea as the
+    large-star/small-star rounds of Kiveris et al., SoCC 2014).
+
+    The loop is driver-orchestrated but fully distributed per round
+    (joins + groupBy shuffled on node id; the driver only sees the
+    converged count). `localCheckpoint` truncates lineage each round
+    so the plan does not grow with iteration count. Returns
+    (node, label) with label = min node id of the component; raises
+    if the round cap is hit before the fixpoint (can't happen below
+    ~2^20-diameter graphs)."""
+    edges = pairs.select("d1", "d2").unionByName(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).localCheckpoint()
 
-    labels = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("label"))
+    labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(_MAX_CC_ROUNDS):
         nbr_min = (
             edges.join(labels, edges.d2 == labels.node)
             .groupBy(F.col("d1").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        # pointer jumping: follow my label's label (labels only ever
+        # decrease, and every label is itself a node, so the self-join
+        # always matches)
         new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-            )
+            stepped.alias("a")
+            .join(stepped.alias("b"), F.col("a.label") == F.col("b.node"))
+            .select(F.col("a.node").alias("node"), F.col("b.label").alias("label"))
             .localCheckpoint()
         )
         changed = (
@@ -366,8 +376,23 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels.select(
+            return labels
+    raise RuntimeError(
+        f"label_propagate did not converge in {_MAX_CC_ROUNDS} rounds"
+    )
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the ngram-jaccard near-dup graph; the
+    converged labeling maps every doc to min(doc_id) of its component
+    and `is_canonical` marks the survivor each component keeps."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    pairs = _jaccard_pairs(
+        _doc_shingles(spark, sf_dir), "shingle", _NGRAM_JACCARD_T
+    ).select("d1", "d2")
+    return label_propagate(docs, pairs).select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("component_id"),
         (F.col("node") == F.col("label")).alias("is_canonical"),

@@ -397,23 +397,57 @@ FROM sigs a JOIN sigs b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
 # --- blocked fuzzy matching (entity resolution) ---------------------------
 
 
+_FUZZY_SALT = 16
+_FUZZY_MAX_DIST = 2
+
+
 def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity resolution by edit distance, made scale-safe by BLOCKING:
-    candidate pairs only form within a blocking key (p_brand), so the
-    join is a hash equi-join on the block — never an all-pairs cross
-    product — and levenshtein (classic DP, identical in both engines)
-    runs codegen-side on the post-join pairs only. At 100 TB the
-    blocking key is what bounds the quadratic term: pairs per block,
-    not pairs per corpus. dist 0 (identical strings) is excluded —
-    that's `dedup_exact`'s job."""
+    """Entity resolution by edit distance, made scale-safe twice over:
+
+    - BLOCKING: candidate pairs only form within p_brand — a hash
+      equi-join on the block key, never an all-pairs cross product.
+      At 100 TB the blocking key bounds the quadratic term.
+    - SALT + CHEAP PRE-FILTER: a blocking key alone gives at most
+      |brands| join partitions (25 here) — one task per brand no
+      matter how many cores, and every within-brand pair pays the
+      levenshtein DP. Salting the join key to (brand, salt) with the
+      probe side replicated _FUZZY_SALT ways restores full-cluster
+      parallelism (pairs-per-task, not brands-per-task), and the
+      |len(a)-len(b)| <= max_dist band (a lower bound on edit
+      distance) prunes most pairs before the DP runs. Measured at
+      sf0.1: 25.6 s -> ~2 s on local[32], same result set.
+
+    levenshtein (classic DP, identical in both engines) runs
+    codegen-side on the surviving pairs only. dist 0 (identical
+    strings) is excluded — that's `dedup_exact`'s job. The oracle is
+    salt-free SQL: salting must never change the answer."""
+    n_parts = spark.sparkContext.defaultParallelism
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
-    a, b = p.alias("a"), p.alias("b")
+    # explicit numPartitions pins the shuffle width: AQE coalesces
+    # joins by shuffle BYTES, and this stage is CPU-bound (the DP), so
+    # byte-based coalescing would serialize it onto one task
+    a = (
+        p.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_FUZZY_SALT - 1))))
+        .repartition(n_parts, "p_brand", "salt")
+        .alias("a")
+    )
+    b = (
+        p.withColumn("salt", F.pmod("p_partkey", F.lit(_FUZZY_SALT)))
+        .repartition(n_parts, "p_brand", "salt")
+        .alias("b")
+    )
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    len_band = (
+        F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name")))
+        <= _FUZZY_MAX_DIST
+    )
     return (
         a.join(
             b,
             (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & len_band,
         )
         .select(
             F.col("a.p_brand").alias("p_brand"),
@@ -423,17 +457,17 @@ def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.p_name").alias("name2"),
             dist.alias("dist"),
         )
-        .filter((F.col("dist") >= 1) & (F.col("dist") <= 2))
+        .filter((F.col("dist") >= 1) & (F.col("dist") <= _FUZZY_MAX_DIST))
     )  # corpus-sized pair output: no global sort
 
 
-FUZZY_MATCH_ORACLE = """
+FUZZY_MATCH_ORACLE = f"""
 SELECT a.p_brand, a.p_partkey AS k1, b.p_partkey AS k2,
        a.p_name AS name1, b.p_name AS name2,
        levenshtein(a.p_name, b.p_name) AS dist
 FROM part a JOIN part b
   ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {_FUZZY_MAX_DIST}
 """
 
 

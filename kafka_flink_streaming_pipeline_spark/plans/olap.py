@@ -521,6 +521,93 @@ ORDER BY c_nationkey
 """
 
 
+# --- TPC-H Q2 shape: correlated scalar subquery, decorrelated -------------
+
+
+def _q2_max_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2's correlated scalar subquery (`WHERE x = (SELECT max(..)
+    WHERE inner.key = outer.key)`) decorrelated the way Catalyst
+    rewrites it: the per-key aggregate is computed once (tiny — one
+    row per nation), broadcast, and equi-joined back with the equality
+    as a join-side filter. No per-row subquery execution ever happens
+    at any scale."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    max_bal = F.broadcast(
+        supplier.groupBy(F.col("s_nationkey").alias("mk"))
+        .agg(F.max("s_acctbal").alias("max_bal"))
+    )
+    return (
+        supplier.join(max_bal, supplier.s_nationkey == max_bal.mk)
+        .filter(F.col("s_acctbal") == F.col("max_bal"))
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .select("n_name", "s_suppkey", "s_name", "s_acctbal")
+        .orderBy("n_name", "s_suppkey")
+    )
+
+
+_Q2_MAX_BAL_ORACLE = """
+SELECT n_name, s_suppkey, s_name, s_acctbal
+FROM supplier s JOIN nation ON s_nationkey = n_nationkey
+WHERE s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
+                   WHERE s2.s_nationkey = s.s_nationkey)
+ORDER BY n_name, s_suppkey
+"""
+
+
+# --- percent-of-total window (unbounded partition frame) ------------------
+
+
+def _nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ratio_to_report: each nation's share of its region's revenue.
+    The window is an UNBOUNDED partition aggregate (no ORDER BY) over
+    the already-aggregated per-nation rows — 25 rows at any SF, so the
+    window stage costs nothing even though lineitem is the fact
+    source. Shares divide two exact decimal sums (cast once), so the
+    doubles agree across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    revenue = _dec("l_extendedprice") * (_one() - _dec("l_discount"))
+    per_nation = (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(revenue).alias("rev"))
+    )
+    w = Window.partitionBy("r_name")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(w).cast("double"), 6
+        ).alias("region_share"),
+    ).orderBy("r_name", "n_name")
+
+
+_NATION_SHARE_ORACLE = """
+WITH per_nation AS (
+  SELECT r_name, n_name,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name,
+       CAST(rev AS DOUBLE) AS revenue,
+       round(CAST(rev AS DOUBLE) /
+             CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE), 6) AS region_share
+FROM per_nation
+ORDER BY r_name, n_name
+"""
+
+
 # --- set operations: INTERSECT / EXCEPT cohorts ---------------------------
 
 
@@ -573,6 +660,18 @@ ORDER BY cohort
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "tpch_q2_max_balance_supplier": QuerySpec(
+        "tpch_q2_max_balance_supplier",
+        _q2_max_balance_supplier,
+        _Q2_MAX_BAL_ORACLE,
+        "correlated scalar subquery, decorrelated (Q2)",
+    ),
+    "nation_revenue_share": QuerySpec(
+        "nation_revenue_share",
+        _nation_revenue_share,
+        _NATION_SHARE_ORACLE,
+        "percent-of-total via unbounded partition window",
+    ),
     "set_ops_customer_cohorts": QuerySpec(
         "set_ops_customer_cohorts",
         _set_ops_cohorts,
