@@ -57,6 +57,11 @@ HEADLINE = [
     "tpch_q13_order_distribution",
     "tpch_q18_large_orders",
     "tpch_q19_band_revenue",
+    "fuzzy_match_part_names",
+    "dedup_components",
+    "stream_enrich_lang_counts",
+    "winsorize_order_totals",
+    "dataset_split_assign",
 ]
 
 
