@@ -238,3 +238,20 @@ def test_dedup_components_converges_distributed(spark):
         assert r.is_canonical == (r.component_id == r.doc_id)
         # component label is itself a member of the component
         assert by_doc[r.component_id].component_id == r.component_id
+
+
+def test_enrichment_dim_join_broadcasts(spark):
+    """Stream-static enrichment (batch formulation): the documents
+    dimension must broadcast — shuffling the event stream to join a
+    tiny dim would dominate cost at scale."""
+    plan = _plan(spark, "stream_enrich_lang_counts")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_decorrelated_scalar_subquery_broadcasts(spark):
+    """Q2 shape: the per-nation max aggregate is tiny at any SF and
+    must broadcast back; no sort-merge join anywhere in the plan."""
+    plan = _plan(spark, "tpch_q2_max_balance_supplier")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
