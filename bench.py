@@ -62,6 +62,11 @@ HEADLINE = [
     "stream_enrich_lang_counts",
     "winsorize_order_totals",
     "dataset_split_assign",
+    "tpch_q7_volume_shipping",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q21_waiting_orders",
 ]
 
 
@@ -85,9 +90,14 @@ def main() -> None:
     for t in ("events", "lineitem"):
         load_table(spark, sf_dir, t).count()
 
+    # scaling runs may exclude known-quadratic entries (e.g.
+    # SPARK_GRAFT_BENCH_SKIP=fuzzy_match_part_names at 100x, where the
+    # within-block pair count is the measured wall — see PERF.md);
+    # the driver's default run sets nothing and measures everything
+    skip = set(filter(None, os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",")))
     per_query: dict[str, float] = {}
     for name in HEADLINE:
-        if name not in plans:
+        if name not in plans or name in skip:
             continue
         warm = plans[name].build(spark, sf_dir).count()
         spark.catalog.clearCache()

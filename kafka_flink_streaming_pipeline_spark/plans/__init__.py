@@ -31,10 +31,11 @@ def merged() -> dict[str, QuerySpec]:
         preprocess,
         stateful_stream,
         tpch,
+        tpch_deep,
     )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (clickstream, tpch, olap, feature_store, preprocess, stateful_stream):
+    for mod in (clickstream, tpch, tpch_deep, olap, feature_store, preprocess, stateful_stream):
         for k, v in mod.QUERIES.items():
             assert k not in out, f"duplicate query name {k}"
             out[k] = v

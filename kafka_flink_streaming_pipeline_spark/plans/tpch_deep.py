@@ -1,0 +1,584 @@
+"""Completion of the 22-query TPC-H battery, adapted to the driver schema.
+
+The testdata star schema has no ``partsupp`` table and no
+``l_commitdate``/``l_receiptdate`` columns, so the nine queries that
+depend on them (Q7–Q9, Q11, Q15–Q17, Q20, Q21) are re-expressed here
+with the same *plan shape* — the operator composition the query is
+famous for — over the columns that exist. Each docstring states the
+adaptation. Together with plans/tpch.py and plans/olap.py this covers
+all 22 TPC-H query shapes (SURVEY.md §2.3/§2.4 operator battery at
+multi-table scale).
+
+Scale design (what survives a 1000-executor 100 TB run):
+- nation/region/supplier and every decorrelated per-key aggregate are
+  broadcast — the fact side never shuffles for them;
+- correlated subqueries are decorrelated EXPLICITLY (group-by +
+  broadcast join-back for Q17, scalar cross-join broadcast for
+  Q11/Q15) — the same rewrite Catalyst applies, made visible and
+  pinned by tests;
+- Q21's triple self-reference of lineitem reuses ONE shuffle
+  partitioning on l_orderkey for the semi and anti joins;
+- all money math is DECIMAL(18,2) before summation: exact sums make
+  the distributed result bit-identical to the single-threaded oracle
+  regardless of partitioning (doubles appear only after one final
+  cast/division).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
+from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+_ONE = F.lit(1).cast("decimal(18,2)")
+
+
+# --- Q7: volume shipping between two nations ------------------------------
+
+
+def _q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral supplier→customer nation revenue by ship year.
+
+    Classic Q7 shape: fact table joined to BOTH role-playing copies of
+    the nation dimension (supplier side and customer side) with a
+    disjunctive cross-pair predicate, then grouped by the pair + year.
+    Both nation copies broadcast; lineitem⋈orders is the only shuffle.
+    """
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    volume = _dec("l_extendedprice") * (_ONE - _dec("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(volume).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q7_ORACLE = """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem, orders, supplier, customer, nation n1, nation n2
+WHERE l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND o_custkey = c_custkey
+  AND s_nationkey = n1.n_nationkey
+  AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# --- Q8: national market share --------------------------------------------
+
+
+def _q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_5's share of ECONOMY-part revenue sold into region 1.
+
+    Classic Q8 shape: 6-way join, then a conditional-aggregate ratio
+    per year (sum(CASE)/sum). Both sums are exact decimals cast to
+    double once, divided once — engine-identical.
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n_c = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1).select(
+        F.col("n_nationkey").alias("c_nkey")
+    )
+    n_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    volume = _dec("l_extendedprice") * (_ONE - _dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("s_nkey"))
+        .withColumn("volume", volume)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(zero)
+                ).cast("double")
+                / F.sum("volume").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q8_ORACLE = """
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(sum(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) *
+         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem, part, orders, customer, supplier, nation n1, nation n2
+  WHERE l_partkey = p_partkey
+    AND l_orderkey = o_orderkey
+    AND o_custkey = c_custkey
+    AND l_suppkey = s_suppkey
+    AND c_nationkey = n1.n_nationkey
+    AND n1.n_regionkey = 1
+    AND s_nationkey = n2.n_nationkey
+    AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+# --- Q9: product-type profit ----------------------------------------------
+
+
+def _q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit by supplier nation and order year for '%gear%' parts.
+
+    Adaptation: no partsupp, so unit cost is p_retailprice (exact
+    2-decimal) instead of ps_supplycost. The Q9 shape is intact:
+    LIKE-filtered part dim, 4-way join, amount expression mixing
+    columns of three tables, group by (nation, year) with year DESC.
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n_nkey"), F.col("n_name").alias("nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    amount = _dec("l_extendedprice") * (_ONE - _dec("l_discount")) - _dec(
+        "p_retailprice"
+    ) * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+_Q9_ORACLE = """
+SELECT n_name AS nation,
+       year(o_orderdate) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                - CAST(p_retailprice AS DECIMAL(18,2)) *
+                  CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+FROM lineitem, part, supplier, nation, orders
+WHERE l_partkey = p_partkey
+  AND l_suppkey = s_suppkey
+  AND s_nationkey = n_nationkey
+  AND l_orderkey = o_orderkey
+  AND p_name LIKE '%gear%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation ASC, o_year DESC
+"""
+
+
+# --- Q11: important stock (global-scalar HAVING) --------------------------
+
+
+def _q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose NATION_3-supplied value exceeds 0.1% of the total.
+
+    Adaptation: value is shipped lineitem value instead of
+    partsupp availqty·supplycost. The Q11 shape is the point: a
+    grouped aggregate filtered against a SCALAR subquery over the same
+    relation — decorrelated to a broadcast 1-row cross join instead of
+    a second scan-and-shuffle. The threshold comparison is done in
+    double (IEEE-identical in both engines).
+    """
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    li = load_table(spark, sf_dir, "lineitem")
+    value = _dec("l_extendedprice") * _dec("l_quantity")
+    grouped = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(value).alias("value_dec"))
+    )
+    total = grouped.agg(F.sum("value_dec").cast("double").alias("total"))
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec").cast("double") > F.col("total") * 0.001)
+        .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+_Q11_ORACLE = """
+WITH grouped AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             CAST(l_quantity AS DECIMAL(18,2))) AS value_dec
+  FROM lineitem, supplier, nation
+  WHERE l_suppkey = s_suppkey
+    AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+FROM grouped
+WHERE CAST(value_dec AS DOUBLE) >
+      (SELECT CAST(sum(value_dec) AS DOUBLE) FROM grouped) * 0.001
+ORDER BY part_value DESC, l_partkey ASC
+"""
+
+
+# --- Q15: top supplier (scalar max join-back) -----------------------------
+
+
+def _q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum Q1-1996 revenue.
+
+    Classic Q15: a revenue view referenced twice — once grouped, once
+    for its MAX — joined back on equality. The MAX is a broadcast
+    1-row aggregate; equality is tested on the EXACT decimal sum (not
+    a double), so ties are engine-identical by construction.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_dec("l_extendedprice") * (_ONE - _dec("l_discount"))).alias("rev_dec"))
+    )
+    max_rev = revenue.agg(F.max("rev_dec").alias("max_rev"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("rev_dec") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("rev_dec").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+_Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+FROM revenue, supplier
+WHERE supplier_no = s_suppkey
+  AND rev_dec = (SELECT max(rev_dec) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# --- Q16: supplier count by part attributes (NOT IN anti join) ------------
+
+
+def _q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct supplier count per (brand, type, size) with exclusions.
+
+    Adaptation: supplier-part pairs come from lineitem (no partsupp);
+    the 'customer complaints' NOT IN subquery becomes suppliers with
+    negative account balance. Shape intact: dimension-attribute
+    exclusion filters + NOT IN → broadcast anti join + COUNT(DISTINCT)
+    over a deduplicated pair stream.
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 5, 9, 14, 19, 23))
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#3'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 5, 9, 14, 19, 23)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --- Q17: small-quantity-order revenue (correlated avg, decorrelated) -----
+
+
+def _q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average yearly revenue lost to sub-half-average-quantity orders.
+
+    Classic Q17: per-part correlated AVG subquery. Decorrelated to a
+    grouped aggregate joined BACK to the fact rows — and because the
+    filter is Brand#4 only, the per-part aggregate is tiny and
+    broadcast: the fact side is never shuffled. avg is computed as
+    exact-decimal-sum / count in both engines; 0.5· is exact in
+    binary, so the comparison is engine-identical.
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4").select(
+        "p_partkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_li = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    per_part = (
+        brand_li.groupBy(F.col("l_partkey").alias("agg_partkey"))
+        .agg(
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty")
+        )
+    )
+    return (
+        brand_li.join(F.broadcast(per_part), F.col("l_partkey") == F.col("agg_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg((F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"))
+    )
+
+
+_Q17_ORACLE = """
+WITH brand_li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem, part
+  WHERE p_partkey = l_partkey AND p_brand = 'Brand#4'
+),
+per_part AS (
+  SELECT l_partkey AS agg_partkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+  FROM brand_li
+  GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM brand_li, per_part
+WHERE l_partkey = agg_partkey
+  AND l_quantity < 0.5 * avg_qty
+"""
+
+
+# --- Q20: potential part promotion (nested-IN semi-join chain) ------------
+
+
+def _q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers in NATION_11 who shipped >50 units of a 'small%' part in 1996.
+
+    Classic Q20 is a chain of nested INs (supplier ⊇ partsupp ⊇ part,
+    quantity threshold from a correlated lineitem sum). Adapted to the
+    lineitem-only schema: per-(supplier, part) 1996 shipped quantity,
+    HAVING over the exact decimal sum, then DISTINCT suppliers →
+    broadcast SEMI join against supplier⋈nation. No fact-side data
+    ever leaves the aggregate — the semi join probes with keys only.
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select(
+        "p_partkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > F.lit(50).cast("decimal(18,2)"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_11")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(heavy), supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_name", F.col("s_acctbal").alias("acctbal"))
+        .orderBy("s_name")
+    )
+
+
+_Q20_ORACLE = """
+SELECT s_name, s_acctbal AS acctbal
+FROM supplier, nation
+WHERE s_nationkey = n_nationkey
+  AND n_name = 'NATION_11'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND p_name LIKE 'small%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > CAST(50 AS DECIMAL(18,2))
+  )
+ORDER BY s_name
+"""
+
+
+# --- Q21: suppliers who kept orders waiting (EXISTS + NOT EXISTS) ---------
+
+
+def _q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sole-returned-supplier count per supplier over finished orders.
+
+    Adaptation: with no commit/receipt dates, 'the supplier who failed'
+    becomes 'the only supplier whose line was returned (l_returnflag =
+    R)'. The famous Q21 shape is intact: base relation l1, EXISTS a
+    different-supplier line l2 in the same order (semi join with
+    inequality residual), NOT EXISTS a different-supplier RETURNED
+    line l3 (anti join with residual), then count per supplier with a
+    tiebroken top-k. All three legs repartition on l_orderkey once —
+    the semi/anti probes reuse the same key, and the supplier/orders
+    dims broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders_f = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .drop("o_orderkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3_key")
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2_key")) & (F.col("l_suppkey") != F.col("s2_key")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3_key")) & (F.col("l_suppkey") != F.col("s3_key")),
+            "left_anti",
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+_Q21_ORACLE = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1, orders, supplier
+WHERE l1.l_orderkey = o_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND l1.l_suppkey = s_suppkey
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "tpch_q7_volume_shipping": QuerySpec(
+        "tpch_q7_volume_shipping", _q7, _Q7_ORACLE, "bilateral nation-pair revenue (Q7)"
+    ),
+    "tpch_q8_market_share": QuerySpec(
+        "tpch_q8_market_share", _q8, _Q8_ORACLE, "conditional-agg revenue ratio (Q8)"
+    ),
+    "tpch_q9_product_profit": QuerySpec(
+        "tpch_q9_product_profit", _q9, _Q9_ORACLE, "LIKE-dim profit rollup (Q9)"
+    ),
+    "tpch_q11_important_stock": QuerySpec(
+        "tpch_q11_important_stock", _q11, _Q11_ORACLE, "global-scalar HAVING (Q11)"
+    ),
+    "tpch_q15_top_supplier": QuerySpec(
+        "tpch_q15_top_supplier", _q15, _Q15_ORACLE, "scalar-max join-back (Q15)"
+    ),
+    "tpch_q16_parts_supplier_cnt": QuerySpec(
+        "tpch_q16_parts_supplier_cnt", _q16, _Q16_ORACLE, "NOT IN anti + count distinct (Q16)"
+    ),
+    "tpch_q17_small_qty_revenue": QuerySpec(
+        "tpch_q17_small_qty_revenue", _q17, _Q17_ORACLE, "decorrelated per-key AVG (Q17)"
+    ),
+    "tpch_q20_part_promotion": QuerySpec(
+        "tpch_q20_part_promotion", _q20, _Q20_ORACLE, "nested-IN semi-join chain (Q20)"
+    ),
+    "tpch_q21_waiting_orders": QuerySpec(
+        "tpch_q21_waiting_orders", _q21, _Q21_ORACLE, "EXISTS + NOT EXISTS self-joins (Q21)"
+    ),
+}
