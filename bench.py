@@ -67,6 +67,11 @@ HEADLINE = [
     "tpch_q11_important_stock",
     "tpch_q17_small_qty_revenue",
     "tpch_q21_waiting_orders",
+    "doc_chunk_overlap",
+    "rolling_revenue_30d",
+    "grouping_sets_revenue",
+    "fp_hop_active_users_10m_5m",
+    "embedding_l2_normalize",
 ]
 
 

@@ -1,0 +1,218 @@
+"""Corpus-preparation operators for a training-data pipeline.
+
+Chunking, PII redaction, deterministic sampling and embedding
+normalization — the row-transforming stages that sit between raw
+ingest and dataset assembly (operators/datasets.py). Everything here
+is pure Catalyst expressions (generators, regex, higher-order array
+functions): zero Python UDFs, so the operators run JVM-side inside
+whole-stage codegen and scale linearly with input splits.
+
+Scale notes:
+- chunking is a generator (explode of a sequence) — output rows never
+  pass through the driver and never shuffle: chunks are written where
+  they are produced. At 100 TB the 1→N expansion multiplies bytes, so
+  the chunker must not be followed by a global sort (guarded repo-wide
+  by test_corpus_sized_outputs_have_no_global_sort).
+- redaction/sampling are stateless row maps: they pipeline into the
+  scan with no exchange at any scale.
+- the deterministic hash sample replaces rand()-based sampling, whose
+  output changes with partitioning and retries — on a 1000-executor
+  run with task retries, rand() sampling is NOT exactly-once; a pure
+  key hash is.
+- l2-normalization uses transform/aggregate higher-order functions:
+  the 64-float arrays stay packed in Tungsten UnsafeArrayData, no
+  per-element row explosion. The fold is left-to-right, which makes
+  the double sum deterministic and engine-identical (cf. the
+  fold-order-exact pandas scorer in operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
+from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+# --- overlapping document chunking ----------------------------------------
+
+_CHUNK_LEN = 200
+_CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping character windows per document.
+
+    The context-window chunker every LLM data pipeline needs: doc →
+    ceil(n_chars / stride) chunks of ≤200 chars, 50-char overlap so no
+    span is split across a boundary without a copy that contains it.
+    explode(sequence(...)) is a Catalyst generator: the expansion is
+    computed inline per input split.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(0, CAST(n_chars - 1 AS INT), {_CHUNK_STRIDE})")
+            ).alias("off"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.expr(f"off div {_CHUNK_STRIDE}").alias("chunk_id"),
+            F.expr(f"substring(text, off + 1, {_CHUNK_LEN})").alias("chunk"),
+            F.expr(f"length(substring(text, off + 1, {_CHUNK_LEN}))").alias("chunk_len"),
+        )
+    )
+
+
+DOC_CHUNK_ORACLE = f"""
+WITH offs AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, CAST(n_chars - 1 AS BIGINT), {_CHUNK_STRIDE})) AS off
+  FROM documents
+)
+SELECT doc_id,
+       off // {_CHUNK_STRIDE} AS chunk_id,
+       substr(text, CAST(off + 1 AS INT), {_CHUNK_LEN}) AS chunk,
+       length(substr(text, CAST(off + 1 AS INT), {_CHUNK_LEN})) AS chunk_len
+FROM offs
+"""
+
+
+# --- PII-style redaction ---------------------------------------------------
+
+_REDACT_RE = "[0-9]{2,}"  # multi-digit runs (ids, counters) — same dialect in RE2/Java
+
+
+def pii_redact_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact digit runs from the event payload, keeping a match count.
+
+    Stand-in for PII scrubbing (emails/phones/ids): a stateless
+    regexp_replace over the payload column. The regex is restricted to
+    syntax with identical semantics in Java regex (Spark) and RE2
+    (DuckDB), and the replacement count is carried so downstream
+    auditing can sample high-redaction rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.regexp_replace("props", _REDACT_RE, "<NUM>").alias("props_redacted"),
+        F.regexp_count("props", F.lit(_REDACT_RE)).alias("n_redacted"),
+    )
+
+
+PII_REDACT_ORACLE = f"""
+SELECT event_id,
+       regexp_replace(props, '{_REDACT_RE}', '<NUM>', 'g') AS props_redacted,
+       length(regexp_extract_all(props, '{_REDACT_RE}')) AS n_redacted
+FROM events
+"""
+
+
+# --- deterministic Bernoulli sample ---------------------------------------
+
+_SAMPLE_PCT = 10
+
+
+def sample_orders_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample of orders by key hash.
+
+    md5(o_orderkey) first 4 hex chars mod 100 < 10 — a pure function
+    of the key (same idiom as the train/val/test splitter in
+    operators/datasets.py), so the sample is reproducible across
+    engines, partitionings, task retries and reruns, unlike
+    df.sample(), which is none of those under retry.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    ) % 100
+    return o.filter(bucket < _SAMPLE_PCT).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+    )
+
+
+SAMPLE_ORDERS_ORACLE = f"""
+SELECT o_orderkey, o_custkey,
+       o_totalprice AS totalprice,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM orders
+WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)) AS INTEGER) % 100
+      < {_SAMPLE_PCT}
+"""
+
+
+# --- embedding L2 normalization -------------------------------------------
+
+
+def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalize embeddings with higher-order array functions.
+
+    transform → cast each float to double; aggregate → left-to-right
+    fold of the squared sum (deterministic order ⇒ bit-identical to
+    the single-threaded oracle); transform again → divide through by
+    the norm. The arrays never unpack into rows.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(F.col("sq"))
+    return (
+        e.select("vec_id", "embedding", sq_sum.alias("sq"))
+        .select(
+            "vec_id",
+            norm.alias("l2_norm"),
+            F.transform("embedding", lambda x: x.cast("double") / norm).alias("unit_vec"),
+        )
+    )
+
+
+EMBED_L2_ORACLE = """
+WITH sq AS (
+  SELECT vec_id, embedding,
+         list_reduce(
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           (a, b) -> a + b) AS sqsum
+  FROM embeddings
+)
+SELECT vec_id,
+       sqrt(sqsum) AS l2_norm,
+       list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(sqsum)) AS unit_vec
+FROM sq
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "doc_chunk_overlap": QuerySpec(
+        "doc_chunk_overlap",
+        doc_chunk_overlap,
+        DOC_CHUNK_ORACLE,
+        "overlapping char-window chunker (explode generator)",
+    ),
+    "pii_redact_props": QuerySpec(
+        "pii_redact_props",
+        pii_redact_props,
+        PII_REDACT_ORACLE,
+        "regex redaction with match counts",
+    ),
+    "sample_orders_hash": QuerySpec(
+        "sample_orders_hash",
+        sample_orders_hash,
+        SAMPLE_ORDERS_ORACLE,
+        "deterministic key-hash Bernoulli sample",
+    ),
+    "embedding_l2_normalize": QuerySpec(
+        "embedding_l2_normalize",
+        embedding_l2_normalize,
+        EMBED_L2_ORACLE,
+        "higher-order-function unit normalization",
+    ),
+}

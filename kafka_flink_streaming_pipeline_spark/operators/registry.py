@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from kafka_flink_streaming_pipeline_spark.operators import (
     asof,
+    corpus,
     curation,
     datasets,
     interval_join,
@@ -16,7 +17,7 @@ from kafka_flink_streaming_pipeline_spark.operators import (
 from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
 
 QUERIES: dict[str, QuerySpec] = {}
-for _mod in (text, dedup, similarity, multimodal, skew, curation, asof, interval_join, datasets):
+for _mod in (text, dedup, similarity, multimodal, skew, curation, asof, interval_join, datasets, corpus):
     for _k, _v in _mod.QUERIES.items():
         assert _k not in QUERIES, f"duplicate operator query {_k}"
         QUERIES[_k] = _v

@@ -323,7 +323,48 @@ ORDER BY key, value
 """
 
 
+# --- sliding (HOP) window: 10-min span every 5 min ------------------------
+
+
+def hop_active_users_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active users per 10-minute window sliding every 5 minutes.
+
+    The Flink HOP window (SURVEY.md §2.9 T2 family covers tumbling;
+    this is the sliding variant). Spark's `window(ts, '10 minutes',
+    '5 minutes')` assigns each row to size/slide = 2 windows via a
+    generator BEFORE the aggregation — the expansion happens map-side
+    and partial aggregation still applies, so the shuffle carries
+    (window, uuid) pairs, not duplicated raw rows. Same plan shape a
+    1000-executor run wants: expand → partial agg → one shuffle.
+    """
+    e = _enriched(spark, sf_dir)
+    return (
+        e.groupBy(F.window("event_time", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count_distinct("uuid").alias("active_users"))
+        .select(F.date_format("w.end", TS_FMT).alias("window_end"), "active_users")
+        .orderBy("window_end")
+    )
+
+
+HOP_ACTIVE_USERS_ORACLE = f"""{_BASE5_SQL}
+SELECT strftime(win_end2, '%Y-%m-%d %H:%M:%S') AS window_end,
+       count(DISTINCT uuid) AS active_users
+FROM (
+  SELECT uuid, win_end + k * (INTERVAL 5 MINUTE) AS win_end2
+  FROM base, (VALUES (0), (1)) t(k)
+) hopped
+GROUP BY win_end2
+ORDER BY window_end
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "fp_hop_active_users_10m_5m": QuerySpec(
+        "fp_hop_active_users_10m_5m",
+        hop_active_users_10m_5m,
+        HOP_ACTIVE_USERS_ORACLE,
+        "sliding HOP window distinct count (10m span / 5m slide)",
+    ),
     "fp_doc_counts_5m": QuerySpec(
         "fp_doc_counts_5m", doc_counts_5m, DOC_COUNTS_ORACLE, "per-doc 5m view counts (⊘)"
     ),

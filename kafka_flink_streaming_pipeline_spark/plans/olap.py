@@ -659,7 +659,114 @@ ORDER BY cohort
 """
 
 
+# --- GROUPING SETS (arbitrary level combinations) -------------------------
+
+
+def _grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue at three hand-picked aggregation levels in ONE pass.
+
+    ROLLUP/CUBE cover the lattice's standard walks; GROUPING SETS picks
+    arbitrary members — here (region, nation), (nation), and the grand
+    total, i.e. the region-only level is deliberately skipped. Spark
+    compiles the declared sets to the same single Expand + two-phase
+    aggregate as rollup: one shuffle regardless of how many sets are
+    listed. Authored via spark.sql because GROUPING SETS has no
+    DataFrame-API equivalent (SURVEY.md §2.4 A3 family).
+    """
+    from kafka_flink_streaming_pipeline_spark.sources.batch import register_views
+
+    register_views(spark, sf_dir, "region", "nation", "customer", "orders")
+    return spark.sql(
+        """
+        SELECT coalesce(r_name, 'ALL') AS region,
+               coalesce(n_name, 'ALL') AS nation,
+               grouping(r_name) AS g_region,
+               grouping(n_name) AS g_nation,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               count(*) AS orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name, n_name), (n_name), ())
+        ORDER BY g_region, g_nation, region, nation
+        """
+    )
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       grouping(r_name) AS g_region,
+       grouping(n_name) AS g_nation,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name, n_name), (n_name), ())
+ORDER BY g_region, g_nation, region, nation
+"""
+
+
+# --- time-RANGE window frame (rolling 30-day revenue) ---------------------
+
+_ROLL_SECS = 30 * 86400
+
+
+def _rolling_revenue_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer rolling 30-day order total via a RANGE frame.
+
+    The time-based sliding aggregate (Flink OVER RANGE INTERVAL,
+    SURVEY.md §2.5 family): frame bounds are expressed in SECONDS of
+    event time, not row counts, so gaps and bursts are handled
+    correctly. RANGE frames include all peer rows of the current
+    timestamp — order within a timestamp cannot change the result,
+    and the summed quantity is an exact decimal, so the window output
+    is deterministic under any partitioning. One shuffle on
+    o_custkey; the frame scan is a single ordered pass per partition.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-_ROLL_SECS, 0)
+    )
+    rolling = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        rolling.cast("double").alias("rolling_30d"),
+    )
+
+
+_ROLLING_30D_ORACLE = f"""
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey
+         ORDER BY epoch(o_orderdate)
+         RANGE BETWEEN {_ROLL_SECS} PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS rolling_30d
+FROM orders
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "grouping_sets_revenue": QuerySpec(
+        "grouping_sets_revenue",
+        _grouping_sets_revenue,
+        _GROUPING_SETS_ORACLE,
+        "arbitrary grouping-set lattice in one Expand",
+    ),
+    "rolling_revenue_30d": QuerySpec(
+        "rolling_revenue_30d",
+        _rolling_revenue_30d,
+        _ROLLING_30D_ORACLE,
+        "time-RANGE window frame (rolling 30-day sum)",
+    ),
     "tpch_q2_max_balance_supplier": QuerySpec(
         "tpch_q2_max_balance_supplier",
         _q2_max_balance_supplier,

@@ -37,7 +37,8 @@ def _dec(c: str) -> F.Column:
     return F.col(c).cast("decimal(18,2)")
 
 
-_ONE = F.lit(1).cast("decimal(18,2)")
+def _one() -> F.Column:
+    return F.lit(1).cast("decimal(18,2)")
 
 
 # --- Q7: volume shipping between two nations ------------------------------
@@ -64,7 +65,7 @@ def _q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     )
-    volume = _dec("l_extendedprice") * (_ONE - _dec("l_discount"))
+    volume = _dec("l_extendedprice") * (_one() - _dec("l_discount"))
     pair = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
@@ -127,7 +128,7 @@ def _q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     )
     li = load_table(spark, sf_dir, "lineitem")
-    volume = _dec("l_extendedprice") * (_ONE - _dec("l_discount"))
+    volume = _dec("l_extendedprice") * (_one() - _dec("l_discount"))
     zero = F.lit(0).cast("decimal(18,2)")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -195,7 +196,7 @@ def _q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = load_table(spark, sf_dir, "lineitem")
-    amount = _dec("l_extendedprice") * (_ONE - _dec("l_discount")) - _dec(
+    amount = _dec("l_extendedprice") * (_one() - _dec("l_discount")) - _dec(
         "p_retailprice"
     ) * _dec("l_quantity")
     return (
@@ -295,7 +296,7 @@ def _q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(_dec("l_extendedprice") * (_ONE - _dec("l_discount"))).alias("rev_dec"))
+        .agg(F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount"))).alias("rev_dec"))
     )
     max_rev = revenue.agg(F.max("rev_dec").alias("max_rev"))
     supp = load_table(spark, sf_dir, "supplier")

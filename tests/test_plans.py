@@ -132,6 +132,11 @@ def test_corpus_sized_outputs_have_no_global_sort(spark):
         "multimodal_resize",
         "multimodal_frame_samples",
         "curation_pipeline",
+        "doc_chunk_overlap",
+        "pii_redact_props",
+        "sample_orders_hash",
+        "embedding_l2_normalize",
+        "rolling_revenue_30d",
     ]:
         plan = _plan(spark, name)
         assert "rangepartitioning" not in plan.lower(), f"{name} globally sorts its output"
