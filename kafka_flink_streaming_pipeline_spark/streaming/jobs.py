@@ -255,6 +255,40 @@ def dedup_stream_job(
     )
 
 
+def hop_active_users_stream_job(
+    stream: DataFrame, table_path: str, checkpoint: str
+) -> StreamingQuery:
+    """Sliding (HOP) window active users, streaming side.
+
+    The streaming twin of the batch `fp_hop_active_users_10m_5m` plan:
+    10-minute windows sliding every 5, EXACT distinct users. Exact
+    COUNT(DISTINCT) is illegal in streaming append mode, so it is
+    restructured as chained stateful operators — streaming dedup on
+    (uuid, window) followed by a windowed count — the same rewrite the
+    tumbling global-features job uses, here over the window GENERATOR
+    (each row expands to size/slide = 2 windows map-side before any
+    state). Both stages' state evicts at the watermark, so state size
+    is bounded by (distinct users per window) × (2 open windows per
+    instant), independent of stream length."""
+    base = stream.select(
+        F.col("user_id").alias("uuid"),
+        "event_time",
+        F.window("event_time", "10 minutes", "5 minutes").alias("w"),
+    )
+    return (
+        base.dropDuplicates(["uuid", "w"])
+        .groupBy("w")
+        .agg(F.count("*").alias("active_users"))
+        .select(F.col("w.end").alias("window_end"), "active_users")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", table_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def enrich_stream_job(
     stream: DataFrame, static_docs: DataFrame, table_path: str, checkpoint: str
 ) -> StreamingQuery:

@@ -458,3 +458,58 @@ def test_stream_static_enrich_matches_batch(spark, tmp_path, chunks):
     }
     assert len(streamed) > 0
     assert streamed == batch
+
+
+def test_hop_window_streaming_matches_batch(spark, tmp_path, chunks):
+    """Sliding (HOP) 10m/5m window with EXACT distinct users: the
+    chained dedup→count streaming job must equal the batch
+    count_distinct plan window-for-window. Two far-future 'view'
+    sentinels flush every real window under availableNow (the window
+    generator doubles rows, but the watermark still advances off the
+    raw event_time); sentinel windows past the horizon are excluded."""
+    import glob
+    import shutil
+
+    from kafka_flink_streaming_pipeline_spark.plans.feature_store import (
+        hop_active_users_10m_5m,
+    )
+    from kafka_flink_streaming_pipeline_spark.streaming.jobs import (
+        hop_active_users_stream_job,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    chunk_dir = str(tmp_path / "chunks")
+    prepare_replay_chunks(spark, events, chunk_dir, n_chunks=4)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    staging = str(tmp_path / "staging")
+    for i, days in enumerate((10, 20), start=1):
+        row = [
+            (10**12 + i, max_ts + datetime.timedelta(days=days), -1, "view", 0.0, "{}")
+        ]
+        spark.createDataFrame(row, WIRE_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        shutil.copy(
+            glob.glob(f"{staging}/part-*.parquet")[0],
+            f"{chunk_dir}/zz_sentinel_{i}.parquet",
+        )
+
+    out = str(tmp_path / "hop")
+    q = hop_active_users_stream_job(
+        replay_stream(spark, chunk_dir), out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+
+    # hop windows close up to 10 min after the last event's slide bucket
+    horizon = max_ts + datetime.timedelta(minutes=15)
+    streamed = {
+        (r.window_end.strftime("%Y-%m-%d %H:%M:%S"), r.active_users)
+        for r in spark.read.parquet(out).collect()
+        if r.window_end <= horizon
+    }
+    batch = {
+        (r.window_end, r.active_users)
+        for r in hop_active_users_10m_5m(spark, SF_SMOKE).collect()
+    }
+    assert len(streamed) > 0
+    assert streamed == batch
