@@ -16,8 +16,9 @@ Scale design (what survives a 1000-executor 100 TB run):
   broadcast join-back for Q17, scalar cross-join broadcast for
   Q11/Q15) — the same rewrite Catalyst applies, made visible and
   pinned by tests;
-- Q21's triple self-reference of lineitem reuses ONE shuffle
-  partitioning on l_orderkey for the semi and anti joins;
+- Q21's EXISTS/NOT-EXISTS pair is collapsed into one per-order
+  conditional aggregation (both subqueries correlate on l_orderkey):
+  one lineitem scan and one fact shuffle instead of three;
 - all money math is DECIMAL(18,2) before summation: exact sums make
   the distributed result bit-identical to the single-threaded oracle
   regardless of partitioning (doubles appear only after one final
@@ -486,46 +487,47 @@ def _q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Adaptation: with no commit/receipt dates, 'the supplier who failed'
     becomes 'the only supplier whose line was returned (l_returnflag =
-    R)'. The famous Q21 shape is intact: base relation l1, EXISTS a
-    different-supplier line l2 in the same order (semi join with
-    inequality residual), NOT EXISTS a different-supplier RETURNED
-    line l3 (anti join with residual), then count per supplier with a
-    tiebroken top-k. All three legs repartition on l_orderkey once —
-    the semi/anti probes reuse the same key, and the supplier/orders
-    dims broadcast.
+    R)'. The oracle keeps the famous Q21 text — EXISTS a
+    different-supplier line in the same order, NOT EXISTS a
+    different-supplier RETURNED line — but executing that literally is
+    THREE lineitem scans, each shuffled on l_orderkey (the semi and
+    anti legs have different filters, so Spark cannot reuse the
+    exchange between them). Because both correlated subqueries are
+    keyed on the SAME correlation key as the base row (l_orderkey),
+    they collapse into one per-order conditional aggregation:
+
+      n_supps   ≥ 2  ⇔  EXISTS another supplier in the order,
+      n_r_supps = 1  ⇔  NOT EXISTS another supplier with an R line
+                        (given the base row itself is an R line),
+      n_r_lines      =  how many base rows that supplier contributes.
+
+    ONE lineitem scan, ONE fact shuffle, then a key-only semi join
+    against F-status orders and a broadcast supplier lookup. numwait
+    ties are broken by s_name in both engines.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    is_r = F.col("l_returnflag") == "R"
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.countDistinct(F.when(is_r, F.col("l_suppkey"))).alias("n_r_supps"),
+            F.max(F.when(is_r, F.col("l_suppkey"))).alias("r_suppkey"),
+            F.sum(F.when(is_r, 1).otherwise(0)).alias("n_r_lines"),
+        )
+        .filter((F.col("n_supps") >= 2) & (F.col("n_r_supps") == 1))
+    )
     orders_f = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
-    l1 = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
-        .drop("o_orderkey")
-    )
-    l2 = li.select(
-        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key")
-    )
-    l3 = li.filter(F.col("l_returnflag") == "R").select(
-        F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3_key")
-    )
-    waiting = (
-        l1.join(
-            l2,
-            (F.col("l_orderkey") == F.col("o2_key")) & (F.col("l_suppkey") != F.col("s2_key")),
-            "left_semi",
-        ).join(
-            l3,
-            (F.col("l_orderkey") == F.col("o3_key")) & (F.col("l_suppkey") != F.col("s3_key")),
-            "left_anti",
-        )
+    waiting = per_order.join(
+        orders_f, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        waiting.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        waiting.join(F.broadcast(supp), F.col("r_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_r_lines").cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )

@@ -260,3 +260,21 @@ def test_decorrelated_scalar_subquery_broadcasts(spark):
     plan = _plan(spark, "tpch_q2_max_balance_supplier")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_q17_decorrelation_is_broadcast_only(spark):
+    """Q17's per-part AVG join-back must broadcast (the Brand-filtered
+    aggregate is tiny at any SF): no shuffle joins anywhere, and the
+    only hash exchange is the per-part aggregate's own — which carries
+    the Brand#4 subset, never the whole fact table."""
+    plan = _plan(spark, "tpch_q17_small_qty_revenue")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_q21_single_lineitem_scan(spark):
+    """The EXISTS/NOT-EXISTS collapse must scan lineitem ONCE — the
+    literal three-legged self-join plan scans and shuffles it three
+    times, which is the difference between one pass and three at 100 TB."""
+    plan = _plan(spark, "tpch_q21_waiting_orders")
+    assert plan.count("lineitem.parquet") == 1
