@@ -72,6 +72,8 @@ HEADLINE = [
     "grouping_sets_revenue",
     "fp_hop_active_users_10m_5m",
     "embedding_l2_normalize",
+    "text_gopher_rules",
+    "sim_ann_ivf_nprobe2",
 ]
 
 

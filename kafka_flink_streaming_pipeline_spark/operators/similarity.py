@@ -362,8 +362,10 @@ def topk_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_K = 8  # coarse-quantizer cells; centroids = vec_ids [_N_QUERIES, _N_QUERIES+K)
 
 
-def _ivf_assign(with_norm: DataFrame) -> DataFrame:
-    """(vec_id, centroid_id): nearest seed centroid by cosine.
+def _ivf_assign(with_norm: DataFrame, nprobe: int = 1) -> DataFrame:
+    """(vec_id, centroid_id): the `nprobe` nearest seed centroids by
+    cosine — nprobe=1 is cell MEMBERSHIP (each vector lives in one
+    cell); nprobe>1 is the query-side PROBE LIST.
 
     The coarse quantizer uses K fixed seed vectors as centroids
     (training-free IVF — at 100 TB you'd k-means a sample, but the
@@ -392,7 +394,7 @@ def _ivf_assign(with_norm: DataFrame) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= nprobe)
         .select("vec_id", "centroid_id")
     )
 
@@ -482,6 +484,99 @@ ORDER BY query_id, rank
 """
 
 
+_NPROBE = 2
+
+
+def ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=2: each query scores its two nearest cells.
+
+    The recall/cost knob every IVF deployment tunes — nprobe/K of the
+    corpus is touched per query (2/8 here vs 1/8 for `sim_ann_ivf`),
+    recovering neighbors that fell just across a cell boundary.
+    Candidates still live in exactly one cell, so the probe expansion
+    duplicates only the tiny query side of the join — the candidate
+    stream is scanned once regardless of nprobe."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    with_norm = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    membership = _ivf_assign(with_norm)
+    probes = _ivf_assign(with_norm, nprobe=_NPROBE)
+    q = (
+        probes.filter(F.col("vec_id") < _N_QUERIES)
+        .join(with_norm, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("centroid_id"),
+            F.col("embedding").alias("qv"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    c = membership.join(with_norm, "vec_id").select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("centroid_id"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    scored = (
+        q.join(c, "centroid_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            _pair_cosine(F.col("qv"), F.col("cv"), F.col("q_nrm"), F.col("c_nrm")).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_IVF_NPROBE2_ORACLE = f"""
+WITH e AS ({_DUCK_EMB}),
+cents AS (
+  SELECT vec_id AS centroid_id, v FROM e
+  WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES + _IVF_K}
+),
+assign_scored AS (
+  SELECT a.vec_id, k.centroid_id, {_DUCK_CENT_COS} AS ccos
+  FROM e a CROSS JOIN (SELECT centroid_id, v FROM cents) k
+),
+ranked_assign AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY ccos DESC, centroid_id ASC) AS rn
+  FROM assign_scored
+),
+membership AS (SELECT vec_id, centroid_id FROM ranked_assign WHERE rn = 1),
+probes AS (SELECT vec_id, centroid_id FROM ranked_assign WHERE rn <= {_NPROBE}),
+scored AS (
+  SELECT aq.vec_id AS query_id, ac.vec_id AS cand_id, {_DUCK_COS} AS cosine
+  FROM probes aq
+  JOIN membership ac ON aq.centroid_id = ac.centroid_id AND aq.vec_id <> ac.vec_id
+  JOIN e q ON q.vec_id = aq.vec_id
+  JOIN e c ON c.vec_id = ac.vec_id
+  WHERE aq.vec_id < {_N_QUERIES}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, rank
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 # --- int8 quantization (the 4x memory lever for embedding stores) ---------
 
 
@@ -531,6 +626,12 @@ QUERIES: dict[str, QuerySpec] = {
         topk_cosine_pandas,
         TOPK_ORACLE,
         "brute-force top-k via Arrow-vectorized pandas_udf (same oracle)",
+    ),
+    "sim_ann_ivf_nprobe2": QuerySpec(
+        "sim_ann_ivf_nprobe2",
+        ann_ivf_nprobe2,
+        ANN_IVF_NPROBE2_ORACLE,
+        "IVF ANN, two-cell probe (recall/cost knob)",
     ),
     "sim_ann_ivf": QuerySpec(
         "sim_ann_ivf", ann_ivf, ANN_IVF_ORACLE, "IVF coarse-quantized approximate top-k"

@@ -218,7 +218,79 @@ GROUP BY word
 """
 
 
+# --- Gopher-style quality rule battery ------------------------------------
+
+_MIN_WORDS, _MIN_MWL, _MAX_MWL = 10, 3.0, 10.0
+_MAX_SYMBOL_RATIO = 0.1
+
+
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based document filter in the style of the Gopher/MassiveText
+    heuristics (word-count bounds, mean-word-length band, symbol ratio,
+    stopword presence), each as an independent boolean plus the
+    conjunction. All rules are Catalyst regex/arithmetic — one pass
+    over the corpus, no shuffle, codegen throughout; the per-rule
+    booleans let a curation job report WHY documents were dropped
+    (rule ablation) without re-scanning."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.regexp_count("text", F.lit(r"[a-z0-9]+"))
+    word_chars = F.length(F.regexp_replace("text", r"[^a-z0-9]", ""))
+    symbols = F.length(F.regexp_replace("text", r"[a-z0-9 ]", ""))
+    stops = F.regexp_count("text", F.lit(_STOPWORDS))
+    mwl = F.round(word_chars.cast("double") / F.nullif(n_words, F.lit(0)), 6)
+    sym_ratio = F.round(symbols.cast("double") / F.nullif(n_words, F.lit(0)), 6)
+    r_words = n_words >= _MIN_WORDS
+    r_mwl = (mwl >= _MIN_MWL) & (mwl <= _MAX_MWL)
+    r_sym = sym_ratio < _MAX_SYMBOL_RATIO
+    r_stop = stops > 0
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        r_words.alias("rule_min_words"),
+        r_mwl.alias("rule_word_len"),
+        r_sym.alias("rule_symbols"),
+        r_stop.alias("rule_stopwords"),
+        (r_words & r_mwl & r_sym & r_stop).alias("pass_all"),
+    )
+
+
+GOPHER_RULES_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         length(regexp_extract_all(text, '[a-z0-9]+')) AS n_words,
+         length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS word_chars,
+         length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS symbols,
+         length(regexp_extract_all(text, '{_STOPWORDS}')) AS n_stops
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_words,
+         round(CAST(word_chars AS DOUBLE) / nullif(n_words, 0), 6) AS mean_word_len,
+         round(CAST(symbols AS DOUBLE) / nullif(n_words, 0), 6) AS symbol_ratio,
+         n_stops
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+       n_words >= {_MIN_WORDS} AS rule_min_words,
+       mean_word_len >= {_MIN_MWL} AND mean_word_len <= {_MAX_MWL} AS rule_word_len,
+       symbol_ratio < {_MAX_SYMBOL_RATIO} AS rule_symbols,
+       n_stops > 0 AS rule_stopwords,
+       (n_words >= {_MIN_WORDS}) AND (mean_word_len >= {_MIN_MWL})
+         AND (mean_word_len <= {_MAX_MWL}) AND (symbol_ratio < {_MAX_SYMBOL_RATIO})
+         AND (n_stops > 0) AS pass_all
+FROM m
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_gopher_rules": QuerySpec(
+        "text_gopher_rules",
+        gopher_rules,
+        GOPHER_RULES_ORACLE,
+        "Gopher-style rule battery with per-rule ablation booleans",
+    ),
     "text_vocabulary": QuerySpec(
         "text_vocabulary", vocabulary, VOCABULARY_ORACLE, "corpus vocab tf/df"
     ),

@@ -137,6 +137,7 @@ def test_corpus_sized_outputs_have_no_global_sort(spark):
         "sample_orders_hash",
         "embedding_l2_normalize",
         "rolling_revenue_30d",
+        "text_gopher_rules",
     ]:
         plan = _plan(spark, name)
         assert "rangepartitioning" not in plan.lower(), f"{name} globally sorts its output"
