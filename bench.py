@@ -74,6 +74,8 @@ HEADLINE = [
     "embedding_l2_normalize",
     "text_gopher_rules",
     "sim_ann_ivf_nprobe2",
+    "decontaminate_against_eval",
+    "zscore_order_totals",
 ]
 
 

@@ -190,7 +190,111 @@ FROM sq
 """
 
 
+# --- benchmark decontamination --------------------------------------------
+
+
+def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop training documents whose exact text appears in an eval set.
+
+    Test-set decontamination — the step that keeps benchmark answers
+    out of training data. The 'eval set' stand-in is every 97th
+    document (an external benchmark table would slot into the same
+    plan); matching is by md5 text fingerprint, so the broadcast side
+    carries 16-byte hashes, never document bodies. At 100 TB this is a
+    broadcast ANTI join: one corpus scan, zero shuffle, eval set on
+    every executor. Near-dup decontamination composes the same way
+    from the MinHash pair stream in operators/dedup.py.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    eval_fps = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    return (
+        d.withColumn("fp", F.md5("text"))
+        .join(F.broadcast(eval_fps), "fp", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+DECONTAMINATE_ORACLE = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE md5(text) NOT IN (
+  SELECT md5(text) FROM documents WHERE doc_id % 97 = 0
+)
+"""
+
+
+# --- per-group z-score standardization ------------------------------------
+
+
+def zscore_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer z-score of order totals from EXACT decimal moments.
+
+    Feature standardization at scale has a determinism trap: stddev
+    over doubles depends on accumulation order, so a naive
+    stddev_samp() differs run-to-run under repartitioning. Here both
+    moments are exact decimal sums (sum and sum-of-squares — Σx² of
+    2-decimal values is exact in DECIMAL(38,4)), converted to double
+    ONCE, then var = (Σx² − (Σx)²/n)/(n−1) in fixed double order —
+    bit-identical under any partitioning and to the oracle. The
+    per-customer moment table is tiny → broadcast join-back, fact side
+    never shuffles after its one aggregation.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    per_cust = (
+        o.groupBy(F.col("o_custkey").alias("g_custkey"))
+        .agg(
+            F.sum(dec).cast("double").alias("s1"),
+            F.sum(dec * dec).cast("double").alias("s2"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    z = (F.col("o_totalprice").cast("decimal(18,2)").cast("double") - F.col("s1") / F.col("n")) / F.sqrt(var)
+    return (
+        o.join(F.broadcast(per_cust), o.o_custkey == F.col("g_custkey"))
+        .filter(var > 0)
+        .select("o_orderkey", "o_custkey", F.round(z, 6).alias("zscore"))
+    )
+
+
+ZSCORE_ORACLE = """
+WITH m AS (
+  SELECT o_custkey AS g_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) *
+                  CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+         count(*) AS n
+  FROM orders
+  GROUP BY o_custkey
+  HAVING count(*) >= 2
+)
+SELECT o_orderkey, o_custkey,
+       round((CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) - s1 / n)
+             / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS zscore
+FROM orders JOIN m ON o_custkey = g_custkey
+WHERE (s2 - s1 * s1 / n) / (n - 1) > 0
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "decontaminate_against_eval": QuerySpec(
+        "decontaminate_against_eval",
+        decontaminate_against_eval,
+        DECONTAMINATE_ORACLE,
+        "benchmark decontamination: broadcast fingerprint anti join",
+    ),
+    "zscore_order_totals": QuerySpec(
+        "zscore_order_totals",
+        zscore_order_totals,
+        ZSCORE_ORACLE,
+        "per-group z-score from exact decimal moments",
+    ),
     "doc_chunk_overlap": QuerySpec(
         "doc_chunk_overlap",
         doc_chunk_overlap,

@@ -138,6 +138,8 @@ def test_corpus_sized_outputs_have_no_global_sort(spark):
         "embedding_l2_normalize",
         "rolling_revenue_30d",
         "text_gopher_rules",
+        "decontaminate_against_eval",
+        "zscore_order_totals",
     ]:
         plan = _plan(spark, name)
         assert "rangepartitioning" not in plan.lower(), f"{name} globally sorts its output"
