@@ -416,11 +416,15 @@ def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
       |len(a)-len(b)| <= max_dist band (a lower bound on edit
       distance) prunes most pairs before the DP runs. Measured at
       sf0.1: 25.6 s -> ~2 s on local[32], same result set.
+    - THRESHOLDED DP: `levenshtein(a, b, max_dist)` runs the banded
+      O(max_dist·n) early-exit algorithm instead of the full O(n²)
+      matrix, returning -1 past the threshold — the >=1 filter
+      discards those. Measured at 10x scale (/tmp/sf1, 9.57M result
+      pairs): 135 s -> ~45 s, identical output.
 
-    levenshtein (classic DP, identical in both engines) runs
-    codegen-side on the surviving pairs only. dist 0 (identical
+    The surviving-pair DP runs codegen-side. dist 0 (identical
     strings) is excluded — that's `dedup_exact`'s job. The oracle is
-    salt-free SQL: salting must never change the answer."""
+    salt-free, threshold-free SQL: neither may change the answer."""
     n_parts = spark.sparkContext.defaultParallelism
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
     # explicit numPartitions pins the shuffle width: AQE coalesces
@@ -436,7 +440,7 @@ def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(n_parts, "p_brand", "salt")
         .alias("b")
     )
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), _FUZZY_MAX_DIST)
     len_band = (
         F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name")))
         <= _FUZZY_MAX_DIST
