@@ -76,6 +76,8 @@ HEADLINE = [
     "sim_ann_ivf_nprobe2",
     "decontaminate_against_eval",
     "zscore_order_totals",
+    "customer_activity_full_outer_join",
+    "customer_order_dates_array",
 ]
 
 

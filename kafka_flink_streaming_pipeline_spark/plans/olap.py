@@ -754,7 +754,51 @@ FROM orders
 """
 
 
+# --- array aggregation (ordered collect) ----------------------------------
+
+
+def _order_dates_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer chronologically-ordered order-date array.
+
+    The collect-to-array aggregation a feature pipeline uses to build
+    sequence features (purchase histories, session traces).
+    collect_list order is nondeterministic under partitioning, so the
+    contract REQUIRES the explicit sort_array — dates are formatted as
+    ISO strings first, making lexicographic = chronological and the
+    array engine-portable. Arrays stay one row per customer: at 100 TB
+    this is the standard groupBy shuffle with list accumulation, and
+    per-key array size is bounded by per-customer activity, not corpus
+    size.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.date_format("o_orderdate", "yyyy-MM-dd"))
+            ).alias("order_dates"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+_ORDER_DATES_ARRAY_ORACLE = """
+SELECT o_custkey,
+       list(strftime(o_orderdate, '%Y-%m-%d')
+            ORDER BY strftime(o_orderdate, '%Y-%m-%d')) AS order_dates,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "customer_order_dates_array": QuerySpec(
+        "customer_order_dates_array",
+        _order_dates_array,
+        _ORDER_DATES_ARRAY_ORACLE,
+        "ordered collect_list array aggregation",
+    ),
     "grouping_sets_revenue": QuerySpec(
         "grouping_sets_revenue",
         _grouping_sets_revenue,

@@ -500,7 +500,56 @@ LIMIT 10
 """
 
 
+def _cust_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two per-customer year aggregates — completes
+    the join-type family (inner/left/right/semi/anti/cross are covered
+    elsewhere). Customers active in only one of the two years appear
+    with a NULL side; COALESCE canonicalizes both the key and the
+    counts, the same both-sides treatment FP3's reference RIGHT JOIN
+    hints it wanted (SURVEY.md §7 'RIGHT JOIN vs FULL OUTER intent')."""
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = (
+        orders.filter(F.year("o_orderdate") == 1995)
+        .groupBy(F.col("o_custkey").alias("k95"))
+        .agg(F.count("*").alias("n95"))
+    )
+    y01 = (
+        orders.filter(F.year("o_orderdate") == 2001)
+        .groupBy(F.col("o_custkey").alias("k01"))
+        .agg(F.count("*").alias("n01"))
+    )
+    return (
+        y95.join(y01, F.col("k95") == F.col("k01"), "full_outer")
+        .select(
+            F.coalesce(F.col("k95"), F.col("k01")).alias("custkey"),
+            F.coalesce(F.col("n95"), F.lit(0)).alias("orders_1995"),
+            F.coalesce(F.col("n01"), F.lit(0)).alias("orders_2001"),
+        )
+        .orderBy("custkey")
+    )
+
+
+_CUST_FULL_OUTER_ORACLE = """
+SELECT COALESCE(k95, k01) AS custkey,
+       COALESCE(n95, 0) AS orders_1995,
+       COALESCE(n01, 0) AS orders_2001
+FROM (SELECT o_custkey AS k95, count(*) AS n95 FROM orders
+      WHERE year(o_orderdate) = 1995 GROUP BY o_custkey) a
+FULL OUTER JOIN
+     (SELECT o_custkey AS k01, count(*) AS n01 FROM orders
+      WHERE year(o_orderdate) = 2001 GROUP BY o_custkey) b
+  ON k95 = k01
+ORDER BY custkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "customer_activity_full_outer_join": QuerySpec(
+        "customer_activity_full_outer_join",
+        _cust_full_outer,
+        _CUST_FULL_OUTER_ORACLE,
+        "FULL OUTER join of two aggregates + both-sides COALESCE",
+    ),
     "tpch_q10_returned_items": QuerySpec(
         "tpch_q10_returned_items", _q10, _TPCH_Q10_ORACLE, "returned-item revenue top-20 (Q10)"
     ),

@@ -140,6 +140,7 @@ def test_corpus_sized_outputs_have_no_global_sort(spark):
         "text_gopher_rules",
         "decontaminate_against_eval",
         "zscore_order_totals",
+        "customer_order_dates_array",
     ]:
         plan = _plan(spark, name)
         assert "rangepartitioning" not in plan.lower(), f"{name} globally sorts its output"
