@@ -205,6 +205,50 @@ def stream_stream_attribution(
     )
 
 
+def stream_stream_attribution_outer(
+    clicks: DataFrame, views: DataFrame, bound: str = "5 minutes"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every click, attributed
+    if a same-user view follows within `bound`, emitted with NULLs if
+    none ever does.
+
+    The outer side is the part the inner join can't show: Spark must
+    WITHHOLD an unmatched click until the watermark proves no matching
+    view can still arrive (wm > click_time + bound), then emit it with
+    a NULL view — Flink's interval join with outer emission. State
+    stays watermark-bounded exactly as in the inner case; the only
+    extra cost is the withheld rows' residence until their horizon
+    passes. Under availableNow replay the final unmatched clicks need
+    the watermark pushed past their horizon (sentinel rows in tests —
+    the same flush rule every bounded replay here follows)."""
+    c = clicks.select(
+        F.col("user_id").alias("uuid"),
+        F.col("event_id").alias("click_id"),
+        F.col("event_time").alias("click_time"),
+    )
+    v = views.select(
+        F.col("user_id").alias("v_uuid"),
+        F.col("event_id").alias("view_id"),
+        F.col("event_time").alias("view_time"),
+    )
+    return c.join(
+        v,
+        F.expr(
+            f"""uuid = v_uuid
+                AND view_time >= click_time
+                AND view_time <= click_time + INTERVAL {bound}"""
+        ),
+        "leftOuter",
+    ).select(
+        "uuid",
+        "click_id",
+        "view_id",
+        ((F.unix_micros("view_time") - F.unix_micros("click_time")) / 1000)
+        .cast("long")
+        .alias("lag_ms"),
+    )
+
+
 def feature_stream_job(stream: DataFrame, table_path: str, checkpoint: str) -> StreamingQuery:
     """FP2 end-to-end: windowed features upserted on (uuid, window_end)
     each trigger — the Redis HSET sink analogue (S4), keyed exactly like
