@@ -78,6 +78,7 @@ HEADLINE = [
     "zscore_order_totals",
     "customer_activity_full_outer_join",
     "customer_order_dates_array",
+    "sim_ann_lsh_multiprobe",
 ]
 
 

@@ -296,6 +296,124 @@ ORDER BY query_id, rank
 """
 
 
+_PROBE_EXPR = f"""
+CASE WHEN j = 0 THEN bucket
+     ELSE concat(substring(bucket, 1, j - 1),
+                 CASE WHEN substring(bucket, j, 1) = '1' THEN '0' ELSE '1' END,
+                 substring(bucket, j + 1, {_N_PLANES}))
+END
+"""
+
+
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH: each query also probes the 8 buckets at Hamming
+    distance 1 (one sign bit flipped).
+
+    The standard recall repair for sign-random-projection LSH (Lv et
+    al., "Multi-probe LSH", VLDB 2007): a near neighbor that landed
+    just across ONE hyperplane is recovered without adding hash tables.
+    Cost shape mirrors IVF nprobe: the probe explosion multiplies only
+    the tiny query side (×9 here); the corpus bucket table is built and
+    scanned once. At 100 TB that is the difference between re-hashing
+    the corpus into more tables and replicating a handful of query
+    rows."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    buckets = _buckets(e, spark)
+    vecs = e.select("vec_id", "embedding")
+    with_norm = buckets.join(vecs, "vec_id").select(
+        "vec_id",
+        "bucket",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    q = (
+        with_norm.filter(F.col("vec_id") < _N_QUERIES)
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(_N_PLANES))))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.expr(_PROBE_EXPR).alias("probe"),
+            F.col("embedding").alias("qv"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    c = with_norm.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("bucket"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    scored = (
+        q.join(c, F.col("probe") == F.col("bucket"))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            _pair_cosine(F.col("qv"), F.col("cv"), F.col("q_nrm"), F.col("c_nrm")).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_LSH_MULTIPROBE_ORACLE = f"""
+WITH e AS ({_DUCK_EMB}),
+planes AS (
+  SELECT p.plane, i.i,
+         CASE WHEN substr(md5(CAST(p.plane AS VARCHAR) || '_' || CAST(i.i AS VARCHAR)), 1, 1)
+                   <= '7' THEN 1.0 ELSE -1.0 END AS w
+  FROM (SELECT unnest(range(0, {_N_PLANES})) AS plane) p
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+),
+comp AS (
+  SELECT vec_id, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x FROM e
+),
+proj AS (
+  SELECT c.vec_id, p.plane, sum(p.w * c.x) AS proj
+  FROM comp c JOIN planes p ON c.i = p.i
+  GROUP BY c.vec_id, p.plane
+),
+buckets AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN proj > 0 THEN '1' ELSE '0' END, '' ORDER BY plane) AS bucket
+  FROM proj GROUP BY vec_id
+),
+probes AS (
+  SELECT vec_id,
+         CASE WHEN j = 0 THEN bucket
+              ELSE substr(bucket, 1, CAST(j - 1 AS INT)) ||
+                   (CASE WHEN substr(bucket, CAST(j AS INT), 1) = '1'
+                         THEN '0' ELSE '1' END) ||
+                   substr(bucket, CAST(j + 1 AS INT), {_N_PLANES})
+         END AS probe
+  FROM buckets, (SELECT unnest(range(0, {_N_PLANES + 1})) AS j) js
+  WHERE vec_id < {_N_QUERIES}
+),
+scored AS (
+  SELECT bq.vec_id AS query_id, bc.vec_id AS cand_id, {_DUCK_COS} AS cosine
+  FROM probes bq
+  JOIN buckets bc ON bq.probe = bc.bucket AND bq.vec_id <> bc.vec_id
+  JOIN e q ON q.vec_id = bq.vec_id
+  JOIN e c ON c.vec_id = bc.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, rank
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 # --- brute-force top-k, Arrow-vectorized variant --------------------------
 
 
@@ -626,6 +744,12 @@ QUERIES: dict[str, QuerySpec] = {
         topk_cosine_pandas,
         TOPK_ORACLE,
         "brute-force top-k via Arrow-vectorized pandas_udf (same oracle)",
+    ),
+    "sim_ann_lsh_multiprobe": QuerySpec(
+        "sim_ann_lsh_multiprobe",
+        ann_lsh_multiprobe,
+        ANN_LSH_MULTIPROBE_ORACLE,
+        "multi-probe LSH (Hamming-1 bucket expansion)",
     ),
     "sim_ann_ivf_nprobe2": QuerySpec(
         "sim_ann_ivf_nprobe2",
