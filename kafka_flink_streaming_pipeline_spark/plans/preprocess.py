@@ -69,6 +69,38 @@ def write_partitioned(df: DataFrame, out_dir: str) -> None:
     )
 
 
+def compact_partitions(
+    spark: SparkSession,
+    table_dir: str,
+    out_dir: str,
+    partition_cols: list[str],
+    sort_col: str,
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Small-files compaction: rewrite a partitioned table so each
+    partition holds the fewest files of bounded size.
+
+    The operational fix for the 100 TB small-files problem — streaming
+    ingest and fine-grained upserts leave thousands of KB-sized files
+    per partition; every later scan then pays per-file open/footer
+    costs and the NameNode/listing pays the metadata. One declarative
+    job: repartition on the partition keys (each output partition is
+    written by one task → one file per `max_records_per_file` rows),
+    re-sort within partitions so min/max stats stay tight for row-group
+    skipping, and let the writer split at the record cap. This is the
+    same shape `OPTIMIZE` runs on lakehouse tables; on Delta the call
+    site becomes `OPTIMIZE ... ZORDER BY`."""
+    (
+        spark.read.parquet(table_dir)
+        .repartition(*partition_cols)
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(out_dir)
+    )
+
+
 def _clean_events_str(spark: SparkSession, sf_dir: str) -> DataFrame:
     # string-formatted variants for cross-engine value hashing
     df = clean_events(spark, sf_dir)

@@ -81,3 +81,48 @@ def test_partitioned_writer_prunes_and_sorts(spark, tmp_path):
     # files are read in row order per file; within each partition dir the
     # single sorted write preserves non-decreasing event_time per file
     assert any(ts == sorted(ts) for ts in by_date.values())
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    """Small-files compaction: a fragmented partitioned table (many
+    tiny files per partition, the streaming-ingest failure mode at
+    scale) must compact to one bounded-size file per partition with
+    identical data and restored within-file sort order."""
+    from kafka_flink_streaming_pipeline_spark.plans.preprocess import (
+        clean_events,
+        compact_partitions,
+    )
+
+    fragmented = str(tmp_path / "fragmented")
+    compacted = str(tmp_path / "compacted")
+    cleaned = clean_events(spark, SF_SMOKE)
+    # simulate per-trigger micro-batch writes: 20 shuffled writers per run
+    (
+        cleaned.repartition(20)
+        .write.mode("overwrite")
+        .partitionBy("platform", "event_date")
+        .parquet(fragmented)
+    )
+
+    import glob
+
+    def files_per_partition(root):
+        counts = {}
+        for f in glob.glob(f"{root}/platform=*/event_date=*/*.parquet"):
+            counts.setdefault(f.rsplit("/", 1)[0], 0)
+            counts[f.rsplit("/", 1)[0]] += 1
+        return counts
+
+    frag_counts = files_per_partition(fragmented)
+    assert max(frag_counts.values()) > 5, "fixture must actually be fragmented"
+
+    compact_partitions(
+        spark, fragmented, compacted, ["platform", "event_date"], "event_time"
+    )
+    comp_counts = files_per_partition(compacted)
+    assert set(comp_counts) and all(v == 1 for v in comp_counts.values())
+
+    a = spark.read.parquet(fragmented)
+    b = spark.read.parquet(compacted)
+    assert b.count() == cleaned.count()
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
