@@ -284,7 +284,87 @@ FROM m
 """
 
 
+# --- BM25 keyword ranking --------------------------------------------------
+
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TERMS = ("spark", "join", "window")
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword ranking (Robertson/Sparck Jones, the lexical-search
+    baseline every corpus pipeline keeps next to its ANN index): score
+    every document against a fixed query-term set, return the top-20.
+
+    Plan shape for 100 TB: the token stream is filtered to the query
+    terms BEFORE the tf aggregation, so the shuffle carries only
+    matching (doc, term) pairs — a vanishing fraction of the corpus.
+    Per-term document frequencies and the corpus scalars (N, avgdl) are
+    tiny aggregates broadcast back; the only |docs|-sized intermediate
+    is the doc-length table, joined on doc_id. Scores are rounded to 4
+    decimals so the float sum's addend order can't leak into the hash
+    (exact parts — tf, df, dl — are all integers).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.split("text", " ").alias("toks"))
+    doclen = docs.select("doc_id", F.size("toks").alias("dl"))
+    scalars = doclen.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(list(_BM25_TERMS)))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("ndf"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("ndf") + 0.5) / (F.col("ndf") + 0.5) + 1.0
+    )
+    denom = F.col("cnt") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("cnt") * (_BM25_K1 + 1.0) / denom
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+BM25_ORACLE = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+doclen AS (SELECT doc_id, length(toks) AS dl FROM d),
+s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+tf AS (SELECT doc_id, term, count(*) AS cnt FROM tok
+       WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS ndf FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       round(sum(ln((n_docs - ndf + 0.5) / (ndf + 0.5) + 1.0)
+                 * cnt * ({_BM25_K1} + 1.0)
+                 / (cnt + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))), 4)
+         AS bm25
+FROM tf
+JOIN df USING (term)
+JOIN doclen USING (doc_id)
+CROSS JOIN s
+GROUP BY tf.doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_bm25_search": QuerySpec(
+        "text_bm25_search",
+        bm25_search,
+        BM25_ORACLE,
+        "BM25 keyword top-20: term-filtered tf shuffle, broadcast df + corpus scalars",
+    ),
     "text_gopher_rules": QuerySpec(
         "text_gopher_rules",
         gopher_rules,

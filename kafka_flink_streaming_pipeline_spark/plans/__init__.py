@@ -25,6 +25,7 @@ class QuerySpec:
 
 def merged() -> dict[str, QuerySpec]:
     from kafka_flink_streaming_pipeline_spark.plans import (
+        analytics,
         clickstream,
         feature_store,
         olap,
@@ -35,7 +36,7 @@ def merged() -> dict[str, QuerySpec]:
     )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (clickstream, tpch, tpch_deep, olap, feature_store, preprocess, stateful_stream):
+    for mod in (clickstream, tpch, tpch_deep, olap, analytics, feature_store, preprocess, stateful_stream):
         for k, v in mod.QUERIES.items():
             assert k not in out, f"duplicate query name {k}"
             out[k] = v

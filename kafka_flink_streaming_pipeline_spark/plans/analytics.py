@@ -1,0 +1,216 @@
+"""Behavioral analytics shapes: ordered funnels, melt/unpivot, ordered LISTAGG.
+
+The reference's analysis catalogue stops at sessionization and D0-D7
+retention (`analysis/flink-analysis.sql:94-152,210-230`); the next
+questions a clickstream analyst asks are *ordered funnels* ("of the
+users who signed up, how many then viewed, then clicked, then
+purchased — in that order?"), long-form reshaping for BI tools
+(UNPIVOT/melt), and ordered string aggregation for report rows. None
+of these exist in the reference; they complete the analytics surface
+the same way the OLAP module completes the warehouse surface.
+
+Determinism rules (driver contract): ordered-concat outputs fix their
+order with an explicit rank inside the aggregation (collect order is
+partition-dependent; the sort makes it a contract); money sums go
+through DECIMAL(18,2); every presentational ORDER BY carries a unique
+key.
+
+Scale notes:
+- The funnel's four step-aggregations all hash-partition on
+  `user_id`; at 100 TB each level's input is the (shrinking) set of
+  users who survived the previous step, and the per-step join is a
+  co-partitioned equi-join — no broadcast of user-cardinality data,
+  no skew (one row per user per level).
+- UNPIVOT compiles to a map-side Expand (1 row → k rows) feeding a
+  partial aggregate: the exchange carries |groups|×k rows, never
+  |fact|×k.
+- The ordered LISTAGG caps each group with a rank-window top-N BEFORE
+  collecting, so the collected arrays are bounded (top-5) no matter
+  how large a group grows — an unbounded collect_list is a driver OOM
+  at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
+from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+
+# --- ordered funnel: signup -> view -> click -> purchase ------------------
+
+
+def _funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered 4-step funnel over `events`. Step k's timestamp
+    is the FIRST event of that type strictly after the user's step-k-1
+    timestamp (the standard funnel semantics; a plain per-type min()
+    would count view-before-signup users as converted). Each level is
+    filter → co-partitioned join on user_id → min() — the sequential
+    dependency is inherent to the semantics, but every stage keys on
+    user_id so the shuffle layout is reused, and each level's input
+    shrinks to the survivors of the previous one."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def step(prev: DataFrame, prev_col: str, event_type: str, out_col: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .join(prev.select("user_id", prev_col), "user_id")
+            .filter(F.col("ts") > F.col(prev_col))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_col))
+        )
+
+    t1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = step(t1, "t1", "view", "t2")
+    t3 = step(t2, "t2", "click", "t3")
+    t4 = step(t3, "t3", "purchase", "t4")
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .join(t4, "user_id", "left")
+        .agg(
+            F.count("t1").alias("users_signup"),
+            F.count("t2").alias("users_view"),
+            F.count("t3").alias("users_click"),
+            F.count("t4").alias("users_purchase"),
+        )
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH e AS (SELECT user_id, event_type, ts FROM events),
+t1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+t2 AS (SELECT e.user_id, min(ts) AS t2 FROM e JOIN t1 USING (user_id)
+       WHERE event_type = 'view' AND ts > t1 GROUP BY e.user_id),
+t3 AS (SELECT e.user_id, min(ts) AS t3 FROM e JOIN t2 USING (user_id)
+       WHERE event_type = 'click' AND ts > t2 GROUP BY e.user_id),
+t4 AS (SELECT e.user_id, min(ts) AS t4 FROM e JOIN t3 USING (user_id)
+       WHERE event_type = 'purchase' AND ts > t3 GROUP BY e.user_id)
+SELECT count(t1.t1) AS users_signup,
+       count(t2.t2) AS users_view,
+       count(t3.t3) AS users_click,
+       count(t4.t4) AS users_purchase
+FROM t1
+LEFT JOIN t2 USING (user_id)
+LEFT JOIN t3 USING (user_id)
+LEFT JOIN t4 USING (user_id)
+"""
+
+
+# --- UNPIVOT / melt: wide price components -> long form -------------------
+
+
+def _unpivot_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt the three lineitem price components into long form, then
+    aggregate per (returnflag, component). The unpivot is a map-side
+    Expand (1 row → 3), and the partial aggregate collapses each
+    partition to |groups|×3 rows before the single shuffle — the fact
+    table is never shuffled wide. DECIMAL(18,2) partial sums keep the
+    distributed total exact."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("extendedprice"),
+        F.col("l_discount").cast("decimal(18,2)").alias("discount"),
+        F.col("l_tax").cast("decimal(18,2)").alias("tax"),
+    )
+    long_form = li.unpivot(
+        ["l_returnflag"], ["extendedprice", "discount", "tax"], "component", "amount"
+    )
+    return (
+        long_form.groupBy("l_returnflag", "component")
+        .agg(
+            F.sum("amount").cast("double").alias("total"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag", "component")
+    )
+
+
+_UNPIVOT_ORACLE = """
+WITH long_form AS (
+  SELECT l_returnflag, 'extendedprice' AS component,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS amount FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'discount', CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'tax', CAST(l_tax AS DECIMAL(18,2)) FROM lineitem
+)
+SELECT l_returnflag, component, CAST(sum(amount) AS DOUBLE) AS total, count(*) AS n
+FROM long_form
+GROUP BY l_returnflag, component
+ORDER BY l_returnflag, component
+"""
+
+
+# --- ordered LISTAGG: top-5 customers per nation, rank-ordered concat -----
+
+
+def _listagg_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-ordered string aggregation (LISTAGG/string_agg analogue):
+    top-5 customers per nation by account balance, concatenated in rank
+    order. The rank-window top-N bounds every group to 5 rows BEFORE
+    collect_list, and the collected structs are array_sort-ed by rank —
+    collect order is partition-dependent, the explicit sort is what
+    makes the concat deterministic."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    top5 = c.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    return (
+        top5.groupBy("c_nationkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "c_name"))),
+                    lambda s: s.c_name,
+                ),
+                ",",
+            ).alias("top_names"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_LISTAGG_ORACLE = """
+WITH ranked AS (
+  SELECT c_nationkey, c_name,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+)
+SELECT c_nationkey,
+       string_agg(c_name, ',' ORDER BY rn) AS top_names,
+       count(*) AS n
+FROM ranked
+WHERE rn <= 5
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "funnel_ordered_4step": QuerySpec(
+        "funnel_ordered_4step",
+        _funnel,
+        _FUNNEL_ORACLE,
+        "strictly-ordered signup→view→click→purchase funnel, co-partitioned per-step joins",
+    ),
+    "unpivot_price_components": QuerySpec(
+        "unpivot_price_components",
+        _unpivot_components,
+        _UNPIVOT_ORACLE,
+        "UNPIVOT/melt to long form + exact-decimal component totals",
+    ),
+    "listagg_top_customers": QuerySpec(
+        "listagg_top_customers",
+        _listagg_top_customers,
+        _LISTAGG_ORACLE,
+        "rank-ordered string_agg with bounded (top-5) groups",
+    ),
+}
