@@ -249,6 +249,47 @@ def stream_stream_attribution_outer(
     )
 
 
+def stream_stream_attribution_full(
+    clicks: DataFrame, views: DataFrame, bound: str = "5 minutes"
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join — completes the join-mode
+    family (inner / leftOuter / fullOuter) over the same watermarked
+    interval condition: matched pairs emit eagerly, unmatched CLICKS
+    emit with NULL view once the watermark passes click_time + bound,
+    and unmatched VIEWS emit with NULL click once no click interval can
+    still cover them. Both sides' state stays watermark-bounded because
+    the range condition bounds each side's event time in terms of the
+    other's. The output key is COALESCEd from whichever side survived —
+    the streaming twin of the batch FULL OUTER + both-sides-COALESCE
+    canonicalization (`plans/tpch.py` `_cust_full_outer`)."""
+    c = clicks.select(
+        F.col("user_id").alias("uuid"),
+        F.col("event_id").alias("click_id"),
+        F.col("event_time").alias("click_time"),
+    )
+    v = views.select(
+        F.col("user_id").alias("v_uuid"),
+        F.col("event_id").alias("view_id"),
+        F.col("event_time").alias("view_time"),
+    )
+    return c.join(
+        v,
+        F.expr(
+            f"""uuid = v_uuid
+                AND view_time >= click_time
+                AND view_time <= click_time + INTERVAL {bound}"""
+        ),
+        "fullOuter",
+    ).select(
+        F.coalesce("uuid", "v_uuid").alias("uuid"),
+        "click_id",
+        "view_id",
+        ((F.unix_micros("view_time") - F.unix_micros("click_time")) / 1000)
+        .cast("long")
+        .alias("lag_ms"),
+    )
+
+
 def feature_stream_job(stream: DataFrame, table_path: str, checkpoint: str) -> StreamingQuery:
     """FP2 end-to-end: windowed features upserted on (uuid, window_end)
     each trigger — the Redis HSET sink analogue (S4), keyed exactly like

@@ -684,3 +684,87 @@ def test_stream_stream_outer_join_emits_unmatched(spark, tmp_path):
     assert any(r[2] is None for r in batch), "fixture must contain unmatched clicks"
     assert len(streamed) > 0
     assert streamed == batch
+
+
+def test_stream_stream_full_outer_join_matches_batch(spark, tmp_path):
+    """FULL OUTER stream-stream interval join: matched pairs eagerly,
+    unmatched clicks AND unmatched views emitted with NULLs once the
+    watermark proves no partner can still arrive. Same sentinel-flush
+    fixture as the LEFT OUTER test; the result must equal the batch
+    banded FULL OUTER join row-for-row (coalesced key)."""
+    import glob
+    import shutil
+
+    from kafka_flink_streaming_pipeline_spark.streaming.jobs import (
+        stream_stream_attribution_full,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    chunk_dir = str(tmp_path / "chunks")
+    prepare_replay_chunks(spark, events, chunk_dir, n_chunks=4)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    staging = str(tmp_path / "staging")
+    for i, (days, etype) in enumerate(
+        [(40, "click"), (41, "view"), (50, "click"), (51, "view")], start=1
+    ):
+        row = [(10**12 + i, max_ts + datetime.timedelta(days=days), -1, etype, 0.0, "{}")]
+        spark.createDataFrame(row, WIRE_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        shutil.copy(
+            glob.glob(f"{staging}/part-*.parquet")[0],
+            f"{chunk_dir}/zz_sentinel_{i}.parquet",
+        )
+
+    bound = "24 hours"
+    s1 = replay_stream(spark, chunk_dir).filter(F.col("event_type") == "click")
+    s2 = replay_stream(spark, chunk_dir).filter(F.col("event_type") == "view")
+    out = str(tmp_path / "pairs_full")
+    q = (
+        stream_stream_attribution_full(s1, s2, bound=bound)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = {
+        (r.uuid, r.click_id, r.view_id, r.lag_ms)
+        for r in spark.read.parquet(out).filter(F.col("uuid") != -1).collect()
+    }
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("uuid"),
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("c_us"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_uuid"),
+        F.col("event_id").alias("view_id"),
+        F.unix_micros("ts").alias("v_us"),
+    )
+    bound_us = 24 * 3600 * 1_000_000
+    batch = {
+        (r.uuid, r.click_id, r.view_id, r.lag_ms)
+        for r in c.join(
+            v,
+            (F.col("uuid") == F.col("v_uuid"))
+            & (F.col("v_us") >= F.col("c_us"))
+            & (F.col("v_us") <= F.col("c_us") + bound_us),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("uuid", "v_uuid").alias("uuid"),
+            "click_id",
+            "view_id",
+            ((F.col("v_us") - F.col("c_us")) / 1000).cast("long").alias("lag_ms"),
+        )
+        .collect()
+    }
+    assert any(r[1] is None for r in batch), "fixture must contain unmatched views"
+    assert any(r[2] is None for r in batch), "fixture must contain unmatched clicks"
+    assert len(streamed) > 0
+    assert streamed == batch
