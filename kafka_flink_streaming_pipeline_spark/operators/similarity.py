@@ -729,9 +729,91 @@ WHERE scale > 0
 """
 
 
+# --- asymmetric int8 scoring (ADC over the quantized store) ---------------
+
+
+def topk_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric top-k over the int8-quantized store (the ADC pattern
+    from the IVF/PQ literature): full-precision query vectors score
+    against int8 candidate codes. The per-vector scale CANCELS out of
+    cosine — cos(q, dequant(c)) = dot(q, c8) / (‖q‖ · sqrt(dot(c8, c8)))
+    — so scoring never dequantizes: the candidate side of the shuffle
+    is a quarter the bytes of the float store with zero extra work at
+    scoring time. Candidate codes are exact integers, so cross-engine
+    determinism is strictly better than the float path."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    code = F.transform(v, lambda x: (x / (amax / F.lit(127.0))).cast("int"))
+    cands = (
+        e.select(F.col("vec_id").alias("cand_id"), amax.alias("amax"), code.alias("cv8"))
+        .filter(F.col("amax") > 0)
+        .withColumn("c_nrm8", F.sqrt(_dot(F.col("cv8"), F.col("cv8"))))
+        .drop("amax")
+    )
+    queries = F.broadcast(
+        _with_norm(e.filter(F.col("vec_id") < _N_QUERIES), "query_id", "qv")
+    )
+    scored = (
+        queries.crossJoin(cands)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv8")) / F.col("query_id_nrm") / F.col("c_nrm8"), 6
+            ).alias("cosine8"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine8"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+TOPK_INT8_ORACLE = f"""
+WITH e AS ({_DUCK_EMB}),
+s AS (
+  SELECT vec_id, v,
+         list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS scale
+  FROM e
+),
+qz AS (
+  SELECT vec_id, list_transform(v, x -> CAST(CAST(trunc(x / scale) AS INT) AS DOUBLE)) AS c8
+  FROM s WHERE scale > 0
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         round(list_dot_product(q.v, c.c8)
+               / sqrt(list_dot_product(q.v, q.v))
+               / sqrt(list_dot_product(c.c8, c.c8)), 6) AS cosine8
+  FROM e q CROSS JOIN qz c
+  WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine8 DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cosine8, rank
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sim_topk_cosine": QuerySpec(
         "sim_topk_cosine", topk_cosine, TOPK_ORACLE, "brute-force cosine top-k"
+    ),
+    "sim_topk_cosine_int8": QuerySpec(
+        "sim_topk_cosine_int8",
+        topk_cosine_int8,
+        TOPK_INT8_ORACLE,
+        "asymmetric int8 ADC top-k: scale-cancelled cosine over quantized codes",
     ),
     "embedding_quantize_int8": QuerySpec(
         "embedding_quantize_int8",

@@ -1,0 +1,167 @@
+"""Data-profiling and changelog-compaction shapes.
+
+The reference monitors its pipeline observationally (Prometheus rates,
+`README.md:79-86`) and trusts its data blindly — there is no profiling
+surface at all. A 100 TB ingest needs one: distribution histograms,
+one-pass column profiles (null rates / distinct counts / ranges), and
+changelog compaction (the batch twin of the streaming upsert sink in
+`streaming/upsert.py`, which replicates the reference's PK-upsert JDBC
+sink `flink-jobs/events_postgres_sink.sql:37-57`).
+
+Scale notes:
+- The histogram is floor-bucketing + groupBy: map-side partial agg
+  collapses each partition to |buckets| rows before the one shuffle.
+- The profile is ONE aggregate pass over the table — every metric
+  (counts, null counts, distinct counts, min/max) rides the same
+  two-phase hash aggregate; no per-column scans. Exact distinct counts
+  shuffle by value under the hood; at unbounded cardinality swap in
+  approx_count_distinct (documented deviation, same plan shape).
+- Changelog compaction is the classic rank-1-per-key: one shuffle on
+  the key, WindowGroupLimit prunes non-latest rows before the final
+  filter at the exchange boundary, so state never materializes the
+  full history per key downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
+from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_BUCKET_W = 20000.0
+
+
+# --- equi-width histogram --------------------------------------------------
+
+
+def _histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals: floor-bucket + count +
+    per-bucket min/max (the range check doubles as a bucket-boundary
+    audit). Bucketing is a map-side expression; the shuffle carries
+    |buckets| partial rows per partition."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(_BUCKET_W)).alias("bucket")
+    return (
+        o.groupBy(bucket)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_HISTOGRAM_ORACLE = f"""
+SELECT CAST(floor(o_totalprice / {_BUCKET_W}) AS BIGINT) AS bucket,
+       count(*) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+# --- one-pass column profile ----------------------------------------------
+
+
+def _profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile: row count, per-column null counts,
+    distinct counts, and ranges — the scan-once data-quality snapshot
+    run after every ingest. All metrics share a single two-phase
+    aggregate; nothing scans the table twice."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("o_custkey")).alias("null_custkey"),
+        (F.count("*") - F.count("o_orderdate")).alias("null_orderdate"),
+        F.count_distinct("o_custkey").alias("distinct_custkey"),
+        F.count_distinct("o_orderstatus").alias("distinct_status"),
+        F.count_distinct("o_orderpriority").alias("distinct_priority"),
+        F.date_format(F.min("o_orderdate"), TS_FMT).alias("min_orderdate"),
+        F.date_format(F.max("o_orderdate"), TS_FMT).alias("max_orderdate"),
+        F.round(F.min("o_totalprice"), 2).alias("min_total"),
+        F.round(F.max("o_totalprice"), 2).alias("max_total"),
+    )
+
+
+_PROFILE_ORACLE = """
+SELECT count(*) AS n_rows,
+       count(*) - count(o_custkey) AS null_custkey,
+       count(*) - count(o_orderdate) AS null_orderdate,
+       count(DISTINCT o_custkey) AS distinct_custkey,
+       count(DISTINCT o_orderstatus) AS distinct_status,
+       count(DISTINCT o_orderpriority) AS distinct_priority,
+       strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_orderdate,
+       strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_orderdate,
+       round(min(o_totalprice), 2) AS min_total,
+       round(max(o_totalprice), 2) AS max_total
+FROM orders
+"""
+
+
+# --- changelog compaction (CDC latest-state) ------------------------------
+
+
+def _cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction: treat `events` as a keyed change stream and
+    materialize the latest state per user — rank-1-per-key with a total
+    order (ts DESC, event_id DESC tiebreak for same-timestamp deliveries).
+    The batch twin of the streaming MERGE upsert's dedupe-latest step
+    (`streaming/upsert.py`); Spark plans a WindowGroupLimit below the
+    rank filter, so each shuffle partition retains one row per key
+    instead of the key's full history."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.round("value", 4).alias("last_value"),
+            F.date_format("ts", TS_FMT).alias("last_ts"),
+        )
+    )  # unsorted: one row per key, key-partitioned — no global sort at scale
+
+
+_CDC_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+       event_type AS last_type,
+       round(value, 4) AS last_value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM ranked
+WHERE rn = 1
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "profile_histogram_order_totals": QuerySpec(
+        "profile_histogram_order_totals",
+        _histogram_order_totals,
+        _HISTOGRAM_ORACLE,
+        "equi-width histogram: map-side bucketing, |buckets|-row shuffle",
+    ),
+    "profile_orders_one_pass": QuerySpec(
+        "profile_orders_one_pass",
+        _profile_orders,
+        _PROFILE_ORACLE,
+        "one-pass column profile: nulls/distincts/ranges in a single aggregate",
+    ),
+    "cdc_latest_state_per_user": QuerySpec(
+        "cdc_latest_state_per_user",
+        _cdc_latest_state,
+        _CDC_ORACLE,
+        "changelog compaction: rank-1-per-key latest state (WindowGroupLimit)",
+    ),
+}

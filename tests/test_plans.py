@@ -282,3 +282,13 @@ def test_q21_single_lineitem_scan(spark):
     times, which is the difference between one pass and three at 100 TB."""
     plan = _plan(spark, "tpch_q21_waiting_orders")
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_rank1_per_key_uses_window_group_limit(spark):
+    """Rank-filter pushdown: `rn = 1` / `rn <= k` directly above a
+    row_number window must compile to WindowGroupLimit (partial limit
+    per key BEFORE and after the shuffle) — without it, changelog
+    compaction shuffles every key's full history instead of one row
+    per key per map partition."""
+    for name in ("cdc_latest_state_per_user", "q8_hourly_top20_24h"):
+        assert "WindowGroupLimit" in _plan(spark, name), name
