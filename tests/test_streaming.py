@@ -768,3 +768,56 @@ def test_stream_stream_full_outer_join_matches_batch(spark, tmp_path):
     assert any(r[2] is None for r in batch), "fixture must contain unmatched clicks"
     assert len(streamed) > 0
     assert streamed == batch
+
+
+def test_rate_listener_and_observed_metrics(spark, tmp_path):
+    """Observability parity with the reference's Prometheus monitoring
+    (README.md:79-86): per-batch input rows / rates via a
+    StreamingQueryListener, and business metrics via df.observe riding
+    the query itself. The listener's lifetime row count must equal the
+    replayed input exactly, and every batch must carry the observed
+    ingest metrics."""
+    import time as _time
+
+    from kafka_flink_streaming_pipeline_spark.streaming.monitoring import (
+        RateListener,
+        observe_ingest,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    n_events = events.count()
+    chunk_dir = str(tmp_path / "chunks")
+    prepare_replay_chunks(spark, events, chunk_dir, n_chunks=4)
+
+    listener = RateListener()
+    spark.streams.addListener(listener)
+    try:
+        stream = observe_ingest(replay_stream(spark, chunk_dir))
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # listener events are delivered asynchronously
+        for _ in range(60):
+            if listener.total_rows() >= n_events:
+                break
+            _time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+
+    assert listener.total_rows() == n_events
+    assert listener.throughput() > 0
+    observed_rows = sum(
+        b["observed"].get("rows", 0) for b in listener.batches if b["observed"]
+    )
+    assert observed_rows == n_events
+    assert all(
+        b["observed"].get("max_event_time") is not None
+        for b in listener.batches
+        if b["num_input_rows"] > 0 and b["observed"]
+    )
