@@ -79,6 +79,15 @@ HEADLINE = [
     "customer_activity_full_outer_join",
     "customer_order_dates_array",
     "sim_ann_lsh_multiprobe",
+    "funnel_ordered_4step",
+    "unpivot_price_components",
+    "listagg_top_customers",
+    "text_bm25_search",
+    "profile_histogram_order_totals",
+    "profile_orders_one_pass",
+    "cdc_latest_state_per_user",
+    "sim_topk_cosine_int8",
+    "events_props_variant",
 ]
 
 

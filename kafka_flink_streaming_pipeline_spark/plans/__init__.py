@@ -30,13 +30,24 @@ def merged() -> dict[str, QuerySpec]:
         feature_store,
         olap,
         preprocess,
+        profiling,
         stateful_stream,
         tpch,
         tpch_deep,
     )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (clickstream, tpch, tpch_deep, olap, analytics, feature_store, preprocess, stateful_stream):
+    for mod in (
+        clickstream,
+        tpch,
+        tpch_deep,
+        olap,
+        analytics,
+        profiling,
+        feature_store,
+        preprocess,
+        stateful_stream,
+    ):
         for k, v in mod.QUERIES.items():
             assert k not in out, f"duplicate query name {k}"
             out[k] = v

@@ -194,7 +194,52 @@ ORDER BY c_nationkey
 """
 
 
+# --- semi-structured extraction: VARIANT over JSON props ------------------
+
+
+def _props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction from the `props` JSON column via
+    Spark's VARIANT type (`parse_json` → `variant_get`): parse once
+    into the shredded binary encoding, extract typed paths without
+    re-parsing — the scale path for ragged JSON where a declared
+    `from_json` schema (F17, used in the Kafka sources) can't cover
+    every key. The extraction is a map-side expression; the aggregate
+    is the usual two-phase hash agg."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PROPS_VARIANT_ORACLE = """
+WITH x AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k FROM events
+)
+SELECT event_type, count(*) AS n, count(k) AS n_with_k,
+       sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+FROM x
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_props_variant": QuerySpec(
+        "events_props_variant",
+        _props_variant,
+        _PROPS_VARIANT_ORACLE,
+        "VARIANT semi-structured extraction: parse_json once, typed variant_get paths",
+    ),
     "funnel_ordered_4step": QuerySpec(
         "funnel_ordered_4step",
         _funnel,
