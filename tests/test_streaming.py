@@ -821,3 +821,69 @@ def test_rate_listener_and_observed_metrics(spark, tmp_path):
         for b in listener.batches
         if b["num_input_rows"] > 0 and b["observed"]
     )
+
+
+def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
+    """T6/T7 end-to-end: stop a stream mid-input, restart from the SAME
+    checkpoint with new input present — the restarted query must resume
+    from the recorded offset (no reprocessing, no gaps), and explicit
+    redelivery of a batch through the append sink must be idempotent
+    (batch-addressed overwrite). Final table == full input exactly once."""
+    import glob
+    import shutil
+
+    from kafka_flink_streaming_pipeline_spark.streaming.txn_sink import (
+        read_append_table,
+        txn_append_sink,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    n_events = events.count()
+    all_chunks = str(tmp_path / "all_chunks")
+    prepare_replay_chunks(spark, events, all_chunks, n_chunks=6)
+    files = sorted(glob.glob(f"{all_chunks}/*.parquet"))
+    assert len(files) == 6
+
+    live = str(tmp_path / "live")
+    table = str(tmp_path / "append_table")
+    ck = str(tmp_path / "ck")
+    import os
+
+    os.makedirs(live)
+    for f in files[:3]:
+        shutil.copy(f, live)
+
+    def run_once():
+        q = (
+            replay_stream(spark, live)
+            .writeStream.foreachBatch(txn_append_sink(table))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    mid = read_append_table(spark, table)
+    n_mid = mid.drop("batch_id").count()
+    assert 0 < n_mid < n_events
+
+    # new data arrives while the query is DOWN; restart from checkpoint
+    for f in files[3:]:
+        shutil.copy(f, live)
+    run_once()
+
+    final = read_append_table(spark, table).drop("batch_id")
+    assert final.count() == n_events  # no gaps, no duplicates
+    assert (
+        final.select("event_id").subtract(events.select("event_id")).count() == 0
+        and events.select("event_id").subtract(final.select("event_id")).count() == 0
+    )
+
+    # explicit redelivery: re-running a committed batch is a no-op
+    # (materialized first — a real redelivery arrives from the SOURCE,
+    # not lazily from the directory the sink is about to overwrite)
+    some_batch = spark.read.parquet(f"{table}/batch_id=0").localCheckpoint(eager=True)
+    txn_append_sink(table)(some_batch, 0)
+    txn_append_sink(table)(some_batch, 0)
+    assert read_append_table(spark, table).drop("batch_id").count() == n_events
