@@ -88,6 +88,7 @@ HEADLINE = [
     "cdc_latest_state_per_user",
     "sim_topk_cosine_int8",
     "events_props_variant",
+    "event_transition_matrix",
 ]
 
 

@@ -233,7 +233,64 @@ ORDER BY event_type
 """
 
 
+# --- next-event transition matrix (Markov path analysis) ------------------
+
+
+def _event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event paths:
+    LEAD(event_type) over (user_id, time) pairs each event with its
+    successor; the transition share divides each pair count by the
+    from-state's total — exact integer counts, divided once, rounded.
+    The window partitions by user_id (bounded partitions — never a
+    global sort), and the two aggregations reuse the same hash layout.
+    The reference's sessionization (`analysis/flink-analysis.sql:94-152`)
+    asks "how long do users stay"; this asks "where do they go next"."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_from), 4).alias("share"),
+    ).orderBy("from_type", "to_type")
+
+
+_TRANSITIONS_ORACLE = """
+WITH pairs AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 4) AS share
+FROM counts
+ORDER BY from_type, to_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "event_transition_matrix": QuerySpec(
+        "event_transition_matrix",
+        _event_transitions,
+        _TRANSITIONS_ORACLE,
+        "first-order Markov next-event transitions with per-from-state shares",
+    ),
     "events_props_variant": QuerySpec(
         "events_props_variant",
         _props_variant,

@@ -292,3 +292,54 @@ def test_rank1_per_key_uses_window_group_limit(spark):
     per key per map partition."""
     for name in ("cdc_latest_state_per_user", "q8_hourly_top20_24h"):
         assert "WindowGroupLimit" in _plan(spark, name), name
+
+
+def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
+    """Skew story, part 2: manual salting (`operators/skew.py`) is the
+    explicit-control path; this proves the AQE path — with skew-join
+    enabled, a sort-merge join whose shuffle has one hot key gets its
+    oversized partitions SPLIT at runtime (plan marks the join
+    skew=true) instead of serializing the hot key onto one task."""
+    hot = spark.range(0, 60_000).selectExpr(
+        "0 as k", "id as payload", "repeat('x', 64) as pad"
+    )
+    cold = spark.range(0, 2_000).selectExpr(
+        "(id % 50) + 1 as k", "id as payload", "repeat('x', 64) as pad"
+    )
+    fact_path = str(tmp_path / "fact")
+    hot.unionAll(cold).write.parquet(fact_path)
+    dim = spark.range(0, 51).selectExpr("id as k", "id * 10 as dim_val")
+    dim_path = str(tmp_path / "dim")
+    dim.write.parquet(dim_path)
+
+    overrides = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        joined = (
+            spark.read.parquet(fact_path)
+            .join(spark.read.parquet(dim_path), "k")
+            .select("k", "payload", "dim_val")
+        )
+        # run THIS df so its own adaptive execution finalizes (a count()
+        # would execute a different QueryExecution); a same-key aggregate
+        # downstream would also veto the split (it would need re-shuffle)
+        rows = joined.collect()
+        assert len(rows) == 62_000  # join result is correct
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
