@@ -89,6 +89,7 @@ HEADLINE = [
     "sim_topk_cosine_int8",
     "events_props_variant",
     "event_transition_matrix",
+    "sketch_rollup_active_users",
 ]
 
 

@@ -11,13 +11,26 @@ from kafka_flink_streaming_pipeline_spark.operators import (
     dedup,
     multimodal,
     similarity,
+    sketches,
     skew,
     text,
 )
 from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
 
 QUERIES: dict[str, QuerySpec] = {}
-for _mod in (text, dedup, similarity, multimodal, skew, curation, asof, interval_join, datasets, corpus):
+for _mod in (
+    text,
+    dedup,
+    similarity,
+    multimodal,
+    skew,
+    curation,
+    asof,
+    interval_join,
+    datasets,
+    corpus,
+    sketches,
+):
     for _k, _v in _mod.QUERIES.items():
         assert _k not in QUERIES, f"duplicate operator query {_k}"
         QUERIES[_k] = _v

@@ -140,3 +140,74 @@ def test_sessionizer_boundary_exact_gap_is_same_session():
         (base, base + GAP_US, 2, 1),
         (base + 2 * GAP_US + 1, base + 2 * GAP_US + 1, 1, 1),
     ]
+
+
+def test_hll_sketch_rollup_accuracy_and_mergeability(spark):
+    """HLL sketch rollup: every per-type estimate and the union-merged
+    ALL row must land within 5% of the exact distinct count (lgK=12 →
+    ~1.6% standard error), and merging per-group sketches must equal
+    sketching the union directly — the property that makes sketch
+    rollup tables answer arbitrary group unions without fact re-scans."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_streaming_pipeline_spark.operators.sketches import sketch_rollup
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+    from tests.conftest import SF_CORRECT
+
+    got = {r.event_type: r.approx_users for r in sketch_rollup(spark, SF_CORRECT).collect()}
+
+    ev = load_table(spark, SF_CORRECT, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    exact["ALL"] = ev.select("user_id").distinct().count()
+
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+
+    direct_all = (
+        ev.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).cast("long"))
+        .collect()[0][0]
+    )
+    assert got["ALL"] == direct_all  # merge-of-sketches == sketch-of-union
+
+
+def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
+    """Incremental view maintenance: updating the rollup one date-slice
+    at a time (with an overlapping redelivery) must converge to exactly
+    the full recompute — dynamic partition overwrite keeps per-date
+    updates idempotent and history untouched."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_streaming_pipeline_spark.jobs.incremental_rollup import (
+        read_rollup,
+        rollup_frame,
+        update_rollup,
+    )
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    dates = sorted(r[0] for r in ev.select(F.to_date("ts")).distinct().collect())
+    assert len(dates) >= 4
+    half = len(dates) // 2
+    rollup = str(tmp_path / "rollup")
+
+    update_rollup(spark, ev, rollup, dates[:half])
+    n_after_first = read_rollup(spark, rollup).count()
+    assert 0 < n_after_first
+    update_rollup(spark, ev, rollup, dates[half:])
+    # redeliver an already-processed slice (retry) — must be a no-op
+    update_rollup(spark, ev, rollup, dates[half - 1 : half + 1])
+
+    got = {
+        (str(r.d), r.event_type, r.n, str(r.sum_value), r.users)
+        for r in read_rollup(spark, rollup).collect()
+    }
+    want = {
+        (str(r.d), r.event_type, r.n, str(r.sum_value), r.users)
+        for r in rollup_frame(ev).collect()
+    }
+    assert got == want
