@@ -90,6 +90,7 @@ HEADLINE = [
     "events_props_variant",
     "event_transition_matrix",
     "sketch_rollup_active_users",
+    "fp_hop_trending_docs_10m_5m",
 ]
 
 

@@ -358,7 +358,63 @@ ORDER BY window_end
 """
 
 
+# --- trending docs per sliding window (HOP + rank) ------------------------
+
+
+def hop_trending_docs_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 trending documents per 10-min window sliding every 5
+    minutes — the HOP generator expansion composed with the W1 rank
+    pattern: expand map-side (2 windows/row), partial-agg before the
+    one shuffle on (window, doc), then WindowGroupLimit keeps 3 rows
+    per window at the exchange. The 'what's hot right now' feed every
+    clickstream product ships; windows and ranks both carry explicit
+    tiebreaks."""
+    e = _enriched(spark, sf_dir)
+    counts = e.groupBy(
+        F.window("event_time", "10 minutes", "5 minutes").alias("w"), "document_id"
+    ).agg(F.count("*").alias("views"))
+    rank_w = Window.partitionBy("w").orderBy(F.desc("views"), F.asc("document_id"))
+    return (
+        counts.withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.date_format("w.end", TS_FMT).alias("window_end"),
+            "document_id",
+            "views",
+            "rn",
+        )
+        .orderBy("window_end", "rn")
+    )
+
+
+HOP_TRENDING_ORACLE = f"""{_BASE5_SQL}
+, hopped AS (
+  SELECT document_id, win_end + k * (INTERVAL 5 MINUTE) AS win_end2
+  FROM base, (VALUES (0), (1)) t(k)
+),
+counts AS (
+  SELECT win_end2, document_id, count(*) AS views
+  FROM hopped GROUP BY win_end2, document_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY win_end2
+                               ORDER BY views DESC, document_id ASC) AS rn
+  FROM counts
+)
+SELECT strftime(win_end2, '%Y-%m-%d %H:%M:%S') AS window_end,
+       document_id, views, rn
+FROM ranked WHERE rn <= 3
+ORDER BY window_end, rn
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "fp_hop_trending_docs_10m_5m": QuerySpec(
+        "fp_hop_trending_docs_10m_5m",
+        hop_trending_docs_10m_5m,
+        HOP_TRENDING_ORACLE,
+        "sliding-window trending top-3 docs: HOP expansion + WindowGroupLimit rank",
+    ),
     "fp_hop_active_users_10m_5m": QuerySpec(
         "fp_hop_active_users_10m_5m",
         hop_active_users_10m_5m,

@@ -410,3 +410,68 @@ def enrich_stream_job(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def fanout_stream_job(
+    stream: DataFrame, raw_path: str, rollup_path: str, checkpoint: str
+) -> StreamingQuery:
+    """One source read, two sinks. The reference consumes the SAME Kafka
+    topics in two separate Flink jobs (events_postgres_sink.sql and
+    redis_sink — each with its own consumer group, deserialization and
+    network read); at 100 TB that doubles broker egress and decode CPU.
+    The Spark-native fan-out is one foreachBatch whose persisted batch
+    serves both sinks:
+
+    1. raw events → batch-addressed append table (txn_sink pattern,
+       idempotent under redelivery);
+    2. 5-min per-type rollup — recomputed FROM THE RAW TABLE for the
+       windows touched by this batch, then keyed-overwritten via
+       merge_upsert. Deriving sink 2 from sink 1 (instead of adding
+       batch partials) makes the whole pipeline idempotent: a replayed
+       batch overwrites its raw directory, then recomputes the same
+       window rows to the same values. At lake scale the recompute
+       prunes to the touched windows' partitions (incremental_rollup
+       pattern); counters-in-a-transaction (Delta MERGE +=) is the
+       alternative when raw retention is shorter than the rollup's.
+    """
+    from kafka_flink_streaming_pipeline_spark.streaming.txn_sink import (
+        read_append_table,
+        txn_append_sink,
+    )
+    from kafka_flink_streaming_pipeline_spark.streaming.upsert import merge_upsert
+
+    raw_sink = txn_append_sink(raw_path)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.persist()
+        try:
+            raw_sink(batch_df, batch_id)
+            touched = (
+                batch_df.select(
+                    F.window("event_time", "5 minutes").alias("w")
+                )
+                .select(F.col("w.end").alias("window_end"))
+                .distinct()
+            )
+            raw = read_append_table(spark, raw_path)
+            recomputed = (
+                raw.groupBy(
+                    F.window("event_time", "5 minutes").alias("w"), "event_type"
+                )
+                .agg(F.count("*").alias("n"))
+                .select(F.col("w.end").alias("window_end"), "event_type", "n")
+                .join(F.broadcast(touched), "window_end")
+            )
+            merge_upsert(
+                spark, recomputed, rollup_path, ["window_end", "event_type"], "n"
+            )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
