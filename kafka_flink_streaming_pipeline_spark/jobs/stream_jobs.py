@@ -18,7 +18,7 @@ import argparse
 
 def main() -> None:
     p = argparse.ArgumentParser(description="streaming jobs (FP1 raw / FP2 features)")
-    p.add_argument("--job", choices=["raw", "features", "global"], required=True)
+    p.add_argument("--job", choices=["raw", "features", "global", "fanout"], required=True)
     p.add_argument("--source", choices=["file", "kafka"], default="file")
     p.add_argument("--chunks", help="watch dir (file source)")
     p.add_argument("--topic", default="events")
@@ -47,6 +47,22 @@ def main() -> None:
         stream = kafka_stream(
             spark, args.topic, WIRE_SCHEMA, brokers=args.brokers, watermark=args.watermark
         )
+    if args.job == "fanout":
+        from kafka_flink_streaming_pipeline_spark.streaming.jobs import (
+            fanout_stream_job,
+        )
+        from kafka_flink_streaming_pipeline_spark.streaming.txn_sink import (
+            read_append_table,
+        )
+
+        q = fanout_stream_job(
+            stream, f"{args.table}/raw", f"{args.table}/rollup", args.checkpoint
+        )
+        q.awaitTermination()
+        n_raw = read_append_table(spark, f"{args.table}/raw").count()
+        n_roll = spark.read.parquet(f"{args.table}/rollup").count()
+        print(f"fanout: {n_raw} raw rows, {n_roll} rollup rows")
+        return
     if args.job == "global":
         from kafka_flink_streaming_pipeline_spark.streaming.jobs import (
             global_features_stream_jobs,

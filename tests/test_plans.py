@@ -343,3 +343,14 @@ def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_documents_scan_prunes_to_needed_columns(spark):
+    """Column pruning on the wide corpus table: a 2-column analysis must
+    scan 2 columns — at 100 TB reading `documents.*` for a token count
+    is the difference between scanning text-only and the whole corpus."""
+    plan = _plan(spark, "text_token_stats")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:1500]
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"source", "text"}, cols
