@@ -91,6 +91,8 @@ HEADLINE = [
     "event_transition_matrix",
     "sketch_rollup_active_users",
     "fp_hop_trending_docs_10m_5m",
+    "profile_gapfill_minutely",
+    "profile_key_skew",
 ]
 
 

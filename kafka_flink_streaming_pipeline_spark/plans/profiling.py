@@ -145,7 +145,104 @@ WHERE rn = 1
 """
 
 
+# --- time-series gap fill (densification) ---------------------------------
+
+
+def _gapfill_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled per-minute event counts: the dense minute spine is
+    GENERATED from the 1-row min/max aggregate (`explode(sequence(...))`
+    — never materialized as input), the fact side is aggregated to
+    per-minute counts BEFORE joining, and missing minutes coalesce to
+    zero. The densification every monitoring chart needs (the
+    reference's Q1 events-per-minute silently drops empty minutes —
+    `analysis/flink-analysis.sql:9-23`). At 100 TB the spine is |span|
+    rows and the join is spine-vs-|span| aggregates — the raw fact
+    table never meets the generator."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("minute", F.min("ts")).alias("lo"),
+        F.date_trunc("minute", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 MINUTE"))).alias("minute")
+    )
+    counts = ev.groupBy(F.date_trunc("minute", "ts").alias("minute")).agg(
+        F.count("*").alias("n")
+    )
+    return (
+        spine.join(counts, "minute", "left")
+        .select(
+            F.date_format("minute", TS_FMT).alias("minute_ts"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+        .orderBy("minute_ts")
+    )
+
+
+_GAPFILL_ORACLE = """
+WITH b AS (
+  SELECT date_trunc('minute', min(ts)) AS lo, date_trunc('minute', max(ts)) AS hi
+  FROM events
+),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL '1 minute')) AS minute FROM b),
+counts AS (SELECT date_trunc('minute', ts) AS minute, count(*) AS n FROM events GROUP BY 1)
+SELECT strftime(spine.minute, '%Y-%m-%d %H:%M:%S') AS minute_ts,
+       coalesce(n, 0) AS n
+FROM spine LEFT JOIN counts USING (minute)
+ORDER BY minute_ts
+"""
+
+
+# --- key-skew profiler -----------------------------------------------------
+
+
+def _key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile — the diagnostic run BEFORE choosing a
+    join strategy at scale: per-key cardinalities reduced to one row of
+    distribution stats (max/p99/p50, hot-key share, skew factor =
+    max/mean). Two aggregations: the first shuffles |keys| partials,
+    the second reduces |keys| rows to 1. When skew_factor is high, the
+    plans switch to salting (`operators/skew.py`) or AQE skew-split
+    (`test_aqe_splits_skewed_join_partitions`)."""
+    o = load_table(spark, sf_dir, "orders")
+    per_key = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("total_rows"),
+        F.max("n").alias("max_key_rows"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)").cast("long").alias("p50"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY n)").cast("long").alias("p99"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("hot_key_share"),
+        F.round(F.max("n") * F.count("*") / F.sum("n"), 4).alias("skew_factor"),
+    )
+
+
+_KEY_SKEW_ORACLE = """
+WITH c AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
+SELECT count(*) AS n_keys,
+       sum(n) AS total_rows,
+       max(n) AS max_key_rows,
+       CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50,
+       CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99,
+       round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS hot_key_share,
+       round(max(n) * count(*) / CAST(sum(n) AS DOUBLE), 4) AS skew_factor
+FROM c
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "profile_gapfill_minutely": QuerySpec(
+        "profile_gapfill_minutely",
+        _gapfill_minutely,
+        _GAPFILL_ORACLE,
+        "time-series densification: generated minute spine ⟕ pre-aggregated counts",
+    ),
+    "profile_key_skew": QuerySpec(
+        "profile_key_skew",
+        _key_skew_profile,
+        _KEY_SKEW_ORACLE,
+        "join-key skew diagnostic: per-key counts reduced to distribution stats",
+    ),
     "profile_histogram_order_totals": QuerySpec(
         "profile_histogram_order_totals",
         _histogram_order_totals,
