@@ -93,6 +93,9 @@ HEADLINE = [
     "fp_hop_trending_docs_10m_5m",
     "profile_gapfill_minutely",
     "profile_key_skew",
+    "profile_equidepth_histogram",
+    "profile_anomalous_hours",
+    "pagerank_event_graph",
 ]
 
 

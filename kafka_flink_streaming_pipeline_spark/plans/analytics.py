@@ -284,7 +284,103 @@ ORDER BY from_type, to_type
 """
 
 
+# --- fixed-iteration PageRank over the event-transition graph --------------
+
+_PR_DAMPING = 0.85
+_PR_ITERS = 3
+
+
+def _pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (3 fixed iterations, d=0.85) over the
+    event-type transition graph from `event_transition_matrix`: nodes =
+    event types, edge weight = observed transition probability. The
+    iterative structure every link-analysis / influence-propagation job
+    needs, expressed as UNROLLED declarative plans: each iteration is a
+    co-partitioned rank⋈edges join + groupBy(dst) — Catalyst sees one
+    DAG, reuses the edge exchange across iterations, and nothing ever
+    touches the driver (node count enters as a broadcast 1-row
+    aggregate, not a collected scalar). At 100 TB the per-iteration
+    shuffle carries |edges| rows keyed by node — the textbook
+    distributed formulation (Page et al. 1999; Malewicz et al., Pregel,
+    SIGMOD'10). Dangling mass is not redistributed (documented; oracle
+    identical). Round-4 output contract like the transition shares."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    weights = pairs.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    out_tot = weights.groupBy("src").agg(F.sum("w").alias("tot"))
+    edges = weights.join(out_tot, "src").select(
+        "src", "dst", (F.col("w") / F.col("tot")).alias("p")
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    nn = nodes.agg(F.count("*").cast("double").alias("n_nodes"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ranks.join(edges, ranks["node"] == edges["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - _PR_DAMPING) / F.col("n_nodes")
+                    + F.lit(_PR_DAMPING) * F.coalesce("c", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", F.round("rank", 4).alias("rank")).orderBy("node")
+
+
+def _pagerank_oracle() -> str:
+    d = _PR_DAMPING
+    iters = "\n".join(
+        f"""r{k} AS (
+  SELECT nodes.node, {1.0 - d} / nn.n_nodes + {d} * coalesce(c.s, 0) AS rank
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst, sum(r.rank * e.p) AS s
+             FROM r{k - 1} r JOIN edges e ON r.node = e.src
+             GROUP BY e.dst) c ON nodes.node = c.dst
+),"""
+        for k in range(1, _PR_ITERS + 1)
+    )
+    return f"""
+WITH pairs AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+),
+weights AS (
+  SELECT src, dst, count(*) AS w FROM pairs WHERE dst IS NOT NULL GROUP BY src, dst
+),
+edges AS (
+  SELECT w.src, w.dst, w.w / CAST(t.tot AS DOUBLE) AS p
+  FROM weights w JOIN (SELECT src, sum(w) AS tot FROM weights GROUP BY src) t USING (src)
+),
+nodes AS (SELECT DISTINCT event_type AS node FROM events),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM nodes),
+r0 AS (SELECT node, 1.0 / n_nodes AS rank FROM nodes CROSS JOIN nn),
+{iters}
+final AS (SELECT node, rank FROM r{_PR_ITERS})
+SELECT node, round(rank, 4) AS rank FROM final ORDER BY node
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pagerank_event_graph": QuerySpec(
+        "pagerank_event_graph",
+        _pagerank_event_graph,
+        _pagerank_oracle(),
+        "weighted PageRank, 3 unrolled iterations over the transition graph",
+    ),
     "event_transition_matrix": QuerySpec(
         "event_transition_matrix",
         _event_transitions,

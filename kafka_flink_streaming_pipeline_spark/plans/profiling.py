@@ -230,7 +230,140 @@ FROM c
 """
 
 
+# --- equi-depth histogram ---------------------------------------------------
+
+
+def _equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-boundary) histogram of order totals: the
+    quartile boundaries come from ONE 1-row percentile aggregate that is
+    broadcast back onto the fact scan; bucket assignment is then a
+    map-side CASE, and the final count is a |buckets|-row shuffle. The
+    complement of the equi-width histogram above — equal POPULATION per
+    bucket instead of equal width. At 100 TB the boundary aggregate is
+    the only full-data pass before the (tiny) bucket agg; for unbounded
+    inputs swap percentile_disc for approx_percentile (same plan shape,
+    documented deviation)."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        *[
+            F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY o_totalprice)").alias(name)
+            for q, name in ((0.25, "q1"), (0.5, "q2"), (0.75, "q3"))
+        ]
+    )
+    bucket = (
+        F.when(F.col("o_totalprice") <= F.col("q1"), 0)
+        .when(F.col("o_totalprice") <= F.col("q2"), 1)
+        .when(F.col("o_totalprice") <= F.col("q3"), 2)
+        .otherwise(3)
+        .cast("int")
+        .alias("bucket")
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_EQUIDEPTH_ORACLE = """
+WITH b AS (
+  SELECT quantile_disc(o_totalprice, 0.25) AS q1,
+         quantile_disc(o_totalprice, 0.5)  AS q2,
+         quantile_disc(o_totalprice, 0.75) AS q3
+  FROM orders
+)
+SELECT CAST(CASE WHEN o_totalprice <= q1 THEN 0
+            WHEN o_totalprice <= q2 THEN 1
+            WHEN o_totalprice <= q3 THEN 2
+            ELSE 3 END AS INTEGER) AS bucket,
+       count(*) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders, b
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+# --- robust anomaly detection (median / MAD) --------------------------------
+
+
+def _anomalous_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust volume-anomaly detector over the ingest: hourly event
+    counts flagged where |n − median| > 3·MAD (median absolute
+    deviation). Median/MAD instead of mean/stddev so the anomalies
+    themselves cannot drag the baseline (the classic monitoring
+    failure). Plan: the fact table collapses to |hours| rows in one
+    two-phase agg; the two robust scalars are 1-row aggregates OVER
+    THAT (not over raw events) broadcast back — the raw table is
+    scanned exactly once regardless of scale. Robust z = 0.6745·(n −
+    med)/MAD (the normal-consistency constant)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n")
+    )
+    med = counts.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)")
+        .cast("double")
+        .alias("med")
+    )
+    dev = counts.crossJoin(F.broadcast(med)).withColumn(
+        "abs_dev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY abs_dev)")
+        .cast("double")
+        .alias("mad")
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .filter((F.col("mad") > 0) & (F.col("abs_dev") > 3 * F.col("mad")))
+        .select(
+            F.date_format("hour", TS_FMT).alias("hour_ts"),
+            "n",
+            F.round(F.lit(0.6745) * (F.col("n") - F.col("med")) / F.col("mad"), 4).alias(
+                "robust_z"
+            ),
+        )
+        .orderBy("hour_ts")
+    )
+
+
+_ANOMALY_ORACLE = """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1
+),
+med AS (SELECT quantile_disc(n, 0.5)::DOUBLE AS med FROM c),
+dev AS (SELECT c.hour, c.n, abs(c.n - med.med) AS abs_dev, med.med FROM c, med),
+mad AS (SELECT quantile_disc(abs_dev, 0.5)::DOUBLE AS mad FROM dev)
+SELECT strftime(dev.hour, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       dev.n,
+       round(0.6745 * (dev.n - dev.med) / mad.mad, 4) AS robust_z
+FROM dev, mad
+WHERE mad.mad > 0 AND dev.abs_dev > 3 * mad.mad
+ORDER BY hour_ts
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "profile_equidepth_histogram": QuerySpec(
+        "profile_equidepth_histogram",
+        _equidepth_histogram,
+        _EQUIDEPTH_ORACLE,
+        "equi-depth histogram: broadcast quantile boundaries + map-side CASE bucketing",
+    ),
+    "profile_anomalous_hours": QuerySpec(
+        "profile_anomalous_hours",
+        _anomalous_hours,
+        _ANOMALY_ORACLE,
+        "median/MAD robust volume anomaly flags over hourly ingest counts",
+    ),
     "profile_gapfill_minutely": QuerySpec(
         "profile_gapfill_minutely",
         _gapfill_minutely,

@@ -354,3 +354,52 @@ def test_documents_scan_prunes_to_needed_columns(spark):
     assert m, plan[:1500]
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"source", "text"}, cols
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
+    """Runtime row-level filtering — the 100 TB semi-join reduction: when
+    a big fact table shuffle-joins a selectively-filtered side, Catalyst
+    builds a bloom filter from the filtered side's join keys and injects
+    a `might_contain` predicate into the FACT scan, so non-matching rows
+    die at the source instead of riding the shuffle. Thresholds are
+    production-scale (10 GB application side), so this lowers them to
+    observe the mechanism on test data."""
+    fact = spark.range(0, 200_000).selectExpr(
+        "id % 5000 as k", "id as payload", "repeat('x', 48) as pad"
+    )
+    fact_path = str(tmp_path / "fact")
+    fact.write.parquet(fact_path)
+    dim = spark.range(0, 5000).selectExpr(
+        "id as k", "id % 100 as cat", "repeat('y', 32) as pad"
+    )
+    dim_path = str(tmp_path / "dim")
+    dim.write.parquet(dim_path)
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        joined = (
+            spark.read.parquet(fact_path)
+            .join(
+                spark.read.parquet(dim_path).filter(F.col("cat") == 7),
+                "k",
+            )
+            .select("k", "payload", "cat")
+        )
+        rows = joined.collect()
+        assert len(rows) == 2_000  # 50 surviving keys x 40 fact rows each
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
