@@ -96,6 +96,10 @@ HEADLINE = [
     "profile_equidepth_histogram",
     "profile_anomalous_hours",
     "pagerank_event_graph",
+    "sample_docs_weighted",
+    "pack_docs_to_budget",
+    "user_event_sequences",
+    "dedup_incoming_vs_corpus",
 ]
 
 

@@ -28,7 +28,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
@@ -282,7 +282,197 @@ WHERE (s2 - s1 * s1 / n) / (n - 1) > 0
 """
 
 
+# --- weighted sampling (Efraimidis–Spirakis exponential race) --------------
+
+_WSAMPLE_K = 100
+_U_DENOM = float(1 << 60)
+
+
+def sample_docs_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted top-k sample of the corpus without replacement:
+    the Efraimidis–Spirakis A-ES scheme (IPL 2006) in its exponential
+    form — each doc draws u ~ U(0,1) DETERMINISTICALLY from md5(doc_id)
+    (60 hash bits → uniform), races with key −ln(u)/w, and the k
+    smallest keys win. P(selection) ∝ weight (here n_chars: prefer
+    longer docs), yet the draw is a pure function of the key — same
+    sample across engines, partitionings and task retries, which
+    rand()-weighted sampling cannot promise. Plan: a stateless map +
+    global top-k (TakeOrderedAndProject) — no shuffle of the corpus,
+    only k rows move. The same race key also works per-group
+    (row_number over a group window) for stratified weighted draws."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+            "double"
+        )
+        + F.lit(1.0)
+    ) / F.lit(_U_DENOM)
+    race = -F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", F.col("n_chars").alias("weight"), race.alias("race_key"))
+        .orderBy("race_key", "doc_id")
+        .limit(_WSAMPLE_K)
+        .select("doc_id", "weight", F.round("race_key", 10).alias("race_key"))
+    )
+
+
+SAMPLE_WEIGHTED_ORACLE = f"""
+WITH raced AS (
+  SELECT doc_id, n_chars AS weight,
+         -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1.0)
+             / {_U_DENOM}) / n_chars AS race_key
+  FROM documents
+)
+SELECT doc_id, weight, round(race_key, 10) AS race_key
+FROM raced
+ORDER BY race_key, doc_id
+LIMIT {_WSAMPLE_K}
+"""
+
+
+# --- token-budget sequence packing -----------------------------------------
+
+_PACK_BUDGET = 2048
+
+
+def pack_docs_to_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: assign documents to fixed token-budget
+    packs per language, the assembly step that turns a curated corpus
+    into training sequences. Deterministic contract: docs are laid out
+    in doc_id order within each language, est_tokens = ceil(n_chars/4)
+    (the byte-proxy; swap in the real tokenizer's counts upstream), and
+    a doc belongs to the pack where its span STARTS —
+    pack = floor(preceding_cumsum / budget). Plan: one running-sum
+    window partitioned by lang (a single hash shuffle of |docs| skinny
+    rows) + one partial agg per pack; integer arithmetic end to end, so
+    the packing is bit-identical on any engine. At 100 TB the window
+    partitions by lang shard key — add a date/bucket column to the
+    partition key to bound per-partition state."""
+    d = load_table(spark, sf_dir, "documents")
+    est = F.ceil(F.col("n_chars") / F.lit(4)).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = d.select(
+        "lang",
+        "doc_id",
+        est.alias("est_tokens"),
+        F.coalesce(F.sum(est).over(w), F.lit(0)).alias("prior"),
+    ).withColumn("pack_id", F.floor(F.col("prior") / F.lit(_PACK_BUDGET)))
+    return (
+        packed.groupBy("lang", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("est_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "pack_id")
+    )
+
+
+PACK_ORACLE = f"""
+WITH est AS (
+  SELECT lang, doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_tokens
+  FROM documents
+),
+packed AS (
+  SELECT lang, doc_id, est_tokens,
+         coalesce(sum(est_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+  FROM est
+)
+SELECT lang, CAST(floor(prior / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+       count(*) AS n_docs,
+       sum(est_tokens) AS pack_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM packed
+GROUP BY 1, 2
+ORDER BY lang, pack_id
+"""
+
+
+# --- per-user ordered event sequences (SFT export) --------------------------
+
+_SEQ_MAX = 32
+
+
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-model training export: each user's event-type history in
+    strict (ts, event_id) order, truncated to the first `_SEQ_MAX`
+    steps, plus the untruncated length. The rank-before-collect idiom
+    (cf. listagg_top_customers): a row_number window bounds every
+    group to ≤32 rows BEFORE collect_list, so the collected arrays are
+    fixed-size no matter how hot a user is — an unbounded collect is a
+    per-group OOM at scale. The explicit array_sort on the carried rank
+    makes element order a contract (collect order is
+    partition-dependent)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.groupBy("user_id")
+        .agg(
+            F.count("*").alias("seq_len"),
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") <= _SEQ_MAX,
+                                F.struct("rn", "event_type"),
+                            )
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("seq"),
+        )
+        .orderBy("user_id")
+    )
+
+
+USER_SEQ_ORACLE = f"""
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id,
+       count(*) AS seq_len,
+       string_agg(CASE WHEN rn <= {_SEQ_MAX} THEN event_type END, '|' ORDER BY rn)
+         AS seq
+FROM ranked
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sample_docs_weighted": QuerySpec(
+        "sample_docs_weighted",
+        sample_docs_weighted,
+        SAMPLE_WEIGHTED_ORACLE,
+        "Efraimidis-Spirakis weighted top-k sample, deterministic hash draws",
+    ),
+    "pack_docs_to_budget": QuerySpec(
+        "pack_docs_to_budget",
+        pack_docs_to_budget,
+        PACK_ORACLE,
+        "token-budget sequence packing: running-sum window + per-pack rollup",
+    ),
+    "user_event_sequences": QuerySpec(
+        "user_event_sequences",
+        user_event_sequences,
+        USER_SEQ_ORACLE,
+        "bounded per-user ordered event sequences (rank-before-collect)",
+    ),
     "decontaminate_against_eval": QuerySpec(
         "decontaminate_against_eval",
         decontaminate_against_eval,

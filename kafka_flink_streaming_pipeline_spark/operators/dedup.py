@@ -31,7 +31,7 @@ groupBy(doc, band), and the candidate join shuffles only band keys.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
@@ -76,15 +76,21 @@ def _doc_shingles(
     raw stream (minhash minima are duplicate-invariant, so skipping the
     distinct lets tokenize → hash → partial-min fuse into the scan
     stage with no shuffle before the per-doc combine).
+    """
+    return _shingles_from(_docs_parallel(spark, sf_dir), distinct=distinct)
+
+
+def _shingles_from(docs: DataFrame, distinct: bool = True) -> DataFrame:
+    """Shingle stream from any (doc_id, text) frame — shared by the
+    batch dedup queries, the LSH index builder and the streaming
+    ingest gate (the same Catalyst pipeline runs in a foreachBatch).
 
     The words array is materialized in its own projection FIRST: putting
     `split(text)` inline inside the transform lambda would embed the
     split into every element_at — re-tokenizing the document once per
     shingle (O(len²) per doc; measured 2x slower end-to-end at sf0.1).
     """
-    d = _docs_parallel(spark, sf_dir).select(
-        "doc_id", F.split("text", " ").alias("ws")
-    )
+    d = docs.select("doc_id", F.split("text", " ").alias("ws"))
     ws = F.col("ws")
     n = F.size(ws)
     idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
@@ -300,6 +306,138 @@ ORDER BY d1, d2
 """
 
 
+# --- incoming-vs-corpus near-dup gate (the streaming dedup index) ----------
+
+_DUP_THRESH = 0.5  # est_jaccard admission threshold (6 of 12 minima agree)
+
+
+def lsh_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig ARRAY, band, band_key) for any (doc_id, text) frame —
+    the persistable LSH index rows. Same signature pipeline as
+    `dedup_minhash_lsh` (6 md5 calls → 12 permutations, one
+    map-side-combinable min aggregate), with the signature array carried
+    so candidate verification never joins back to a signature table."""
+    sigs = _minhash_sigs_columnar(_shingles_from(docs, distinct=False))
+    n_bands = _N_PERM // _BAND_SIZE
+    sig_arr = F.array(*[F.col(f"h{p}") for p in range(_N_PERM)]).alias("sig")
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",", *[F.col(f"h{p}") for p in range(_N_PERM) if p % n_bands == b]
+            ).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ]
+    return sigs.select(
+        "doc_id", sig_arr, F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "sig", "bk.band", "bk.band_key")
+
+
+def incoming_flags(
+    corpus_bands: DataFrame, incoming_bands: DataFrame, incoming_docs: DataFrame
+) -> DataFrame:
+    """Admission verdict per incoming doc against a pre-built corpus
+    index: LSH band equi-join → zip_with signature verify → best match
+    (rank-1 per incoming doc, jaccard DESC / corpus_doc ASC tiebreak)
+    → LEFT join back so never-matched docs surface with is_dup=false.
+    The corpus side is the INDEX (|corpus| × bands skinny rows), not
+    the corpus text — at 100 TB the gate touches ~200 bytes per corpus
+    doc and the incoming batch only."""
+    c = corpus_bands.select(
+        F.col("doc_id").alias("corpus_doc"), F.col("sig").alias("sig_c"), "band", "band_key"
+    )
+    i = incoming_bands.select(
+        F.col("doc_id").alias("incoming_doc"), F.col("sig").alias("sig_i"), "band", "band_key"
+    )
+    matches = F.size(
+        F.filter(F.zip_with("sig_c", "sig_i", lambda x, y: x == y), lambda m: m)
+    )
+    scored = (
+        c.join(i, ["band", "band_key"])
+        .select("corpus_doc", "incoming_doc", "sig_c", "sig_i")
+        .distinct()
+        .select(
+            "corpus_doc",
+            "incoming_doc",
+            F.round(matches.cast("double") / _N_PERM, 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= _DUP_THRESH)
+    )
+    w = Window.partitionBy("incoming_doc").orderBy(
+        F.desc("est_jaccard"), F.asc("corpus_doc")
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        incoming_docs.select(F.col("doc_id").alias("incoming_doc"))
+        .join(best, "incoming_doc", "left")
+        .select(
+            "incoming_doc",
+            F.col("corpus_doc").isNotNull().alias("is_dup"),
+            F.col("corpus_doc").alias("matched_doc"),
+            "est_jaccard",
+        )
+    )  # unsorted: one row per incoming doc
+
+
+def dedup_incoming_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming ingest near-dup gate
+    (`streaming/jobs.py dedup_index_stream_job`): corpus = docs with
+    doc_id % 3 != 0, incoming = the rest; every incoming doc gets an
+    admission verdict against the corpus LSH index. The split is the
+    stand-in for corpus-so-far vs today's crawl."""
+    d = _docs_parallel(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    incoming = d.filter(F.col("doc_id") % 3 == 0)
+    return incoming_flags(lsh_bands(corpus), lsh_bands(incoming), incoming)
+
+
+DEDUP_INCOMING_ORACLE = f"""
+WITH sh AS ({_DOC_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id, p.perm,
+         min(substr(md5(CAST(p.perm // 2 AS VARCHAR) || ':' || shingle),
+                    1 + 16 * (p.perm % 2), 16)) AS h
+  FROM sh CROSS JOIN (SELECT unnest(range(0, {_N_PERM})) AS perm) p
+  GROUP BY doc_id, p.perm
+),
+bands AS (
+  SELECT doc_id, perm % {_N_BANDS} AS band,
+         string_agg(h, ',' ORDER BY perm) AS band_key
+  FROM sigs
+  GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT c.doc_id AS corpus_doc, i.doc_id AS incoming_doc
+  FROM bands c JOIN bands i ON c.band = i.band AND c.band_key = i.band_key
+  WHERE c.doc_id % 3 != 0 AND i.doc_id % 3 = 0
+),
+scored AS (
+  SELECT corpus_doc, incoming_doc,
+         round(CAST(sum(CASE WHEN s1.h = s2.h THEN 1 ELSE 0 END) AS DOUBLE)
+               / {_N_PERM}, 6) AS est_jaccard
+  FROM cand
+  JOIN sigs s1 ON s1.doc_id = corpus_doc
+  JOIN sigs s2 ON s2.doc_id = incoming_doc AND s2.perm = s1.perm
+  GROUP BY corpus_doc, incoming_doc
+),
+best AS (
+  SELECT incoming_doc, corpus_doc, est_jaccard,
+         row_number() OVER (PARTITION BY incoming_doc
+                            ORDER BY est_jaccard DESC, corpus_doc) AS rn
+  FROM scored
+  WHERE est_jaccard >= {_DUP_THRESH}
+)
+SELECT d.doc_id AS incoming_doc,
+       b.corpus_doc IS NOT NULL AS is_dup,
+       b.corpus_doc AS matched_doc,
+       b.est_jaccard
+FROM documents d
+LEFT JOIN best b ON b.incoming_doc = d.doc_id AND b.rn = 1
+WHERE d.doc_id % 3 = 0
+"""
+
+
 # --- SimHash --------------------------------------------------------------
 
 _SIMHASH_POS = 16  # one vote per hex position of md5(word)
@@ -476,6 +614,12 @@ WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {_FUZZY_MAX_DIST}
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_incoming_vs_corpus": QuerySpec(
+        "dedup_incoming_vs_corpus",
+        dedup_incoming_vs_corpus,
+        DEDUP_INCOMING_ORACLE,
+        "per-doc admission verdict vs corpus LSH index (streaming gate's batch twin)",
+    ),
     "dedup_exact": QuerySpec(
         "dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE, "fingerprint hash-groupBy"
     ),

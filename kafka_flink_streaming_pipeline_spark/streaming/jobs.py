@@ -475,3 +475,55 @@ def fanout_stream_job(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def build_dedup_index(docs: DataFrame, index_path: str) -> None:
+    """Materialize the corpus LSH index — (doc_id, sig, band, band_key)
+    parquet, ~200 bytes/doc. Built once from the corpus-so-far, then
+    probed by every `dedup_index_stream_job` micro-batch; extend it by
+    appending the bands of admitted documents (same schema, same
+    builder)."""
+    from kafka_flink_streaming_pipeline_spark.operators.dedup import lsh_bands
+
+    lsh_bands(docs).write.mode("overwrite").parquet(index_path)
+
+
+def dedup_index_stream_job(
+    stream: DataFrame, index_path: str, out_path: str, checkpoint: str
+) -> StreamingQuery:
+    """Streaming ingest near-dup gate: every micro-batch of incoming
+    documents is minhash-signed (the same Catalyst pipeline as the
+    batch `dedup_minhash_lsh`, running inside foreachBatch) and probed
+    against the persisted corpus index; each doc gets an admission
+    verdict (is_dup, matched_doc, est_jaccard) written to a
+    batch-addressed append table — idempotent under redelivery, exactly
+    like the reference's upsert sinks are for keyed rows.
+
+    This is the streaming half of `dedup_incoming_vs_corpus` (the
+    oracled batch twin). Statewise the job is stateless — each document
+    arrives whole, so no cross-batch streaming state is needed; the
+    "state" is the index table itself, re-read per batch so an external
+    index-extension job can grow it between triggers (the stream-static
+    join contract)."""
+    from kafka_flink_streaming_pipeline_spark.operators.dedup import (
+        incoming_flags,
+        lsh_bands,
+    )
+    from kafka_flink_streaming_pipeline_spark.streaming.txn_sink import (
+        txn_append_sink,
+    )
+
+    write_batch = txn_append_sink(out_path)
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        index = spark.read.parquet(index_path)
+        flags = incoming_flags(index, lsh_bands(batch_df), batch_df)
+        write_batch(flags, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -19,7 +19,7 @@ from kafka_flink_streaming_pipeline_spark.streaming.jobs import (
     raw_sink_job,
 )
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_CORRECT, SF_SMOKE
 
 
 @pytest.fixture(scope="module")
@@ -973,3 +973,55 @@ def test_fanout_one_read_two_sinks(spark, tmp_path, chunks):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_gate_matches_batch(spark, tmp_path):
+    """The streaming ingest near-dup gate (LSH index probe per
+    micro-batch) must produce exactly the batch twin's verdicts, with
+    the incoming docs arriving across SEVERAL micro-batches — proving
+    the per-batch signing + stream-static index probe composes to the
+    corpus-level answer (the gate is per-doc, so batch boundaries must
+    not matter). Redelivery safety comes from the batch-addressed sink
+    (covered by test_checkpoint_restart_resumes_exactly_once's
+    machinery)."""
+    from kafka_flink_streaming_pipeline_spark.operators.dedup import (
+        dedup_incoming_vs_corpus,
+    )
+    from kafka_flink_streaming_pipeline_spark.streaming.jobs import (
+        build_dedup_index,
+        dedup_index_stream_job,
+    )
+    from kafka_flink_streaming_pipeline_spark.streaming.txn_sink import (
+        read_append_table,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    incoming = docs.filter(F.col("doc_id") % 3 == 0)
+
+    index_path = str(tmp_path / "lsh_index")
+    build_dedup_index(corpus, index_path)
+
+    # incoming docs as a file stream, 4 files -> 4 micro-batches
+    in_dir = str(tmp_path / "incoming")
+    incoming.repartition(4).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+
+    out = str(tmp_path / "verdicts")
+    q = dedup_index_stream_job(stream, index_path, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    got = (
+        read_append_table(spark, out)
+        .select("incoming_doc", "is_dup", "matched_doc", "est_jaccard")
+    )
+    want = dedup_incoming_vs_corpus(spark, SF_CORRECT)
+    assert got.count() == incoming.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # the gate must actually catch something at this SF
+    assert got.filter(F.col("is_dup")).count() > 0
