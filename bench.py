@@ -100,6 +100,8 @@ HEADLINE = [
     "pack_docs_to_budget",
     "user_event_sequences",
     "dedup_incoming_vs_corpus",
+    "sketch_cms_heavy_hitters",
+    "sample_docs_weighted_stratified",
 ]
 
 

@@ -316,6 +316,55 @@ def sample_docs_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STRAT_K = 10
+
+
+def sample_docs_weighted_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language weighted draw — the balanced-mixture sampler: the
+    same A-ES race key, ranked INSIDE each language with a row_number
+    window, top-10 per stratum. Equal allocation per language no matter
+    how skewed the corpus mix is, weights still biasing within the
+    stratum. One hash shuffle on lang; every stratum's state is its
+    top-k."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+            "double"
+        )
+        + F.lit(1.0)
+    ) / F.lit(_U_DENOM)
+    race = -F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("lang").orderBy("race_key", "doc_id")
+    return (
+        d.select(
+            "lang", "doc_id", F.col("n_chars").alias("weight"), race.alias("race_key")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _STRAT_K)
+        .select("lang", "doc_id", "weight", F.round("race_key", 10).alias("race_key"), "rn")
+        .orderBy("lang", "rn")
+    )
+
+
+SAMPLE_STRATIFIED_ORACLE = f"""
+WITH raced AS (
+  SELECT lang, doc_id, n_chars AS weight,
+         -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1.0)
+             / {_U_DENOM}) / n_chars AS race_key
+  FROM documents
+),
+ranked AS (
+  SELECT lang, doc_id, weight, race_key,
+         row_number() OVER (PARTITION BY lang ORDER BY race_key, doc_id) AS rn
+  FROM raced
+)
+SELECT lang, doc_id, weight, round(race_key, 10) AS race_key, rn
+FROM ranked
+WHERE rn <= {_STRAT_K}
+ORDER BY lang, rn
+"""
+
+
 SAMPLE_WEIGHTED_ORACLE = f"""
 WITH raced AS (
   SELECT doc_id, n_chars AS weight,
@@ -460,6 +509,12 @@ QUERIES: dict[str, QuerySpec] = {
         sample_docs_weighted,
         SAMPLE_WEIGHTED_ORACLE,
         "Efraimidis-Spirakis weighted top-k sample, deterministic hash draws",
+    ),
+    "sample_docs_weighted_stratified": QuerySpec(
+        "sample_docs_weighted_stratified",
+        sample_docs_weighted_stratified,
+        SAMPLE_STRATIFIED_ORACLE,
+        "per-language equal-allocation weighted draw (A-ES race inside each stratum)",
     ),
     "pack_docs_to_budget": QuerySpec(
         "pack_docs_to_budget",

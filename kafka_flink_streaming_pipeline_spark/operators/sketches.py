@@ -57,7 +57,127 @@ def sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- count-min sketch heavy hitters ----------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # buckets per row
+_CMS_TOPK = 20
+
+
+def _cms_bucket_expr(i: int, key):
+    """Row-i CMS bucket for a key: 32 md5 bits → [0, w). Same bytes in
+    both engines, so the sketch is oracle-checkable (unlike HLL)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), key)), 1, 8), 16, 10)
+        .cast("long")
+        % _CMS_W
+    )
+
+
+def cms_build(df: DataFrame, key_col: str) -> DataFrame:
+    """The count-min sketch as a RELATION: (row_i, bucket, cnt), d×w
+    rows total regardless of input cardinality (Cormode & Muthukrishnan,
+    J. Algorithms 2005). The d-way expansion is a map-side generator and
+    the partial aggregate collapses each partition to ≤ d·w rows before
+    the one shuffle — the sketch of a 100 TB table is 1024 rows.
+    Counters are plain sums, so sketches MERGE by element-wise addition
+    (union of shards ≡ sketch of union, exactly — proven in
+    tests/test_components_property.py)."""
+    key = F.col(key_col).cast("string")
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("row_i"), _cms_bucket_expr(i, key).alias("bucket"))
+            for i in range(_CMS_D)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .groupBy("p.row_i", "p.bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters from the count-min sketch: estimate(u) =
+    min over rows of counter[row_i][h_i(u)] (point query), compared
+    against the exact per-user count. The probe side joins the D×W
+    counter relation (broadcast — it is 1024 rows at ANY scale) instead
+    of re-scanning the fact table; ranked by the ESTIMATE, which is what
+    a production system has when the exact rollup is too big to keep.
+    CMS guarantees est ≥ exact always and est ≤ exact + εN w.h.p. —
+    both visible in the output (overestimate column)."""
+    ev = load_table(spark, sf_dir, "events")
+    cms = cms_build(ev, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    key = F.col("user_id").cast("string")
+    probes = exact.select(
+        "user_id",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"), _cms_bucket_expr(i, key).alias("bucket")
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("user_id", "exact_n", "p.row_i", "p.bucket")
+    est = (
+        probes.join(F.broadcast(cms), ["row_i", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return (
+        est.select(
+            "user_id",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overestimate"),
+        )
+        .orderBy(F.desc("cms_est"), F.asc("user_id"))
+        .limit(_CMS_TOPK)
+    )
+
+
+SKETCH_CMS_ORACLE = f"""
+WITH keyed AS (SELECT CAST(user_id AS VARCHAR) AS k, user_id FROM events),
+cms AS (
+  SELECT p.row_i,
+         CAST(('0x' || substr(md5(p.row_i || ':' || k), 1, 8)) AS BIGINT)
+           % {_CMS_W} AS bucket,
+         count(*) AS cnt
+  FROM keyed CROSS JOIN (SELECT unnest(range(0, {_CMS_D})) AS row_i) p
+  GROUP BY 1, 2
+),
+exact AS (SELECT user_id, CAST(user_id AS VARCHAR) AS k, count(*) AS exact_n
+          FROM events GROUP BY 1, 2),
+probes AS (
+  SELECT e.user_id, e.exact_n, p.row_i,
+         CAST(('0x' || substr(md5(p.row_i || ':' || e.k), 1, 8)) AS BIGINT)
+           % {_CMS_W} AS bucket
+  FROM exact e CROSS JOIN (SELECT unnest(range(0, {_CMS_D})) AS row_i) p
+),
+est AS (
+  SELECT user_id, exact_n, min(cnt) AS cms_est
+  FROM probes JOIN cms USING (row_i, bucket)
+  GROUP BY user_id, exact_n
+)
+SELECT user_id, exact_n, cms_est, cms_est - exact_n AS overestimate
+FROM est
+ORDER BY cms_est DESC, user_id
+LIMIT {_CMS_TOPK}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sketch_cms_heavy_hitters": QuerySpec(
+        "sketch_cms_heavy_hitters",
+        sketch_cms_heavy_hitters,
+        SKETCH_CMS_ORACLE,
+        "count-min sketch point queries: estimate-ranked heavy hitters vs exact",
+    ),
     "sketch_rollup_active_users": QuerySpec(
         "sketch_rollup_active_users",
         sketch_rollup,

@@ -211,3 +211,48 @@ def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
         for r in rollup_frame(ev).collect()
     }
     assert got == want
+
+
+def test_cms_merge_is_exact_and_estimates_bound(spark):
+    """Count-min sketch properties (Cormode & Muthukrishnan 2005):
+    (1) mergeability is EXACT — element-wise counter addition of two
+    shard sketches equals the sketch of the union (counters are sums;
+    this is what lets 1000 executors sketch independently and a rollup
+    table merge shards without fact re-scans); (2) point queries never
+    underestimate; (3) the sketch stays d×w rows regardless of input
+    cardinality."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_streaming_pipeline_spark.operators.sketches import (
+        _CMS_D,
+        _CMS_W,
+        cms_build,
+    )
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+    from tests.conftest import SF_CORRECT
+
+    ev = load_table(spark, SF_CORRECT, "events")
+    whole = cms_build(ev, "user_id")
+    assert whole.count() <= _CMS_D * _CMS_W
+
+    # (1) shard-and-merge == sketch of union, exactly
+    s1 = cms_build(ev.filter(F.col("event_id") % 2 == 0), "user_id")
+    s2 = cms_build(ev.filter(F.col("event_id") % 2 == 1), "user_id")
+    merged = (
+        s1.select("row_i", "bucket", "cnt")
+        .unionByName(s2.select("row_i", "bucket", "cnt"))
+        .groupBy("row_i", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+    # (2) est >= exact for every key (the CMS one-sided error guarantee)
+    from kafka_flink_streaming_pipeline_spark.operators.sketches import (
+        sketch_cms_heavy_hitters,
+    )
+
+    top = sketch_cms_heavy_hitters(spark, SF_CORRECT)
+    rows = top.collect()
+    assert len(rows) == 20
+    assert all(r.overestimate >= 0 for r in rows)
