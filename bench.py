@@ -102,6 +102,8 @@ HEADLINE = [
     "dedup_incoming_vs_corpus",
     "sketch_cms_heavy_hitters",
     "sample_docs_weighted_stratified",
+    "hybrid_retrieval_rerank",
+    "range_band_join_tiers",
 ]
 
 

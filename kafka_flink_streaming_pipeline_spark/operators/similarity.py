@@ -805,7 +805,77 @@ ORDER BY query_id, rank
 """
 
 
+# --- hybrid two-stage retrieval (lexical recall → vector rerank) -----------
+
+_HYBRID_RECALL = 50
+_HYBRID_K = 10
+
+
+def hybrid_retrieval_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG-standard hybrid retriever: BM25 lexical recall (top-50
+    candidates out of `operators/text.py bm25_scores` — the term-filtered
+    tf shuffle, nothing corpus-sized moves) followed by an exact
+    embedding-cosine rerank of ONLY those candidates against the query
+    vector (vec_id 0, a 1-row broadcast; vec_id ≡ doc_id in the
+    testdata). The candidate set bounds the vector scoring to k' rows,
+    so rerank cost is independent of corpus size — the composition that
+    makes exact cosine affordable at 100 TB: recall cheap and wide,
+    precision expensive and narrow."""
+    from kafka_flink_streaming_pipeline_spark.operators.text import bm25_scores
+
+    cands = (
+        bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_HYBRID_RECALL)
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = _with_norm(e.filter(F.col("vec_id") == 0), "query_id", "qv").select(
+        "qv", "query_id_nrm"
+    )
+    cv = _with_norm(e, "cand_id", "cv")
+    return (
+        cands.join(cv, cands["doc_id"] == cv["cand_id"])
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            "bm25",
+            _pair_cosine(
+                F.col("qv"), F.col("cv"), F.col("query_id_nrm"), F.col("cand_id_nrm")
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "doc_id")
+        .limit(_HYBRID_K)
+    )
+
+
+def _hybrid_oracle() -> str:
+    from kafka_flink_streaming_pipeline_spark.operators.text import BM25_SCORES_SQL
+
+    return f"""
+WITH cand AS (
+  SELECT * FROM ({BM25_SCORES_SQL}) ORDER BY bm25 DESC, doc_id LIMIT {_HYBRID_RECALL}
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v FROM e WHERE vec_id = 0)
+SELECT c.doc_id, c.bm25,
+       round(list_dot_product(q.v, ce.v)
+             / sqrt(list_dot_product(q.v, q.v))
+             / sqrt(list_dot_product(ce.v, ce.v)), 6) AS cosine
+FROM cand c
+JOIN e ce ON ce.vec_id = c.doc_id
+CROSS JOIN q
+ORDER BY cosine DESC, c.doc_id
+LIMIT {_HYBRID_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "hybrid_retrieval_rerank": QuerySpec(
+        "hybrid_retrieval_rerank",
+        hybrid_retrieval_rerank,
+        _hybrid_oracle(),
+        "two-stage retrieval: BM25 recall top-50 → exact cosine rerank top-10",
+    ),
     "sim_topk_cosine": QuerySpec(
         "sim_topk_cosine", topk_cosine, TOPK_ORACLE, "brute-force cosine top-k"
     ),

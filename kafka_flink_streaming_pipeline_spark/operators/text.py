@@ -290,10 +290,11 @@ _BM25_K1, _BM25_B = 1.2, 0.75
 _BM25_TERMS = ("spark", "join", "window")
 
 
-def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 keyword ranking (Robertson/Sparck Jones, the lexical-search
-    baseline every corpus pipeline keeps next to its ANN index): score
-    every document against a fixed query-term set, return the top-20.
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for every document matching ≥1 query term — the
+    full scored frame, reused by `bm25_search` (top-20 report) and the
+    hybrid retrieval pipeline (`operators/similarity.py
+    hybrid_retrieval_rerank`, which takes a wider candidate set).
 
     Plan shape for 100 TB: the token stream is filtered to the query
     terms BEFORE the tf aggregation, so the shuffle carries only
@@ -330,12 +331,21 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(scalars))
         .groupBy("doc_id")
         .agg(F.round(F.sum(contrib), 4).alias("bm25"))
+    )
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword ranking (Robertson/Sparck Jones, the lexical-search
+    baseline every corpus pipeline keeps next to its ANN index): the
+    scored frame from `bm25_scores`, top-20."""
+    return (
+        bm25_scores(spark, sf_dir)
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
 
 
-BM25_ORACLE = f"""
+BM25_SCORES_SQL = f"""
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 doclen AS (SELECT doc_id, length(toks) AS dl FROM d),
 s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
@@ -353,6 +363,10 @@ JOIN df USING (term)
 JOIN doclen USING (doc_id)
 CROSS JOIN s
 GROUP BY tf.doc_id
+"""
+
+BM25_ORACLE = f"""
+SELECT * FROM ({BM25_SCORES_SQL})
 ORDER BY bm25 DESC, doc_id
 LIMIT 20
 """

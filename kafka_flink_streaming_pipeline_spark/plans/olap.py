@@ -792,7 +792,78 @@ GROUP BY o_custkey
 """
 
 
+# --- banded range join ------------------------------------------------------
+
+_TIERS = [
+    (0, 0, 25_000),
+    (1, 25_000, 75_000),
+    (2, 75_000, 150_000),
+    (3, 150_000, 300_000),
+    (4, 300_000, 600_000),
+]
+_BANDW = 25_000
+
+
+def _range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-membership) join via BANDING: the tier dimension
+    has variable-width [lo, hi) intervals, so a naive `price BETWEEN lo
+    AND hi` join is a nested-loop theta join — O(|fact|·|dim|) and
+    unpartitionable. Banding fixes it: explode each interval into the
+    fixed-width buckets it overlaps, bucket the fact side with the same
+    width, EQUI-join on bucket, and re-check the exact bounds as a
+    residual filter. The join is now hash-partitionable on the bucket
+    key (broadcastable here because the expanded dim is 24 rows; with a
+    million intervals the same plan shuffle-partitions) — each fact row
+    is examined against only the intervals sharing its bucket, never
+    the whole dimension. The standard time/range-interval join strategy
+    (cf. interval_join.py for the streaming/time variant)."""
+    o = load_table(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(_TIERS, "tier_id INT, lo BIGINT, hi BIGINT")
+    expanded = tiers.select(
+        "tier_id",
+        "lo",
+        "hi",
+        F.explode(F.expr(f"sequence(lo div {_BANDW}, (hi - 1) div {_BANDW})")).alias(
+            "bucket"
+        ),
+    )
+    fact = o.select(
+        F.col("o_totalprice").alias("price"),
+        F.floor(F.col("o_totalprice") / _BANDW).cast("long").alias("bucket"),
+    )
+    return (
+        fact.join(F.broadcast(expanded), "bucket")
+        .filter((F.col("price") >= F.col("lo")) & (F.col("price") < F.col("hi")))
+        .groupBy("tier_id", "lo", "hi")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("price").cast("decimal(18,2)")).alias("revenue"),
+        )
+        .orderBy("tier_id")
+    )
+
+
+_RANGE_BAND_ORACLE = f"""
+WITH tiers(tier_id, lo, hi) AS (
+  VALUES {", ".join(f"({t}, {lo}, {hi})" for t, lo, hi in _TIERS)}
+)
+SELECT tier_id, lo, hi,
+       count(*) AS n_orders,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+FROM orders
+JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY tier_id, lo, hi
+ORDER BY tier_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "range_band_join_tiers": QuerySpec(
+        "range_band_join_tiers",
+        _range_band_join,
+        _RANGE_BAND_ORACLE,
+        "variable-width interval join lowered to bucket equi-join + residual filter",
+    ),
     "customer_order_dates_array": QuerySpec(
         "customer_order_dates_array",
         _order_dates_array,

@@ -403,3 +403,14 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_range_band_join_is_equi_not_nested_loop(spark):
+    """The banding rewrite's whole point: the variable-width interval
+    join must compile to a hash join on the bucket key (broadcastable /
+    shuffle-partitionable), NOT a BroadcastNestedLoopJoin — the theta
+    join a naive BETWEEN condition produces, which examines every fact
+    row against every interval."""
+    plan = _plan(spark, "range_band_join_tiers")
+    assert "NestedLoop" not in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
