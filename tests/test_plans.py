@@ -414,3 +414,31 @@ def test_range_band_join_is_equi_not_nested_loop(spark):
     plan = _plan(spark, "range_band_join_tiers")
     assert "NestedLoop" not in plan, plan[:1500]
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_bench_headline_names_all_resolve():
+    """Every bench.py HEADLINE entry must exist in the merged registry —
+    a typo'd name silently drops the query from the driver's BENCH
+    measurement (bench skips unknown names)."""
+    import bench
+
+    names = set(merged().keys())
+    missing = [n for n in bench.HEADLINE if n not in names]
+    assert not missing, missing
+
+
+def test_no_cartesian_product_in_battery(spark):
+    """Battery-wide plan sweep: no query may compile to a
+    CartesianProduct (both-sides-big unpartitioned cross join — the
+    plan that cannot survive any scale-up). Deliberate 1-row broadcasts
+    (max-ts scalars, bounds, corpus stats) compile to
+    BroadcastNestedLoopJoin, which is fine and excluded here."""
+    import bench
+
+    offenders = []
+    for name in bench.HEADLINE:
+        spec = merged()[name]
+        plan = spec.build(spark, SF_CORRECT)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
