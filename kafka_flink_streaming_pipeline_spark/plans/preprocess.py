@@ -101,6 +101,22 @@ def compact_partitions(
     )
 
 
+def read_evolving_appends(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Read an append table whose batches were written under EVOLVING
+    schemas: `mergeSchema` unions the per-file parquet schemas, so rows
+    from before a column existed surface it as NULL and every reader
+    sees the superset schema. The schema-drift half of the ingest
+    contract the reference never faces (its Flink DDLs are frozen;
+    a year-long 100 TB ingest is not): producers ADD columns over time
+    and old data must stay readable without rewrite. Columns may only
+    be added, never retyped — parquet merge fails on true type
+    conflicts, which is the correct loud failure. Per-file footers are
+    merged on the executors (a distributed read of footers, not data);
+    pin the merged schema in the catalog for steady-state reads so the
+    merge cost is paid once, not per query."""
+    return spark.read.option("mergeSchema", "true").parquet(table_dir)
+
+
 def _clean_events_str(spark: SparkSession, sf_dir: str) -> DataFrame:
     # string-formatted variants for cross-engine value hashing
     df = clean_events(spark, sf_dir)

@@ -126,3 +126,36 @@ def test_compaction_reduces_file_count(spark, tmp_path):
     b = spark.read.parquet(compacted)
     assert b.count() == cleaned.count()
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_schema_evolution_merged_read(spark, tmp_path):
+    """Append batches written under an evolving schema (a column added
+    mid-stream) must stay readable as ONE table: mergeSchema surfaces
+    the superset schema, pre-evolution rows read NULL for the new
+    column, and per-batch provenance is intact."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_streaming_pipeline_spark.plans.preprocess import (
+        read_evolving_appends,
+    )
+
+    base = str(tmp_path / "appends")
+    v1 = spark.range(0, 100).select(
+        F.col("id").alias("event_id"), (F.col("id") % 7).alias("value")
+    )
+    v1.write.parquet(f"{base}/batch_id=0")
+    # producer upgrade: adds a source column
+    v2 = spark.range(100, 150).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 7).alias("value"),
+        F.lit("crawler-v2").alias("source"),
+    )
+    v2.write.parquet(f"{base}/batch_id=1")
+
+    got = read_evolving_appends(spark, base)
+    assert set(got.columns) == {"event_id", "value", "source", "batch_id"}
+    assert got.count() == 150
+    old = got.filter(F.col("batch_id") == 0)
+    assert old.filter(F.col("source").isNull()).count() == 100
+    new = got.filter(F.col("batch_id") == 1)
+    assert new.filter(F.col("source") == "crawler-v2").count() == 50
