@@ -40,32 +40,44 @@ def main() -> None:
 
     from kafka_flink_streaming_pipeline_spark import get_spark
     from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
-    from pyspark.sql import Window
+    from kafka_flink_streaming_pipeline_spark.sources.streaming import (
+        assign_time_chunks,
+    )
 
     spark = get_spark("replay-producer")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # One shuffle writes every chunk (quantile time-slices, one file per
+    # chunk dir) — no `ntile() OVER (ORDER BY ts)` single-task global
+    # sort, which is exactly the driver-loop bottleneck the reference
+    # producer has (kafka_stream_producer.py:324-435). The driver then
+    # only paces file drops; per-chunk stats ride a tiny groupBy.
     events = load_table(spark, args.sf_dir, "events")
-    w = Window.orderBy("ts")
-    chunked = events.withColumn("chunk", F.ntile(args.chunks).over(w)).cache()
-    spans = {
-        r.chunk: (r.lo, r.hi)
+    chunked = assign_time_chunks(events, args.chunks)
+    staging = args.out.rstrip("/") + "__staging"
+    (
+        chunked.repartition(args.chunks, "chunk")
+        .write.mode("overwrite")
+        .partitionBy("chunk")
+        .parquet(staging)
+    )
+    stats = {
+        r.chunk: (r.n, r.lo, r.hi)
         for r in chunked.groupBy("chunk")
-        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .agg(F.count("*").alias("n"), F.min("ts").alias("lo"), F.max("ts").alias("hi"))
         .collect()
     }
     os.makedirs(args.out, exist_ok=True)
-    staging = args.out.rstrip("/") + "__staging"
     total = 0
     t_start = time.time()
     for i in range(1, args.chunks + 1):
-        chunk = chunked.filter(F.col("chunk") == i).drop("chunk")
-        chunk.coalesce(1).write.mode("overwrite").parquet(staging)
-        part = glob.glob(f"{staging}/part-*.parquet")[0]
-        shutil.copy(part, f"{args.out}/chunk_{i:04d}.parquet")
-        n = chunk.count()
+        if i not in stats:  # quantile ties can leave a chunk empty
+            continue
+        part = glob.glob(f"{staging}/chunk={i}/part-*.parquet")[0]
+        dst = f"{args.out}/chunk_{i:04d}.parquet"
+        shutil.copy(part, dst)
+        n, lo, hi = stats[i]
         total += n
-        lo, hi = spans[i]
         if args.time_scale > 0:
             time.sleep((hi - lo).total_seconds() * args.time_scale)
         rate = total / max(time.time() - t_start, 1e-9)

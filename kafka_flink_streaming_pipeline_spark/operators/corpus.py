@@ -165,12 +165,18 @@ def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     norm = F.sqrt(F.col("sq"))
+    # unit_vec ships as a comma-joined %.6f string: array cells are
+    # unhashable in a pandas-based canonicalizer (the driver's), and
+    # fixed-format printing of bit-identical doubles is engine-stable.
+    unit = F.transform("embedding", lambda x: x.cast("double") / norm)
     return (
         e.select("vec_id", "embedding", sq_sum.alias("sq"))
         .select(
             "vec_id",
             norm.alias("l2_norm"),
-            F.transform("embedding", lambda x: x.cast("double") / norm).alias("unit_vec"),
+            F.array_join(
+                F.transform(unit, lambda x: F.format_string("%.6f", x)), ","
+            ).alias("unit_vec"),
         )
     )
 
@@ -185,7 +191,9 @@ WITH sq AS (
 )
 SELECT vec_id,
        sqrt(sqsum) AS l2_norm,
-       list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(sqsum)) AS unit_vec
+       array_to_string(
+         list_transform(embedding, x -> printf('%.6f', CAST(x AS DOUBLE) / sqrt(sqsum))),
+         ',') AS unit_vec
 FROM sq
 """
 
@@ -435,7 +443,7 @@ packed AS (
 )
 SELECT lang, CAST(floor(prior / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id,
        count(*) AS n_docs,
-       sum(est_tokens) AS pack_tokens,
+       CAST(sum(est_tokens) AS BIGINT) AS pack_tokens,
        min(doc_id) AS first_doc,
        max(doc_id) AS last_doc
 FROM packed

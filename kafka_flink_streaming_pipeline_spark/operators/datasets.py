@@ -90,7 +90,7 @@ WITH t AS (
     FROM documents
   )
 )
-SELECT split, lang, count(*) AS docs, sum(n_tokens) AS total_tokens
+SELECT split, lang, count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM t GROUP BY split, lang
 ORDER BY split, lang
 """
@@ -216,7 +216,7 @@ WITH expanded AS (
 SELECT source,
        count(*) AS expanded_docs,
        count(DISTINCT doc_id) AS unique_docs,
-       sum(n_tokens) AS expanded_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS expanded_tokens,
        max(epoch) AS max_epoch
 FROM expanded GROUP BY source
 ORDER BY source
@@ -267,7 +267,7 @@ WITH p AS (
 SELECT o.o_orderpriority,
        CAST(sum(CAST(least(o.o_totalprice, p.p99) AS DECIMAL(18,2))) AS DOUBLE)
          AS clipped_total,
-       sum(CAST(o.o_totalprice > p.p99 AS INTEGER)) AS clipped_rows,
+       CAST(sum(CAST(o.o_totalprice > p.p99 AS INTEGER)) AS BIGINT) AS clipped_rows,
        count(*) AS rows
 FROM orders o JOIN p USING (o_orderpriority)
 GROUP BY o.o_orderpriority

@@ -705,13 +705,20 @@ def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines — and for storage quantization the 0.5-ulp difference is
     immaterial. Output stays relational (array<int> + scale column), so
     the quantized table drops straight into the same ANN plans at a
-    quarter of the shuffle width."""
+    quarter of the shuffle width.
+
+    The registry entry emits `qvec` comma-joined as a string: array
+    cells are unhashable in a pandas-based result canonicalizer (the
+    driver's), so the portable contract is the joined form. A pipeline
+    materializing the quantized store keeps the typed array<int> (drop
+    the array_join)."""
     e = load_table(spark, sf_dir, "embeddings")
     v = F.transform("embedding", lambda x: x.cast("double"))
     amax = F.array_max(F.transform(v, F.abs))
     scale = (amax / F.lit(127.0)).alias("scale")
-    q = F.transform(v, lambda x: (x / (amax / F.lit(127.0))).cast("int")).alias("qvec")
-    return e.select("vec_id", scale, q).filter(F.col("scale") > 0)
+    q = F.transform(v, lambda x: (x / (amax / F.lit(127.0))).cast("int"))
+    qjoined = F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("qvec")
+    return e.select("vec_id", scale, qjoined).filter(F.col("scale") > 0)
     # unsorted: one row per vector — corpus-sized at scale
 
 
@@ -723,7 +730,9 @@ s AS (
   FROM e
 )
 SELECT vec_id, scale,
-       list_transform(v, x -> CAST(trunc(x / scale) AS INT)) AS qvec
+       array_to_string(
+         list_transform(v, x -> CAST(CAST(trunc(x / scale) AS INT) AS VARCHAR)),
+         ',') AS qvec
 FROM s
 WHERE scale > 0
 """

@@ -160,8 +160,8 @@ WITH t AS (
   FROM documents
 )
 SELECT source, count(*) AS docs,
-       sum(wt) AS sum_ws_tokens,
-       sum(bt) AS sum_bpe_tokens,
+       CAST(sum(wt) AS BIGINT) AS sum_ws_tokens,
+       CAST(sum(bt) AS BIGINT) AS sum_bpe_tokens,
        round(CAST(sum(bt) AS DOUBLE) / count(*), 2) AS avg_bpe_tokens
 FROM t
 GROUP BY source

@@ -226,7 +226,7 @@ WITH x AS (
   SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k FROM events
 )
 SELECT event_type, count(*) AS n, count(k) AS n_with_k,
-       sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+       CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
 FROM x
 GROUP BY event_type
 ORDER BY event_type

@@ -291,10 +291,10 @@ def _q12_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q12_PRIORITY_MIX_ORACLE = """
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
-         AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+            AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -769,13 +769,21 @@ def _order_dates_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the standard groupBy shuffle with list accumulation, and
     per-key array size is bounded by per-customer activity, not corpus
     size.
+
+    The sorted array is emitted as a comma-joined canonical string:
+    list cells are unhashable in a pandas-based result canonicalizer
+    (the driver's), and the string form is the portable contract both
+    engines can hash identically.
     """
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
         .agg(
-            F.sort_array(
-                F.collect_list(F.date_format("o_orderdate", "yyyy-MM-dd"))
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(F.date_format("o_orderdate", "yyyy-MM-dd"))
+                ),
+                ",",
             ).alias("order_dates"),
             F.count("*").alias("n_orders"),
         )
@@ -784,8 +792,9 @@ def _order_dates_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORDER_DATES_ARRAY_ORACLE = """
 SELECT o_custkey,
-       list(strftime(o_orderdate, '%Y-%m-%d')
-            ORDER BY strftime(o_orderdate, '%Y-%m-%d')) AS order_dates,
+       array_to_string(
+         list(strftime(o_orderdate, '%Y-%m-%d')
+              ORDER BY strftime(o_orderdate, '%Y-%m-%d')), ',') AS order_dates,
        count(*) AS n_orders
 FROM orders
 GROUP BY o_custkey
@@ -837,7 +846,7 @@ def _range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tier_id", "lo", "hi")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("price").cast("decimal(18,2)")).alias("revenue"),
+            F.sum(F.col("price").cast("decimal(18,2)")).cast("double").alias("revenue"),
         )
         .orderBy("tier_id")
     )
@@ -849,7 +858,7 @@ WITH tiers(tier_id, lo, hi) AS (
 )
 SELECT tier_id, lo, hi,
        count(*) AS n_orders,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM orders
 JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
 GROUP BY tier_id, lo, hi

@@ -220,7 +220,7 @@ def _key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KEY_SKEW_ORACLE = """
 WITH c AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
 SELECT count(*) AS n_keys,
-       sum(n) AS total_rows,
+       CAST(sum(n) AS BIGINT) AS total_rows,
        max(n) AS max_key_rows,
        CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50,
        CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99,

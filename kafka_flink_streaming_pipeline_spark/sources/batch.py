@@ -16,14 +16,33 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize every timestamp-ish column to session-UTC TIMESTAMP (LTZ).
+
+    The driver testdata has shipped two parquet encodings across rounds:
+    TIMESTAMP(NANOS) (read as LongType nanos under the legacy conf) and
+    plain `timestamp[us]` without timezone (read as TIMESTAMP_NTZ by
+    Spark 4). Both are normalized here to TIMESTAMP so downstream
+    `unix_micros()` / interval arithmetic sees one type. Under the
+    pinned UTC session the NTZ→LTZ cast is value-preserving, and DuckDB
+    reads the same files as naive-UTC TIMESTAMP — so oracle comparisons
+    stay bit-equal either way.
+    """
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+        elif f.name == "ts" and isinstance(f.dataType, T.LongType):
+            # legacy nanos-as-long encoding, truncated to micros
+            df = df.withColumn(f.name, F.timestamp_micros(F.expr(f"{f.name} div 1000")))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver testdata table (single parquet file per table).
 
-    `events.parquet` stores TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; we read nanos as long (legacy conf, settable at
-    runtime so it works under any session) and truncate to microseconds
-    — exactly what DuckDB does when it surfaces the column as TIMESTAMP,
-    so oracle comparisons stay bit-equal.
+    Timestamp columns are normalized to session-UTC TIMESTAMP via
+    `normalize_timestamps` — see its docstring for the encodings the
+    driver testdata has shipped.
 
     The testdata files are single-row-group, so each scan is one input
     split. That is fine for scan-light plans (the shuffle after the
@@ -36,12 +55,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # pin timestamp semantics even under a session we didn't build
     # (the grading driver constructs its own plain SparkSession)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        for f in df.schema.fields:
-            if f.name == "ts" and isinstance(f.dataType, T.LongType):
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -75,36 +75,65 @@ def kafka_stream(
     return parsed.withWatermark("event_time", watermark)
 
 
+def assign_time_chunks(events: DataFrame, n_chunks: int) -> DataFrame:
+    """Add a 1-based `chunk` column splitting `events` into contiguous
+    time slices of ~equal row count.
+
+    Implemented with exact ts-quantile boundaries (one distributed
+    aggregation pass; only n_chunks-1 values reach the driver) and a
+    CASE bucket assignment — NOT `ntile() OVER (ORDER BY ts)`, whose
+    empty-partition window is a single task sorting the whole table
+    (the scale anti-pattern the reference's driver-loop producer has,
+    kafka_stream_producer.py:324-435). Ties on ts land in one chunk, so
+    counts are approximately equal; replay semantics only need the
+    slices time-ordered, not exactly sized."""
+    with_us = events.withColumn("_us", F.unix_micros("ts").cast("double"))
+    cuts = with_us.approxQuantile(
+        "_us", [i / n_chunks for i in range(1, n_chunks)], 0.0
+    )
+    chunk = F.lit(n_chunks)
+    for i in range(len(cuts) - 1, -1, -1):
+        chunk = F.when(F.col("_us") <= F.lit(cuts[i]), F.lit(i + 1)).otherwise(chunk)
+    return with_us.withColumn("chunk", chunk).drop("_us")
+
+
 def prepare_replay_chunks(
     spark: SparkSession, events: DataFrame, chunk_dir: str, n_chunks: int = 8
 ) -> None:
     """Write `events` as n timestamp-ordered single-file parquet chunks
     in a flat watch directory (chunk_0001.parquet, ...).
 
-    ntile over the event-time order gives contiguous time slices, so
-    chunk files arrive in the same order the reference producer replays
-    rows (global timestamp-ordered merge). Test utility — the driver-
-    side file moves are fine at fixture scale."""
+    One shuffle: chunk boundaries from `assign_time_chunks`, then a
+    single partitioned write (each chunk hash-clusters to one task →
+    one file per chunk directory). The flat-dir copies run in chunk
+    order so file mtimes match replay order (Spark's file stream source
+    orders by modification time)."""
     import glob
     import os
     import shutil
 
-    from pyspark.sql import Window
-
     os.makedirs(chunk_dir, exist_ok=True)
-    w = Window.orderBy("ts")
-    chunked = events.withColumn("chunk", F.ntile(n_chunks).over(w))
     staging = chunk_dir.rstrip("/") + "__staging"
+    (
+        assign_time_chunks(events, n_chunks)
+        .repartition(n_chunks, "chunk")
+        .write.mode("overwrite")
+        .partitionBy("chunk")
+        .parquet(staging)
+    )
+    import time
+
+    base = time.time()
     for i in range(1, n_chunks + 1):
-        (
-            chunked.filter(F.col("chunk") == i)
-            .drop("chunk")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(staging)
-        )
-        part = glob.glob(f"{staging}/part-*.parquet")[0]
-        shutil.copy(part, f"{chunk_dir}/chunk_{i:04d}.parquet")
+        parts = glob.glob(f"{staging}/chunk={i}/part-*.parquet")
+        if not parts:  # quantile ties can leave a trailing chunk empty
+            continue
+        assert len(parts) == 1, f"chunk {i} not clustered to one file: {parts}"
+        dst = f"{chunk_dir}/chunk_{i:04d}.parquet"
+        shutil.copy(parts[0], dst)
+        # strictly increasing mtimes: the file stream source replays in
+        # modification-time order, and sub-ms copies would tie
+        os.utime(dst, (base + i, base + i))
     shutil.rmtree(staging, ignore_errors=True)
 
 

@@ -60,6 +60,7 @@ def test_event_type_filter_pushdown(spark):
 def test_parity_surface_has_no_python(spark):
     """SURVEY.md §2.10: the reference needs zero UDFs — our parity
     plans must stay fully JVM-side (whole-stage codegen eligible)."""
+    broken = []
     for name in [
         "q1_events_per_min",
         "q5_session_stats_12h",
@@ -71,8 +72,14 @@ def test_parity_surface_has_no_python(spark):
         "dedup_minhash_lsh",
         "sim_topk_cosine",
     ]:
-        plan = _plan(spark, name)
-        assert "Python" not in plan, f"{name} has Python in the hot path"
+        try:
+            plan = _plan(spark, name)
+        except Exception as e:  # keep sweeping — name every broken entry
+            broken.append(f"{name}: build failed: {e}")
+            continue
+        if "Python" in plan:
+            broken.append(f"{name}: Python in the hot path")
+    assert not broken, broken
 
 
 def test_multimodal_uses_arrow_batches(spark):
@@ -121,6 +128,7 @@ def test_corpus_sized_outputs_have_no_global_sort(spark):
     features, curated corpus) must not end in a presentational global
     sort — at 100 TB that is a full range-partition shuffle of the
     entire result. The oracle compare is order-insensitive by design."""
+    broken = []
     for name in [
         "dedup_exact",
         "dedup_word_jaccard",
@@ -142,8 +150,14 @@ def test_corpus_sized_outputs_have_no_global_sort(spark):
         "zscore_order_totals",
         "customer_order_dates_array",
     ]:
-        plan = _plan(spark, name)
-        assert "rangepartitioning" not in plan.lower(), f"{name} globally sorts its output"
+        try:
+            plan = _plan(spark, name)
+        except Exception as e:
+            broken.append(f"{name}: build failed: {e}")
+            continue
+        if "rangepartitioning" in plan.lower():
+            broken.append(f"{name}: globally sorts its output")
+    assert not broken, broken
 
 
 def test_bucketed_join_skips_shuffle(spark, tmp_path):
@@ -438,7 +452,13 @@ def test_no_cartesian_product_in_battery(spark):
     offenders = []
     for name in bench.HEADLINE:
         spec = merged()[name]
-        plan = spec.build(spark, SF_CORRECT)._jdf.queryExecution().executedPlan().toString()
+        try:
+            plan = (
+                spec.build(spark, SF_CORRECT)._jdf.queryExecution().executedPlan().toString()
+            )
+        except Exception as e:
+            offenders.append(f"{name}: build failed: {e}")
+            continue
         if "CartesianProduct" in plan:
-            offenders.append(name)
+            offenders.append(f"{name}: CartesianProduct")
     assert not offenders, offenders

@@ -159,3 +159,39 @@ def test_schema_evolution_merged_read(spark, tmp_path):
     assert old.filter(F.col("source").isNull()).count() == 100
     new = got.filter(F.col("batch_id") == 1)
     assert new.filter(F.col("source") == "crawler-v2").count() == 50
+
+
+def test_testdata_schema_canary(spark):
+    """Type-drift canary: the engine-facing schema contract after
+    `load_table`. The driver regenerates testdata between rounds and
+    has already shipped two timestamp encodings (TIMESTAMP(NANOS) →
+    LongType under the legacy conf; timestamp[us] → TIMESTAMP_NTZ in
+    Spark 4). `normalize_timestamps` must fold ALL of them to
+    session-UTC TIMESTAMP — if a future regeneration ships a third
+    encoding, this is the one test that should fail, instead of a
+    12-failure blast radius across parity/streaming/plans."""
+    from pyspark.sql import types as T
+
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+    expected_ts_cols = {
+        "events": ["ts"],
+        "orders": ["o_orderdate"],
+        "lineitem": ["l_shipdate"],
+    }
+    for table, ts_cols in expected_ts_cols.items():
+        df = load_table(spark, SF_SMOKE, table)
+        for c in ts_cols:
+            dt = df.schema[c].dataType
+            assert isinstance(dt, T.TimestampType) and not isinstance(
+                dt, T.TimestampNTZType
+            ), f"{table}.{c} must load as TIMESTAMP (LTZ), got {dt}"
+    # no remaining NTZ/long-timestamp leakage anywhere in any table
+    for table in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        for f in load_table(spark, SF_SMOKE, table).schema.fields:
+            assert not isinstance(f.dataType, T.TimestampNTZType), (
+                f"{table}.{f.name} leaked TIMESTAMP_NTZ past normalize_timestamps"
+            )
