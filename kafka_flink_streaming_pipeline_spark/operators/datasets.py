@@ -344,11 +344,28 @@ def label_propagate(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     (node, label) with label = min node id of the component; raises
     if the round cap is hit before the fixpoint (can't happen below
     ~2^20-diameter graphs)."""
-    edges = pairs.select("d1", "d2").unionByName(
-        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-    ).localCheckpoint()
+    # symmetrize via explode, NOT union-of-two-selects: a union's two
+    # branches each re-execute the (expensive) pair-generation subtree,
+    # doubling the dominant cost; explode emits both directions from
+    # one pass over the pairs
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("d1"), F.col("d2")),
+                    F.struct(F.col("d2").alias("d1"), F.col("d1").alias("d2")),
+                )
+            ).alias("e")
+        )
+        .select("e.d1", "e.d2")
+        .localCheckpoint()
+    )
 
     labels = nodes.select("node", F.col("node").alias("label"))
+    # labels only ever decrease, so sum(label) strictly decreases on any
+    # change — a partial-aggregate scan of the checkpointed round output
+    # is the convergence test, replacing a per-round join+filter+count
+    prev_sum = None
     for _ in range(_MAX_CC_ROUNDS):
         nbr_min = (
             edges.join(labels, edges.d2 == labels.node)
@@ -368,15 +385,11 @@ def label_propagate(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
             .select(F.col("a.node").alias("node"), F.col("b.label").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             return labels
+        prev_sum = new_sum
     raise RuntimeError(
         f"label_propagate did not converge in {_MAX_CC_ROUNDS} rounds"
     )

@@ -886,7 +886,11 @@ QUERIES: dict[str, QuerySpec] = {
         "two-stage retrieval: BM25 recall top-50 → exact cosine rerank top-10",
     ),
     "sim_topk_cosine": QuerySpec(
-        "sim_topk_cosine", topk_cosine, TOPK_ORACLE, "brute-force cosine top-k"
+        "sim_topk_cosine",
+        topk_cosine,
+        TOPK_ORACLE,
+        "brute-force cosine top-k (exactness baseline/oracle anchor — "
+        "NON-PRODUCTION at scale; use sim_ann_ivf / sim_ann_lsh_*)",
     ),
     "sim_topk_cosine_int8": QuerySpec(
         "sim_topk_cosine_int8",
@@ -904,7 +908,8 @@ QUERIES: dict[str, QuerySpec] = {
         "sim_topk_cosine_pandas",
         topk_cosine_pandas,
         TOPK_ORACLE,
-        "brute-force top-k via Arrow-vectorized pandas_udf (same oracle)",
+        "brute-force top-k via Arrow-vectorized pandas_udf (same oracle; "
+        "NON-PRODUCTION at scale — ANN variants are the scale path)",
     ),
     "sim_ann_lsh_multiprobe": QuerySpec(
         "sim_ann_lsh_multiprobe",

@@ -462,3 +462,21 @@ def test_no_cartesian_product_in_battery(spark):
         if "CartesianProduct" in plan:
             offenders.append(f"{name}: CartesianProduct")
     assert not offenders, offenders
+
+
+def test_prefix_jaccard_equals_naive(spark):
+    """The prefix-filtered jaccard join must be LOSSLESS: identical
+    pair set and scores to the naive inverted-index join (the prefix
+    filtering principle guarantees completeness at the configured
+    threshold; this asserts it end-to-end)."""
+    specs = merged()
+    naive = sorted(
+        map(tuple, specs["dedup_ngram_jaccard"].build(spark, SF_CORRECT).collect())
+    )
+    pref = sorted(
+        map(
+            tuple,
+            specs["dedup_ngram_jaccard_prefix"].build(spark, SF_CORRECT).collect(),
+        )
+    )
+    assert naive == pref
