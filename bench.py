@@ -59,6 +59,7 @@ HEADLINE = [
     "tpch_q19_band_revenue",
     "fuzzy_match_part_names",
     "dedup_components",
+    "dedup_components_lsh",
     "stream_enrich_lang_counts",
     "winsorize_order_totals",
     "dataset_split_assign",

@@ -38,10 +38,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_flink_streaming_pipeline_spark.operators.dedup import (
+    _DUP_THRESH,
+    _N_BANDS,
+    _N_PERM,
     _NGRAM_JACCARD_T,
     _DOC_SHINGLES_SQL,
     _doc_shingles,
     _jaccard_pairs,
+    dedup_minhash_lsh,
 )
 from kafka_flink_streaming_pipeline_spark.operators.text import QUALITY_ORACLE, quality_scores
 from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
@@ -440,6 +444,76 @@ FROM reach GROUP BY node
 """
 
 
+def dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over MinHash-LSH candidate edges — the
+    production path at corpus scale. The exact-jaccard edge generation
+    behind `dedup_components` is the verifiable baseline, but its
+    all-pairs common-count join grows quadratically with duplication
+    density; the banded LSH candidate join touches only bucket
+    collisions (near-dups by construction), so the edge stage scales
+    with the number of ACTUAL near-dup pairs. The md5-based minhash is
+    fully deterministic, so the whole pipeline — signatures, bands,
+    candidate pairs, estimated jaccard threshold, transitive closure —
+    is reproduced by the DuckDB oracle's recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= _DUP_THRESH)
+        .select("d1", "d2")
+    )
+    return label_propagate(docs, pairs).select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("component_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
+    )  # corpus-sized output: no global sort (oracle compare is order-insensitive)
+
+
+DEDUP_COMPONENTS_LSH_ORACLE = f"""
+WITH RECURSIVE
+sh AS ({_DOC_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id, p.perm,
+         min(substr(md5(CAST(p.perm // 2 AS VARCHAR) || ':' || shingle),
+                    1 + 16 * (p.perm % 2), 16)) AS h
+  FROM sh CROSS JOIN (SELECT unnest(range(0, {_N_PERM})) AS perm) p
+  GROUP BY doc_id, p.perm
+),
+bands AS (
+  SELECT doc_id, perm % {_N_BANDS} AS band,
+         string_agg(h, ',' ORDER BY perm) AS band_key
+  FROM sigs
+  GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT d1, d2,
+         round(CAST(sum(CASE WHEN s1.h = s2.h THEN 1 ELSE 0 END) AS DOUBLE)
+               / {_N_PERM}, 6) AS est_jaccard
+  FROM cand
+  JOIN sigs s1 ON s1.doc_id = d1
+  JOIN sigs s2 ON s2.doc_id = d2 AND s2.perm = s1.perm
+  GROUP BY d1, d2
+),
+pairs AS (SELECT d1, d2 FROM est WHERE est_jaccard >= {_DUP_THRESH}),
+edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2 AS d1, d1 AS d2 FROM pairs),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d1, reach.r FROM edges e JOIN reach ON reach.node = e.d2
+)
+SELECT node AS doc_id,
+       min(r) AS component_id,
+       (node = min(r)) AS is_canonical
+FROM reach GROUP BY node
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dataset_split_assign": QuerySpec(
         "dataset_split_assign",
@@ -464,6 +538,12 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_components,
         DEDUP_COMPONENTS_ORACLE,
         "connected components over near-dup pairs (iterative label propagation)",
+    ),
+    "dedup_components_lsh": QuerySpec(
+        "dedup_components_lsh",
+        dedup_components_lsh,
+        DEDUP_COMPONENTS_LSH_ORACLE,
+        "connected components over banded-LSH candidate edges (corpus-scale path)",
     ),
     "dataset_mixture_expand": QuerySpec(
         "dataset_mixture_expand",

@@ -480,3 +480,17 @@ def test_prefix_jaccard_equals_naive(spark):
         )
     )
     assert naive == pref
+
+
+def test_priority_window_resolves():
+    """Every PRIORITY_WINDOW name must exist in the merged registry —
+    merged() silently drops unknown names (so one broken operator
+    module can't take down the whole driver surface), which makes this
+    test the completeness gate for the driver-checked prefix window."""
+    from kafka_flink_streaming_pipeline_spark.plans import PRIORITY_WINDOW
+
+    names = merged()
+    missing = [n for n in PRIORITY_WINDOW if n not in names]
+    assert not missing, missing
+    # and the window must actually lead the iteration order
+    assert list(names)[: len(PRIORITY_WINDOW)] == list(PRIORITY_WINDOW)
