@@ -74,6 +74,7 @@ HEADLINE = [
     "fp_hop_active_users_10m_5m",
     "embedding_l2_normalize",
     "text_gopher_rules",
+    "text_repetition_stats",
     "sim_ann_ivf_nprobe2",
     "decontaminate_against_eval",
     "zscore_order_totals",

@@ -372,7 +372,143 @@ LIMIT 20
 """
 
 
+# --- within-document repetition (the Gopher repetition signals) -----------
+
+#: admission thresholds — top-1-gram share, top-2-gram share, and the
+#: duplicate-word fraction (1 - distinct/total); Gopher-style bounds
+#: adapted to the whitespace corpus (no line structure → n-gram form)
+_MAX_TOP_WORD_SHARE = 0.15
+_MAX_TOP_BIGRAM_SHARE = 0.08
+_MAX_DUP_WORD_FRAC = 0.70
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition profile — the Gopher repetition
+    filters (top n-gram share, duplicated-content fraction) in their
+    n-gram form (this corpus has no line structure). Two aggregation
+    passes shuffled on (doc_id, gram): per-gram counts, then per-doc
+    maxima/totals — both keyed on the document, so at 100 TB this
+    partitions like any per-doc scoring job (no cross-document data
+    movement at all). The O(len²)-per-doc alternative (higher-order
+    functions computing the mode inside the array column) would skip
+    the shuffle but melts on long documents; the shuffle form is
+    length-robust."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    words = d.select("doc_id", F.explode("ws").alias("g"))
+    wstats = (
+        words.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.count("*").alias("n_distinct_words"),
+            F.max("n").alias("top_word_n"),
+        )
+    )
+    n = F.size("ws")
+    bigram_idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                bigram_idx,
+                lambda i: F.concat_ws(
+                    " ", F.element_at("ws", i), F.element_at("ws", i + 1)
+                ),
+            )
+        ).alias("g"),
+    )
+    bstats = (
+        bigrams.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(F.sum("n").alias("n_bigrams"), F.max("n").alias("top_bigram_n"))
+    )
+    top_word_share = F.round(
+        F.col("top_word_n").cast("double") / F.col("n_words"), 6
+    )
+    top_bigram_share = F.round(
+        F.col("top_bigram_n").cast("double") / F.col("n_bigrams"), 6
+    )
+    dup_word_frac = F.round(
+        F.lit(1.0)
+        - F.col("n_distinct_words").cast("double") / F.col("n_words"),
+        6,
+    )
+    r_word = top_word_share <= _MAX_TOP_WORD_SHARE
+    r_bigram = top_bigram_share <= _MAX_TOP_BIGRAM_SHARE
+    r_dup = dup_word_frac <= _MAX_DUP_WORD_FRAC
+    return (
+        wstats.join(bstats, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            top_word_share.alias("top_word_share"),
+            top_bigram_share.alias("top_bigram_share"),
+            dup_word_frac.alias("dup_word_frac"),
+            r_word.alias("rule_top_word"),
+            r_bigram.alias("rule_top_bigram"),
+            r_dup.alias("rule_dup_words"),
+            (r_word & r_bigram & r_dup).alias("pass_repetition"),
+        )
+    )  # corpus-sized per-doc output: no global sort
+
+
+REPETITION_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+w AS (
+  SELECT doc_id, unnest(ws) AS g FROM d
+),
+wstats AS (
+  SELECT doc_id, sum(n) AS n_words, count(*) AS n_distinct_words,
+         max(n) AS top_word_n
+  FROM (SELECT doc_id, g, count(*) AS n FROM w GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+b AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(ws) >= 2
+                     THEN list_transform(range(1, len(ws)),
+                                         i -> ws[i] || ' ' || ws[i+1])
+                     ELSE CAST([] AS VARCHAR[]) END) AS g
+  FROM d
+),
+bstats AS (
+  SELECT doc_id, sum(n) AS n_bigrams, max(n) AS top_bigram_n
+  FROM (SELECT doc_id, g, count(*) AS n FROM b GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+j AS (
+  SELECT w.doc_id, CAST(w.n_words AS BIGINT) AS n_words,
+         round(CAST(w.top_word_n AS DOUBLE) / w.n_words, 6) AS top_word_share,
+         round(CAST(b.top_bigram_n AS DOUBLE) / b.n_bigrams, 6) AS top_bigram_share,
+         round(1.0 - CAST(w.n_distinct_words AS DOUBLE) / w.n_words, 6) AS dup_word_frac
+  FROM wstats w JOIN bstats b ON w.doc_id = b.doc_id
+)
+SELECT doc_id, n_words, top_word_share, top_bigram_share, dup_word_frac,
+       top_word_share <= {_MAX_TOP_WORD_SHARE} AS rule_top_word,
+       top_bigram_share <= {_MAX_TOP_BIGRAM_SHARE} AS rule_top_bigram,
+       dup_word_frac <= {_MAX_DUP_WORD_FRAC} AS rule_dup_words,
+       (top_word_share <= {_MAX_TOP_WORD_SHARE}
+        AND top_bigram_share <= {_MAX_TOP_BIGRAM_SHARE}
+        AND dup_word_frac <= {_MAX_DUP_WORD_FRAC}) AS pass_repetition
+FROM j
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_repetition_stats": QuerySpec(
+        "text_repetition_stats",
+        repetition_stats,
+        REPETITION_ORACLE,
+        "Gopher repetition signals: top n-gram share + duplicate-word fraction",
+    ),
     "text_bm25_search": QuerySpec(
         "text_bm25_search",
         bm25_search,
