@@ -494,3 +494,37 @@ def test_priority_window_resolves():
     assert not missing, missing
     # and the window must actually lead the iteration order
     assert list(names)[: len(PRIORITY_WINDOW)] == list(PRIORITY_WINDOW)
+
+
+def test_ann_recall_floors(spark):
+    """Recall@10 of each ANN variant against the brute-force exact
+    top-k. The sf testdata embeddings are ISOTROPIC random vectors
+    (verified: same-label and cross-label mean cosine are both ~0), so
+    partition-based ANN recall is information-theoretically capped
+    near the probed corpus fraction — IVF nprobe=1 of K=8 cells can't
+    beat ~1/8 by much on this data, where real (clustered) embeddings
+    typically reach 0.8+. The floors below regression-test the
+    measured values (0.24 / 0.36 / 0.10 / 1.0 at sf0.01) against
+    implementation drift, not against a quality target the data
+    cannot express."""
+    specs = merged()
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in specs["sim_topk_cosine"].build(spark, SF_CORRECT).collect()
+    }
+    floors = {
+        "sim_ann_ivf": 0.15,
+        "sim_ann_ivf_nprobe2": 0.25,
+        "sim_ann_lsh_multiprobe": 0.05,
+        "sim_topk_cosine_int8": 0.95,
+    }
+    low = []
+    for name, floor in floors.items():
+        approx = {
+            (r.query_id, r.cand_id)
+            for r in specs[name].build(spark, SF_CORRECT).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        if recall < floor:
+            low.append(f"{name}: recall {recall:.3f} < floor {floor}")
+    assert not low, low
