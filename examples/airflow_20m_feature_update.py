@@ -12,8 +12,9 @@ write is a keyed MERGE on (uuid, window_end) — so Airflow retries and
 can safely be enabled for historical backfill.
 
 Not imported by the package or tests (Airflow isn't in this
-container); drop the file into any Airflow 2.x+ dags/ folder. A plain
-cron equivalent of the same contract:
+container); drop the file into any Airflow 2.4+ dags/ folder (the
+`schedule=` DAG kwarg is 2.4+; on 2.0-2.3 use `schedule_interval=`).
+A plain cron equivalent of the same contract:
 
     10 0 * * * spark-submit --master yarn --deploy-mode cluster \
         --py-files engine.zip \

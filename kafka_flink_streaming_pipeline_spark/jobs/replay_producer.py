@@ -57,13 +57,18 @@ def main() -> None:
     staging = args.out.rstrip("/") + "__staging"
     (
         chunked.repartition(args.chunks, "chunk")
+        .sortWithinPartitions("ts")  # chunk files internally ts-ordered
         .write.mode("overwrite")
         .partitionBy("chunk")
         .parquet(staging)
     )
+    # per-chunk stats from the staging files themselves — already
+    # partitioned by chunk, so this is a cheap partition-pruned scan
+    # (recomputing from `chunked` would re-run the full events pass)
     stats = {
         r.chunk: (r.n, r.lo, r.hi)
-        for r in chunked.groupBy("chunk")
+        for r in spark.read.parquet(staging)
+        .groupBy("chunk")
         .agg(F.count("*").alias("n"), F.min("ts").alias("lo"), F.max("ts").alias("hi"))
         .collect()
     }
@@ -73,9 +78,10 @@ def main() -> None:
     for i in range(1, args.chunks + 1):
         if i not in stats:  # quantile ties can leave a chunk empty
             continue
-        part = glob.glob(f"{staging}/chunk={i}/part-*.parquet")[0]
+        parts = glob.glob(f"{staging}/chunk={i}/part-*.parquet")
+        assert len(parts) == 1, f"chunk {i} not clustered to one file: {parts}"
         dst = f"{args.out}/chunk_{i:04d}.parquet"
-        shutil.copy(part, dst)
+        shutil.copy(parts[0], dst)
         n, lo, hi = stats[i]
         total += n
         if args.time_scale > 0:

@@ -165,9 +165,12 @@ def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     norm = F.sqrt(F.col("sq"))
-    # unit_vec ships as a comma-joined %.6f string: array cells are
-    # unhashable in a pandas-based canonicalizer (the driver's), and
-    # fixed-format printing of bit-identical doubles is engine-stable.
+    # unit_vec ships as comma-joined MICRO-UNIT INTEGERS (floor(x*1e6)):
+    # array cells are unhashable in a pandas-based canonicalizer (the
+    # driver's), and fixed-POINT truncation of bit-identical doubles is
+    # engine-stable — unlike %.6f printing, whose half-way ties round
+    # HALF_UP in Java but half-even in DuckDB's printf (a dyadic value
+    # like 0.0078125 formats as 007813 vs 007812).
     unit = F.transform("embedding", lambda x: x.cast("double") / norm)
     return (
         e.select("vec_id", "embedding", sq_sum.alias("sq"))
@@ -175,7 +178,11 @@ def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             norm.alias("l2_norm"),
             F.array_join(
-                F.transform(unit, lambda x: F.format_string("%.6f", x)), ","
+                F.transform(
+                    unit,
+                    lambda x: F.floor(x * F.lit(1_000_000.0)).cast("long").cast("string"),
+                ),
+                ",",
             ).alias("unit_vec"),
         )
     )
@@ -192,7 +199,9 @@ WITH sq AS (
 SELECT vec_id,
        sqrt(sqsum) AS l2_norm,
        array_to_string(
-         list_transform(embedding, x -> printf('%.6f', CAST(x AS DOUBLE) / sqrt(sqsum))),
+         list_transform(embedding,
+           x -> CAST(CAST(floor(CAST(x AS DOUBLE) / sqrt(sqsum) * 1000000.0) AS BIGINT)
+                     AS VARCHAR)),
          ',') AS unit_vec
 FROM sq
 """

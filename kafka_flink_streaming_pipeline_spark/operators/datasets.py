@@ -368,8 +368,10 @@ def label_propagate(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     labels = nodes.select("node", F.col("node").alias("label"))
     # labels only ever decrease, so sum(label) strictly decreases on any
     # change — a partial-aggregate scan of the checkpointed round output
-    # is the convergence test, replacing a per-round join+filter+count
-    prev_sum = None
+    # is the convergence test, replacing a per-round join+filter+count.
+    # Seeding with the identity-labeling sum lets an edge-free (already
+    # converged) input exit after its first round.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(_MAX_CC_ROUNDS):
         nbr_min = (
             edges.join(labels, edges.d2 == labels.node)

@@ -440,10 +440,13 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     r_word = top_word_share <= _MAX_TOP_WORD_SHARE
-    r_bigram = top_bigram_share <= _MAX_TOP_BIGRAM_SHARE
+    # vacuously true for docs with < 2 words (no bigrams exist): the
+    # LEFT join keeps them — an admission filter must give every doc a
+    # verdict, never silently drop the short ones
+    r_bigram = F.coalesce(top_bigram_share <= _MAX_TOP_BIGRAM_SHARE, F.lit(True))
     r_dup = dup_word_frac <= _MAX_DUP_WORD_FRAC
     return (
-        wstats.join(bstats, "doc_id")
+        wstats.join(bstats, "doc_id", "left")
         .select(
             "doc_id",
             "n_words",
@@ -489,14 +492,14 @@ j AS (
          round(CAST(w.top_word_n AS DOUBLE) / w.n_words, 6) AS top_word_share,
          round(CAST(b.top_bigram_n AS DOUBLE) / b.n_bigrams, 6) AS top_bigram_share,
          round(1.0 - CAST(w.n_distinct_words AS DOUBLE) / w.n_words, 6) AS dup_word_frac
-  FROM wstats w JOIN bstats b ON w.doc_id = b.doc_id
+  FROM wstats w LEFT JOIN bstats b ON w.doc_id = b.doc_id
 )
 SELECT doc_id, n_words, top_word_share, top_bigram_share, dup_word_frac,
        top_word_share <= {_MAX_TOP_WORD_SHARE} AS rule_top_word,
-       top_bigram_share <= {_MAX_TOP_BIGRAM_SHARE} AS rule_top_bigram,
+       coalesce(top_bigram_share <= {_MAX_TOP_BIGRAM_SHARE}, TRUE) AS rule_top_bigram,
        dup_word_frac <= {_MAX_DUP_WORD_FRAC} AS rule_dup_words,
        (top_word_share <= {_MAX_TOP_WORD_SHARE}
-        AND top_bigram_share <= {_MAX_TOP_BIGRAM_SHARE}
+        AND coalesce(top_bigram_share <= {_MAX_TOP_BIGRAM_SHARE}, TRUE)
         AND dup_word_frac <= {_MAX_DUP_WORD_FRAC}) AS pass_repetition
 FROM j
 """

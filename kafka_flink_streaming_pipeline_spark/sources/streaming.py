@@ -79,17 +79,21 @@ def assign_time_chunks(events: DataFrame, n_chunks: int) -> DataFrame:
     """Add a 1-based `chunk` column splitting `events` into contiguous
     time slices of ~equal row count.
 
-    Implemented with exact ts-quantile boundaries (one distributed
-    aggregation pass; only n_chunks-1 values reach the driver) and a
-    CASE bucket assignment — NOT `ntile() OVER (ORDER BY ts)`, whose
+    Implemented with approximate ts-quantile boundaries (one
+    distributed aggregation pass; only the bounded quantile summary and
+    n_chunks-1 cut values reach the driver) and a CASE bucket
+    assignment — NOT `ntile() OVER (ORDER BY ts)`, whose
     empty-partition window is a single task sorting the whole table
     (the scale anti-pattern the reference's driver-loop producer has,
-    kafka_stream_producer.py:324-435). Ties on ts land in one chunk, so
-    counts are approximately equal; replay semantics only need the
-    slices time-ordered, not exactly sized."""
+    kafka_stream_producer.py:324-435). relativeError stays nonzero:
+    exact quantiles (0.0) would retain every value in the merged
+    summary — a driver-side O(N) bottleneck in different clothes.
+    Chunk sizes are approximately equal by construction (ties and the
+    epsilon both shift a few rows across a boundary); replay semantics
+    only need the slices time-ordered, not exactly sized."""
     with_us = events.withColumn("_us", F.unix_micros("ts").cast("double"))
     cuts = with_us.approxQuantile(
-        "_us", [i / n_chunks for i in range(1, n_chunks)], 0.0
+        "_us", [i / n_chunks for i in range(1, n_chunks)], 1e-4
     )
     chunk = F.lit(n_chunks)
     for i in range(len(cuts) - 1, -1, -1):
@@ -105,9 +109,12 @@ def prepare_replay_chunks(
 
     One shuffle: chunk boundaries from `assign_time_chunks`, then a
     single partitioned write (each chunk hash-clusters to one task →
-    one file per chunk directory). The flat-dir copies run in chunk
-    order so file mtimes match replay order (Spark's file stream source
-    orders by modification time)."""
+    one file per chunk directory), sorted WITHIN each task on ts so
+    every chunk file is internally timestamp-ordered (a local sort, no
+    extra shuffle) — a watermarked consumer must not see intra-chunk
+    disorder the original table didn't have. The flat-dir copies run
+    in chunk order so file mtimes match replay order (Spark's file
+    stream source orders by modification time)."""
     import glob
     import os
     import shutil
@@ -117,6 +124,7 @@ def prepare_replay_chunks(
     (
         assign_time_chunks(events, n_chunks)
         .repartition(n_chunks, "chunk")
+        .sortWithinPartitions("ts")
         .write.mode("overwrite")
         .partitionBy("chunk")
         .parquet(staging)
