@@ -329,7 +329,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_bands = _N_PERM // _BAND_SIZE
     # band key b = concat of the signature values whose perm % n_bands == b
     # (same grouping as the oracle's perm % 3 with ORDER BY perm)
-    sig_arr = F.array(*[F.col(f"h{p}") for p in range(_N_PERM)]).alias("sig")
+    # the carried signature is UNHEXED to array<binary(8)>: the minima
+    # are 16 hex chars = 64 bits, est_jaccard only needs element
+    # EQUALITY, and halving the per-row payload halves the candidate
+    # join's shuffle (the spill driver at high duplication density —
+    # PERF.md round-2 scaling notes)
+    sig_arr = F.array(*[F.unhex(F.col(f"h{p}")) for p in range(_N_PERM)]).alias("sig")
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -400,10 +405,12 @@ def lsh_bands(docs: DataFrame) -> DataFrame:
     the persistable LSH index rows. Same signature pipeline as
     `dedup_minhash_lsh` (6 md5 calls → 12 permutations, one
     map-side-combinable min aggregate), with the signature array carried
-    so candidate verification never joins back to a signature table."""
+    so candidate verification never joins back to a signature table.
+    The sig is array<binary(8)> (unhexed minima) — equality-only use,
+    half the persisted index width and probe-join payload."""
     sigs = _minhash_sigs_columnar(_shingles_from(docs, distinct=False))
     n_bands = _N_PERM // _BAND_SIZE
-    sig_arr = F.array(*[F.col(f"h{p}") for p in range(_N_PERM)]).alias("sig")
+    sig_arr = F.array(*[F.unhex(F.col(f"h{p}")) for p in range(_N_PERM)]).alias("sig")
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
