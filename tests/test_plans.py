@@ -149,6 +149,10 @@ def test_corpus_sized_outputs_have_no_global_sort(spark):
         "decontaminate_against_eval",
         "zscore_order_totals",
         "customer_order_dates_array",
+        "dedup_ngram_jaccard_prefix",
+        "dedup_components_lsh",
+        "text_repetition_stats",
+        "embedding_quantize_int8",
     ]:
         try:
             plan = _plan(spark, name)
