@@ -1,7 +1,13 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output protocol (round-3 fix): the driver parses the LAST JSON line of
+stdout with a bounded capture tail, and the r2 line (~60 per-query
+entries) was long enough that its head was truncated away — rc 0 but
+"parsed": null. So the per-query map now goes to BENCH_DETAIL.json (and
+is echoed as an EARLIER stdout line), while the final line is a SHORT
+summary: {"metric": ..., "value": total_sec, "unit": "sec", "sf": ...,
+"n_queries": N, "queries": {"slowest3 only"}}.
 
 Methodology: steady-state wall-clock. Each query executes twice — the
 first run absorbs one-time machinery (Catalyst codegen compile for the
@@ -146,14 +152,28 @@ def main() -> None:
         per_query[name] = round(time.time() - t0, 3)
         assert n == warm
     total = round(sum(per_query.values()), 3)
+    detail = {
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }
+    # full per-query map: file + an early stdout line (NOT the last line)
+    Path(__file__).resolve().parent.joinpath("BENCH_DETAIL.json").write_text(
+        json.dumps(detail, indent=1) + "\n"
+    )
+    print(json.dumps(detail))
+    slowest = dict(sorted(per_query.items(), key=lambda kv: -kv[1])[:3])
     print(
         json.dumps(
             {
                 "metric": "headline_queries_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": per_query,
                 "sf": sf,
+                "n_queries": len(per_query),
+                "queries": slowest,
             }
         )
     )

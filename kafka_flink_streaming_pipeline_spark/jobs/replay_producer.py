@@ -57,7 +57,10 @@ def main() -> None:
     staging = args.out.rstrip("/") + "__staging"
     (
         chunked.repartition(args.chunks, "chunk")
-        .sortWithinPartitions("ts")  # chunk files internally ts-ordered
+        # (chunk, ts): satisfies the dynamic-partition writer's required
+        # sort directly, so the intra-chunk ts order is guaranteed, not
+        # an artifact of a stable in-memory re-sort
+        .sortWithinPartitions("chunk", "ts")
         .write.mode("overwrite")
         .partitionBy("chunk")
         .parquet(staging)
@@ -79,7 +82,9 @@ def main() -> None:
         if i not in stats:  # quantile ties can leave a chunk empty
             continue
         parts = glob.glob(f"{staging}/chunk={i}/part-*.parquet")
-        assert len(parts) == 1, f"chunk {i} not clustered to one file: {parts}"
+        if len(parts) != 1:  # load-bearing: a split chunk would replay
+            # partially; RuntimeError, not assert (stripped under -O)
+            raise RuntimeError(f"chunk {i} not clustered to one file: {parts}")
         dst = f"{args.out}/chunk_{i:04d}.parquet"
         shutil.copy(parts[0], dst)
         n, lo, hi = stats[i]

@@ -365,13 +365,25 @@ def label_propagate(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         .localCheckpoint()
     )
 
+    # the sum-based convergence test below requires numeric node ids:
+    # F.sum over a string column yields NULL, NULL == NULL is truthy,
+    # and the loop would exit after one round with wrong components
+    node_type = dict(nodes.dtypes)["node"]
+    if node_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"label_propagate needs an integral node id column, got {node_type}"
+        )
+
     labels = nodes.select("node", F.col("node").alias("label"))
     # labels only ever decrease, so sum(label) strictly decreases on any
     # change — a partial-aggregate scan of the checkpointed round output
     # is the convergence test, replacing a per-round join+filter+count.
     # Seeding with the identity-labeling sum lets an edge-free (already
-    # converged) input exit after its first round.
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # converged) input exit after its first round. Sum in decimal(38,0):
+    # summing int64 ids overflows long at corpus scale (ANSI mode would
+    # throw; non-ANSI would wrap and could alias two distinct states).
+    _label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_label_sum).collect()[0][0]
     for _ in range(_MAX_CC_ROUNDS):
         nbr_min = (
             edges.join(labels, edges.d2 == labels.node)
@@ -391,7 +403,7 @@ def label_propagate(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
             .select(F.col("a.node").alias("node"), F.col("b.label").alias("label"))
             .localCheckpoint()
         )
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        new_sum = new_labels.agg(_label_sum).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
             return labels

@@ -192,9 +192,17 @@ def _jaccard_pairs_prefix(
         .withColumn("pos", F.row_number().over(w))
         .join(cnt, "doc_id")
     )
-    prefix = ranked.filter(
-        F.col("pos") <= F.col("c") - F.ceil(F.lit(threshold) * F.col("c")) + 1
+    # ceil(t·c) in EXACT integer arithmetic: float ceil of t*c can round
+    # the product up past the true ceiling for an unlucky threshold,
+    # silently shortening the prefix and breaking the lossless
+    # guarantee. Represent t as the rational num/1e6 (exact for any
+    # threshold a user can meaningfully specify) and use the integer
+    # identity ceil(a/b) = floor((a + b - 1) / b).
+    t_num, t_den = round(threshold * 1_000_000), 1_000_000
+    ceil_tc = F.floor(
+        (F.col("c").cast("long") * t_num + (t_den - 1)) / F.lit(t_den)
     )
+    prefix = ranked.filter(F.col("pos") <= F.col("c") - ceil_tc + 1)
     a = prefix.select(F.col("doc_id").alias("d1"), F.col(token_col).alias("t"), F.col("c").alias("c1"))
     b = prefix.select(F.col("doc_id").alias("d2"), F.col(token_col).alias("t"), F.col("c").alias("c2"))
     cand = (
@@ -316,6 +324,32 @@ def _minhash_sigs_columnar(shingles: DataFrame) -> DataFrame:
     )
 
 
+#: serialized width of one candidate row in the band self-join shuffle:
+#: two binary(8)x12 signature arrays + two doc ids + row overhead
+_CAND_ROW_BYTES = 300
+#: post-shuffle partition size target (matches AQE's 64 MB advisory)
+_CAND_PARTITION_BYTES = 64 << 20
+
+
+def _band_join_partitions(bands: DataFrame, lo: int) -> int:
+    """Derive the band self-join's shuffle width from the band-bucket
+    histogram instead of hand-tuning `spark.sql.shuffle.partitions`.
+
+    The join emits sum over buckets of n_b^2 rows (n_b = bucket size);
+    that candidate volume — not the input — is what spills when the
+    duplication density is high (round-2 scaling: 39-137 s run-to-run
+    variance at ~25M candidate rows on the default 32 partitions). One
+    cheap aggregation over the (persisted-upstream) band rows yields
+    the exact candidate count, and the explicit repartition hash-
+    partitions BOTH sides on the join keys, so the join reuses it (no
+    extra exchange) and each task's build set stays ~64 MB."""
+    est = bands.groupBy("band", "band_key").agg(F.count("*").alias("n")).agg(
+        F.sum(F.col("n") * F.col("n")).alias("pairs")
+    ).collect()[0][0] or 0
+    need = (est * _CAND_ROW_BYTES + _CAND_PARTITION_BYTES - 1) // _CAND_PARTITION_BYTES
+    return int(max(lo, min(4096, need)))
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass banded LSH: the signature ARRAY rides along into the
     band self-join, so the estimated jaccard is computed directly on
@@ -324,7 +358,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     use; Catalyst has no exchange to reuse across differing
     projections). The tiny per-doc signature table is persisted: at
     100 TB it is |docs| x 200 bytes — always worth caching, never worth
-    recomputing from the shingle stream."""
+    recomputing from the shingle stream. The self-join's shuffle width
+    is derived from the band-bucket histogram (`_band_join_partitions`),
+    not hand-tuned."""
     sigs = _minhash_sigs_columnar(_doc_shingles(spark, sf_dir, distinct=False)).persist()
     n_bands = _N_PERM // _BAND_SIZE
     # band key b = concat of the signature values whose perm % n_bands == b
@@ -347,10 +383,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select(
         "doc_id", sig_arr, F.explode(F.array(*band_structs)).alias("bk")
     ).select("doc_id", "sig", "bk.band", "bk.band_key")
+    n_part = _band_join_partitions(bands, lo=spark.sparkContext.defaultParallelism)
     b1 = bands.select(F.col("doc_id").alias("d1"), F.col("sig").alias("sig1"), "band", "band_key")
     b2 = bands.select(F.col("doc_id").alias("d2"), F.col("sig").alias("sig2"), "band", "band_key")
     cand = (
-        b1.join(b2, ["band", "band_key"])
+        b1.repartition(n_part, "band", "band_key")
+        .join(b2.repartition(n_part, "band", "band_key"), ["band", "band_key"])
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2", "sig1", "sig2")
         .distinct()  # sig arrays are functions of the doc ids — safe in the key

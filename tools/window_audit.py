@@ -1,0 +1,93 @@
+"""Type-audit the driver-facing PRIORITY_WINDOW before each rotation.
+
+The driver's value hash is stricter than `tests/harness._canon` (which
+collapses Decimal -> float): round-1 showed that DecimalType /
+ArrayType outputs hash-mismatch even when values agree numerically.
+This tool runs every window entry at sf0.01 through the exact-equality
+harness gate AND flags schema/value types that have historically caused
+driver hash mismatches:
+
+  * DecimalType / ArrayType / MapType in the Spark output schema
+  * decimal.Decimal values in the DuckDB oracle result
+  * Spark vs DuckDB Python-type disagreement in any column
+
+Usage: python tools/window_audit.py [name ...]   (default: full window)
+Exit 0 = all compared clean with no flags.
+"""
+
+from __future__ import annotations
+
+import decimal
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    from kafka_flink_streaming_pipeline_spark import get_spark
+    from kafka_flink_streaming_pipeline_spark.plans import PRIORITY_WINDOW, merged
+    from tests.conftest import SF_CORRECT, make_duck
+    from tests.harness import compare
+
+    names = sys.argv[1:] or list(PRIORITY_WINDOW)
+    spark = get_spark("kfsp-window-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    plans = merged()
+    duck = make_duck(SF_CORRECT)
+
+    n_fail = 0
+    for name in names:
+        spec = plans.get(name)
+        if spec is None:
+            print(f"FAIL {name}: not in registry")
+            n_fail += 1
+            continue
+        t0 = time.time()
+        flags: list[str] = []
+        try:
+            df = spec.build(spark, SF_CORRECT)
+            for f in df.schema.fields:
+                s = f.dataType.simpleString()
+                if any(t in s for t in ("decimal", "array", "map", "interval")):
+                    flags.append(f"spark:{f.name}:{s}")
+            if spec.oracle is None:
+                df.count()
+                print(f"WARN {name}: no oracle (rows-only driver check)")
+                continue
+            res = duck.execute(spec.oracle)
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+            if d_rows:
+                for i, c in enumerate(d_cols):
+                    v = next((r[i] for r in d_rows if r[i] is not None), None)
+                    if isinstance(v, decimal.Decimal):
+                        flags.append(f"duck:{c}:Decimal")
+                    if isinstance(v, (list, tuple)):
+                        flags.append(f"duck:{c}:list")
+                s_row = df.limit(1).collect()
+                if s_row:
+                    s_map = s_row[0].asDict()
+                    d_map = dict(zip(d_cols, d_rows[0]))
+                    for c in s_map:
+                        sv, dv = s_map.get(c), d_map.get(c)
+                        if sv is not None and dv is not None:
+                            st, dt = type(sv).__name__, type(dv).__name__
+                            if st != dt and {st, dt} not in ({"int", "float"},):
+                                flags.append(f"pytype:{c}:{st}!={dt}")
+            compare(df, duck, spec.oracle, name)
+            dt = time.time() - t0
+            status = "OK  " if not flags else "FLAG"
+            print(f"{status} {name} ({dt:.1f}s)" + (f" {flags}" if flags else ""))
+            if flags:
+                n_fail += 1
+        except Exception as e:  # noqa: BLE001 — audit reports, never dies
+            print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+    print(f"\n{len(names) - n_fail}/{len(names)} clean")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
