@@ -102,3 +102,48 @@ class RateListener(StreamingQueryListener):
         """Lifetime rows/sec over wall-clock spent executing triggers."""
         ms = sum(b["duration_ms"] or 0 for b in self.batches)
         return self.total_rows() / (ms / 1000.0) if ms else 0.0
+
+
+def prometheus_text(listener: RateListener, job: str = "kfsp") -> str:
+    """Render the listener's accumulated progress in the Prometheus text
+    exposition format — the scrape surface the reference gets from
+    kafka-exporter (`analysis/prometheus.yml:5-8`). Serve this string
+    from any HTTP endpoint (see `examples/prometheus_scrape_endpoint.py`)
+    and the reference's PromQL carries over:
+
+        reference (kafka-exporter)                      this engine
+        ------------------------------------------      -----------------------------
+        sum(rate(kafka_topic_partition_current_offset   rate(kfsp_input_rows_total[1m])
+            [1m])) by (topic)
+        sum(kafka_consumergroup_lag) by (...)           kfsp_batch_input_rows (backlog
+                                                        drained per trigger) together
+                                                        with kfsp_trigger_duration_ms
+
+    Counter/gauge naming follows prometheus conventions (_total suffix
+    for monotonic counters). Pure formatting over O(batches) scalars —
+    no Spark work at scrape time."""
+    last = listener.batches[-1] if listener.batches else {}
+    lines = [
+        "# HELP kfsp_input_rows_total Rows ingested across all batches.",
+        "# TYPE kfsp_input_rows_total counter",
+        f'kfsp_input_rows_total{{job="{job}"}} {listener.total_rows()}',
+        "# HELP kfsp_throughput_rows_per_second Lifetime processed rate.",
+        "# TYPE kfsp_throughput_rows_per_second gauge",
+        f'kfsp_throughput_rows_per_second{{job="{job}"}} {listener.throughput():.3f}',
+        "# HELP kfsp_batches_total Micro-batches executed.",
+        "# TYPE kfsp_batches_total counter",
+        f'kfsp_batches_total{{job="{job}"}} {len(listener.batches)}',
+        "# HELP kfsp_batch_input_rows Input rows of the latest batch.",
+        "# TYPE kfsp_batch_input_rows gauge",
+        f'kfsp_batch_input_rows{{job="{job}"}} {last.get("num_input_rows", 0)}',
+        "# HELP kfsp_trigger_duration_ms Latest trigger execution time.",
+        "# TYPE kfsp_trigger_duration_ms gauge",
+        f'kfsp_trigger_duration_ms{{job="{job}"}} {last.get("duration_ms") or 0}',
+    ]
+    for k, v in (last.get("observed") or {}).items():
+        if isinstance(v, (int, float)):
+            lines += [
+                f"# TYPE kfsp_observed_{k} gauge",
+                f'kfsp_observed_{k}{{job="{job}"}} {v}',
+            ]
+    return "\n".join(lines) + "\n"

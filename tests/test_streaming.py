@@ -822,6 +822,25 @@ def test_rate_listener_and_observed_metrics(spark, tmp_path):
         if b["num_input_rows"] > 0 and b["observed"]
     )
 
+    # Prometheus text exposition of the same listener — the scrape
+    # surface mirroring the reference's kafka-exporter metrics
+    # (analysis/prometheus.yml:5-8); validate format + counter values
+    from kafka_flink_streaming_pipeline_spark.streaming.monitoring import (
+        prometheus_text,
+    )
+
+    text = prometheus_text(listener)
+    metrics = {}
+    for line in text.splitlines():
+        if line.startswith("#") or not line.strip():
+            continue
+        name_labels, val = line.rsplit(" ", 1)
+        metrics[name_labels.split("{")[0]] = float(val)
+    assert metrics["kfsp_input_rows_total"] == n_events
+    assert metrics["kfsp_batches_total"] == len(listener.batches)
+    assert metrics["kfsp_throughput_rows_per_second"] > 0
+    assert "kfsp_observed_rows" in metrics  # df.observe rode along
+
 
 def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
     """T6/T7 end-to-end: stop a stream mid-input, restart from the SAME
