@@ -112,6 +112,9 @@ HEADLINE = [
     "sample_docs_weighted_stratified",
     "hybrid_retrieval_rerank",
     "range_band_join_tiers",
+    "dedup_span_exact",
+    "dedup_semantic_clusters",
+    "split_leakage_check",
 ]
 
 

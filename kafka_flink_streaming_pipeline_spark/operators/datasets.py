@@ -528,7 +528,97 @@ FROM reach GROUP BY node
 """
 
 
+# --- split leakage check ---------------------------------------------------
+
+
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate leakage across the train/val/test boundary — the
+    check every eval pipeline needs before trusting held-out numbers:
+    a test doc whose near-duplicate sits in train is contamination
+    (the cross-SPLIT twin of `decontaminate_against_eval`, which
+    checks against an external eval set).
+
+    Composes the exact 3-gram jaccard pair graph with the
+    deterministic hash split: every near-dup pair is classified by its
+    (lexicographically ordered) split pair, `leaks` = the two sides
+    differ. Output is the grouped matrix (≤ 6 rows at any corpus
+    size); the pair join broadcasts nothing new — splits derive from
+    doc_id hashing, so the classification is a projection, not an
+    extra data join."""
+    pairs = _jaccard_pairs(
+        _doc_shingles(spark, sf_dir), "shingle", _NGRAM_JACCARD_T
+    )
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _split_bucket()
+    split = (
+        F.when(bucket < _TRAIN_PCT, "train")
+        .when(bucket < _TRAIN_PCT + _VAL_PCT, "val")
+        .otherwise("test")
+    )
+    splits = d.select("doc_id", split.alias("split"))
+    s1 = splits.select(F.col("doc_id").alias("d1"), F.col("split").alias("sp1"))
+    s2 = splits.select(F.col("doc_id").alias("d2"), F.col("split").alias("sp2"))
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            F.least("sp1", "sp2").alias("split_a"),
+            F.greatest("sp1", "sp2").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("leaks"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+SPLIT_LEAKAGE_ORACLE = f"""
+WITH sh AS ({_DOC_SHINGLES_SQL}),
+cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+near AS (
+  SELECT d1, d2
+  FROM pairs JOIN cnt c1 ON c1.doc_id = d1 JOIN cnt c2 ON c2.doc_id = d2
+  WHERE round(CAST(common AS DOUBLE) / (c1.c + c2.c - common), 6)
+        >= {_NGRAM_JACCARD_T}
+),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN b < {_TRAIN_PCT} THEN 'train'
+              WHEN b < {_TRAIN_PCT + _VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                 % 100 AS b
+        FROM documents)
+)
+SELECT least(sa.split, sb.split) AS split_a,
+       greatest(sa.split, sb.split) AS split_b,
+       count(*) AS n_pairs,
+       least(sa.split, sb.split) <> greatest(sa.split, sb.split) AS leaks
+FROM near JOIN splits sa ON sa.doc_id = near.d1
+          JOIN splits sb ON sb.doc_id = near.d2
+GROUP BY 1, 2
+ORDER BY split_a, split_b
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "split_leakage_check": QuerySpec(
+        "split_leakage_check",
+        split_leakage_check,
+        SPLIT_LEAKAGE_ORACLE,
+        "near-dup pairs crossing the train/val/test boundary (contamination matrix)",
+    ),
     "dataset_split_assign": QuerySpec(
         "dataset_split_assign",
         dataset_split_assign,

@@ -742,7 +742,98 @@ WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {_FUZZY_MAX_DIST}
 """
 
 
+# --- cross-doc duplicated-span fraction (substring dedup signal) ----------
+
+_SPAN_W = 8  # words per span — the "memorization-length" window
+
+
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of 8-word spans that also occur in ANOTHER doc —
+    the exact-substring duplication signal behind suffix-array dedup of
+    training corpora (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL 2022, approximated at fixed window
+    width so it is one explode + two map-side-combinable aggregations
+    instead of a suffix array).
+
+    Plan shape at 100 TB: spans explode from the scan (no shuffle),
+    groupBy(span) counts distinct docs per span (partial aggs collapse
+    the Zipf head), and the per-doc rollup shuffles doc_id only. Output
+    is one row per doc (corpus-sized — unsorted)."""
+    d = _docs_parallel(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    n = F.size("ws")
+    idx = F.when(n >= _SPAN_W, F.sequence(F.lit(1), n - (_SPAN_W - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    spans = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("ws"), i + k) for k in range(_SPAN_W)]
+        ),
+    )
+    doc_spans = d.select(
+        "doc_id", F.explode_outer(spans).alias("span")
+    ).distinct()  # set semantics per doc; explode_outer keeps short docs
+    span_df = (
+        doc_spans.filter(F.col("span").isNotNull())
+        .groupBy("span")
+        .agg(F.count("*").alias("ndocs"))
+    )
+    return (
+        doc_spans.join(span_df, "span", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("span").alias("n_spans"),
+            F.count(F.when(F.col("ndocs") > 1, 1)).alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.when(
+                F.col("n_spans") > 0,
+                F.round(F.col("n_dup_spans") / F.col("n_spans"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_span_frac"),
+        )
+    )
+
+
+DEDUP_SPAN_ORACLE = f"""
+WITH d AS ({_WORDS_SQL}),
+doc_spans AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(ws) >= {_SPAN_W}
+                     THEN list_transform(range(1, len(ws) - {_SPAN_W - 2}),
+                          i -> array_to_string(ws[i:i+{_SPAN_W - 1}], ' '))
+                     ELSE [NULL] END) AS span
+  FROM d
+),
+freq AS (
+  SELECT span, count(*) AS ndocs FROM doc_spans
+  WHERE span IS NOT NULL GROUP BY span
+)
+SELECT ds.doc_id,
+       count(ds.span) AS n_spans,
+       count(CASE WHEN f.ndocs > 1 THEN 1 END) AS n_dup_spans,
+       CASE WHEN count(ds.span) > 0
+            THEN round(count(CASE WHEN f.ndocs > 1 THEN 1 END)
+                       / CAST(count(ds.span) AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_span_frac
+FROM doc_spans ds LEFT JOIN freq f ON ds.span = f.span
+GROUP BY ds.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_span_exact": QuerySpec(
+        "dedup_span_exact",
+        dedup_span_exact,
+        DEDUP_SPAN_ORACLE,
+        "per-doc duplicated 8-word-span fraction (fixed-window substring-dedup signal)",
+    ),
     "dedup_incoming_vs_corpus": QuerySpec(
         "dedup_incoming_vs_corpus",
         dedup_incoming_vs_corpus,

@@ -878,7 +878,98 @@ LIMIT {_HYBRID_K}
 """
 
 
+# --- semantic dedup within coarse-quantizer cells (SemDeDup) --------------
+
+
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): cluster the embedding
+    space coarsely, then drop near-identical vectors WITHIN each
+    cluster, keeping the lowest id. Reuses the IVF coarse quantizer for
+    the clustering, so the pairwise stage is bounded to |cell|² per
+    cell instead of all-pairs — the property that makes semantic dedup
+    tractable on billion-vector corpora (cross-cell near-dups are
+    forgone by design; tighten K/nprobe to trade recall for cost).
+
+    Output: one row per DROPPED vector — (vec_id, centroid_id, dup_of
+    = lowest-id same-cell vector with cosine ≥ t, n_similar)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    with_norm = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    m = _ivf_assign(with_norm).join(with_norm, "vec_id")
+    a = m.select(
+        F.col("vec_id").alias("v1"),
+        "centroid_id",
+        F.col("embedding").alias("e1"),
+        F.col("nrm").alias("n1"),
+    )
+    b = m.select(
+        F.col("vec_id").alias("v2"),
+        "centroid_id",
+        F.col("embedding").alias("e2"),
+        F.col("nrm").alias("n2"),
+    )
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("v1") < F.col("v2"))
+        .select(
+            "centroid_id",
+            "v1",
+            "v2",
+            _pair_cosine(F.col("e1"), F.col("e2"), F.col("n1"), F.col("n2")).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= _NEAR_DUP_T)
+        .groupBy(F.col("v2").alias("vec_id"))
+        .agg(
+            F.first("centroid_id").alias("centroid_id"),
+            F.min("v1").alias("dup_of"),
+            F.count("*").alias("n_similar"),
+        )
+    )  # dropped-vector list: corpus-sized at scale, unsorted
+
+
+DEDUP_SEMANTIC_ORACLE = f"""
+WITH e AS ({_DUCK_EMB}),
+cents AS (
+  SELECT vec_id AS centroid_id, v FROM e
+  WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES + _IVF_K}
+),
+assign_scored AS (
+  SELECT a.vec_id, k.centroid_id, {_DUCK_CENT_COS} AS ccos
+  FROM e a CROSS JOIN (SELECT centroid_id, v FROM cents) k
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, centroid_id ASC) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a1.centroid_id, a1.vec_id AS v1, a2.vec_id AS v2, {_DUCK_COS} AS cosine
+  FROM assigned a1
+  JOIN assigned a2 ON a1.centroid_id = a2.centroid_id AND a1.vec_id < a2.vec_id
+  JOIN e q ON q.vec_id = a1.vec_id
+  JOIN e c ON c.vec_id = a2.vec_id
+)
+SELECT v2 AS vec_id, min(centroid_id) AS centroid_id,
+       min(v1) AS dup_of, count(*) AS n_similar
+FROM pairs WHERE cosine >= {_NEAR_DUP_T}
+GROUP BY v2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_semantic_clusters": QuerySpec(
+        "dedup_semantic_clusters",
+        dedup_semantic_clusters,
+        DEDUP_SEMANTIC_ORACLE,
+        "SemDeDup: within-cell cosine near-dup drop list over the IVF clustering",
+    ),
     "hybrid_retrieval_rerank": QuerySpec(
         "hybrid_retrieval_rerank",
         hybrid_retrieval_rerank,

@@ -154,6 +154,8 @@ def test_corpus_sized_outputs_have_no_global_sort(spark):
         "dedup_components_lsh",
         "text_repetition_stats",
         "embedding_quantize_int8",
+        "dedup_span_exact",
+        "dedup_semantic_clusters",
     ]:
         try:
             plan = _plan(spark, name)
