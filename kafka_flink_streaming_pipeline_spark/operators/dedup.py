@@ -747,21 +747,21 @@ WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {_FUZZY_MAX_DIST}
 _SPAN_W = 8  # words per span — the "memorization-length" window
 
 
-def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def span_dup_fractions(docs: DataFrame) -> DataFrame:
     """Per-doc fraction of 8-word spans that also occur in ANOTHER doc —
     the exact-substring duplication signal behind suffix-array dedup of
     training corpora (Lee et al., "Deduplicating Training Data Makes
     Language Models Better", ACL 2022, approximated at fixed window
     width so it is one explode + two map-side-combinable aggregations
-    instead of a suffix array).
+    instead of a suffix array). Takes any (doc_id, text) frame
+    (property-tested against a pure-Python model in
+    tests/test_span_dedup_property.py).
 
     Plan shape at 100 TB: spans explode from the scan (no shuffle),
     groupBy(span) counts distinct docs per span (partial aggs collapse
     the Zipf head), and the per-doc rollup shuffles doc_id only. Output
     is one row per doc (corpus-sized — unsorted)."""
-    d = _docs_parallel(spark, sf_dir).select(
-        "doc_id", F.split("text", " ").alias("ws")
-    )
+    d = docs.select("doc_id", F.split("text", " ").alias("ws"))
     n = F.size("ws")
     idx = F.when(n >= _SPAN_W, F.sequence(F.lit(1), n - (_SPAN_W - 1))).otherwise(
         F.array().cast("array<int>")
@@ -799,6 +799,11 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_span_frac"),
         )
     )
+
+
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`span_dup_fractions` over the documents table."""
+    return span_dup_fractions(_docs_parallel(spark, sf_dir))
 
 
 DEDUP_SPAN_ORACLE = f"""

@@ -1,0 +1,73 @@
+"""Property-based test for the duplicated-span operator
+(operators/dedup.py span_dup_fractions) against a pure-Python model:
+random word documents over a tiny alphabet (so cross-doc span
+collisions actually occur), plus the two boundary shapes — exact
+copies (fraction 1.0) and short docs (< span width → zero spans)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kafka_flink_streaming_pipeline_spark.operators.dedup import (
+    _SPAN_W,
+    span_dup_fractions,
+)
+
+_WORDS = ["a", "b", "c"]
+
+
+def _reference(docs: list[str]) -> dict[int, tuple[int, int, float]]:
+    span_sets = []
+    for text in docs:
+        ws = text.split(" ")
+        spans = {
+            " ".join(ws[i : i + _SPAN_W])
+            for i in range(len(ws) - _SPAN_W + 1)
+        }
+        span_sets.append(spans)
+    out = {}
+    for i, spans in enumerate(span_sets):
+        dup = sum(
+            1
+            for s in spans
+            if any(s in other for j, other in enumerate(span_sets) if j != i)
+        )
+        frac = round(dup / len(spans), 6) if spans else 0.0
+        out[i] = (len(spans), dup, frac)
+    return out
+
+
+def _run_spark(spark, docs: list[str]) -> dict[int, tuple[int, int, float]]:
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    return {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_span_frac)
+        for r in span_dup_fractions(df).collect()
+    }
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=14).map(" ".join),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_span_fractions_match_reference(spark, docs):
+    # empty text splits to [''] in both engines — a 1-word doc, fine
+    assert _run_spark(spark, docs) == _reference(docs)
+
+
+def test_exact_copy_has_fraction_one(spark):
+    text = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    got = _run_spark(spark, [text, text, "x1 x2 x3"])
+    assert got[0] == (3, 3, 1.0)  # 10 words -> 3 spans, all duplicated
+    assert got[1] == (3, 3, 1.0)
+    assert got[2] == (0, 0, 0.0)  # short doc: no spans at all
