@@ -56,21 +56,27 @@ from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
 _TRAIN_PCT, _VAL_PCT = 80, 10  # test gets the remainder
 
 
-def _split_bucket() -> F.Column:
-    """md5(doc_id) first 4 hex chars → int mod 100. Pure function of
+def _split_bucket(key: F.Column | None = None) -> F.Column:
+    """md5(key) first 4 hex chars → int mod 100. Pure function of
     the key: stable across engines, partitionings, and reruns."""
-    hex4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    key = F.col("doc_id") if key is None else key
+    hex4 = F.substring(F.md5(key.cast("string")), 1, 4)
     return F.conv(hex4, 16, 10).cast("int") % 100
 
 
-def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    bucket = _split_bucket()
-    split = (
+def _split_name(key: F.Column | None = None) -> F.Column:
+    """train/val/test label — shared by assignment and leakage check."""
+    bucket = _split_bucket(key)
+    return (
         F.when(bucket < _TRAIN_PCT, "train")
         .when(bucket < _TRAIN_PCT + _VAL_PCT, "val")
         .otherwise("test")
     )
+
+
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    split = _split_name()
     n_tokens = F.regexp_count("text", F.lit(r"[a-z0-9]+"))
     return (
         d.select(split.alias("split"), F.col("lang"), n_tokens.alias("n_tokens"))
@@ -542,28 +548,19 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic hash split: every near-dup pair is classified by its
     (lexicographically ordered) split pair, `leaks` = the two sides
     differ. Output is the grouped matrix (≤ 6 rows at any corpus
-    size); the pair join broadcasts nothing new — splits derive from
-    doc_id hashing, so the classification is a projection, not an
-    extra data join."""
+    size). The split is a pure md5 projection of the doc id, so the
+    classification is computed directly on the pair rows' d1/d2 — no
+    join back to the documents table, no extra shuffle of the
+    corpus-sized pair set."""
     pairs = _jaccard_pairs(
         _doc_shingles(spark, sf_dir), "shingle", _NGRAM_JACCARD_T
     )
-    d = load_table(spark, sf_dir, "documents")
-    bucket = _split_bucket()
-    split = (
-        F.when(bucket < _TRAIN_PCT, "train")
-        .when(bucket < _TRAIN_PCT + _VAL_PCT, "val")
-        .otherwise("test")
-    )
-    splits = d.select("doc_id", split.alias("split"))
-    s1 = splits.select(F.col("doc_id").alias("d1"), F.col("split").alias("sp1"))
-    s2 = splits.select(F.col("doc_id").alias("d2"), F.col("split").alias("sp2"))
+    sp1 = _split_name(F.col("d1"))
+    sp2 = _split_name(F.col("d2"))
     return (
-        pairs.join(s1, "d1")
-        .join(s2, "d2")
-        .select(
-            F.least("sp1", "sp2").alias("split_a"),
-            F.greatest("sp1", "sp2").alias("split_b"),
+        pairs.select(
+            F.least(sp1, sp2).alias("split_a"),
+            F.greatest(sp1, sp2).alias("split_b"),
         )
         .groupBy("split_a", "split_b")
         .agg(F.count("*").alias("n_pairs"))

@@ -195,10 +195,12 @@ def _jaccard_pairs_prefix(
     # ceil(t·c) in EXACT integer arithmetic: float ceil of t*c can round
     # the product up past the true ceiling for an unlucky threshold,
     # silently shortening the prefix and breaking the lossless
-    # guarantee. Represent t as the rational num/1e6 (exact for any
-    # threshold a user can meaningfully specify) and use the integer
-    # identity ceil(a/b) = floor((a + b - 1) / b).
-    t_num, t_den = round(threshold * 1_000_000), 1_000_000
+    # guarantee. Represent t as the rational num/1e6 and use the
+    # integer identity ceil(a/b) = floor((a + b - 1) / b). num is
+    # FLOORED, not rounded: under-approximating t can only lengthen
+    # the prefix (extra candidates, pruned later) — rounding up (e.g.
+    # t=2/3 → 666667/1e6 > t) could shorten it and lose pairs.
+    t_num, t_den = int(threshold * 1_000_000), 1_000_000
     ceil_tc = F.floor(
         (F.col("c").cast("long") * t_num + (t_den - 1)) / F.lit(t_den)
     )
@@ -343,8 +345,12 @@ def _band_join_partitions(bands: DataFrame, lo: int) -> int:
     the exact candidate count, and the explicit repartition hash-
     partitions BOTH sides on the join keys, so the join reuses it (no
     extra exchange) and each task's build set stays ~64 MB."""
+    # n*n as double, not bigint: a >3e9-row bucket would wrap int64
+    # silently (non-ANSI), collapsing `need` to the floor — the exact
+    # under-partitioned regression this helper prevents. Double loses
+    # ulps at that magnitude, which is irrelevant for partition sizing.
     est = bands.groupBy("band", "band_key").agg(F.count("*").alias("n")).agg(
-        F.sum(F.col("n") * F.col("n")).alias("pairs")
+        F.sum(F.col("n").cast("double") * F.col("n")).alias("pairs")
     ).collect()[0][0] or 0
     need = (est * _CAND_ROW_BYTES + _CAND_PARTITION_BYTES - 1) // _CAND_PARTITION_BYTES
     return int(max(lo, min(4096, need)))

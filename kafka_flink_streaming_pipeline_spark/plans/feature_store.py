@@ -192,20 +192,26 @@ ORDER BY window_end
 
 
 def active_users_5m_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming-legal variant: `approx_count_distinct` (HLL++, rsd 2%).
-    Exact distinct isn't supported under streaming append mode
-    (SURVEY.md A6); this documents the deviation. HLL estimates differ
-    across engines, so the HASHABLE contract is the accuracy claim:
-    exact distinct (which the batch twin + DuckDB can both compute) plus
-    a `within_5pct` boolean over the internal estimate — same pattern as
-    `sketch_rollup_active_users`."""
+    """BATCH ACCURACY TWIN of the streaming-legal approx distinct.
+
+    The streaming deployment keeps ONLY `approx_count_distinct` (exact
+    distinct isn't supported under streaming append mode — SURVEY.md
+    A6; this documents the deviation). This batch twin adds the exact
+    count beside it to carry the HASHABLE contract: HLL estimates
+    differ across engines, so the oracle checks the accuracy claim —
+    exact distinct plus a `within_5pct` boolean over the internal
+    estimate, same pattern as `sketch_rollup_active_users`. rsd=0.01
+    puts the 5% bound at 5 sigma, so the TRUE-for-every-row oracle is
+    robust even when per-window cardinality leaves HLL++'s
+    sparse-exact range (many windows × 2.5 sigma would eventually
+    fail; 5 sigma does not)."""
     e = _enriched(spark, sf_dir)
     both = e.filter(F.col("event_type").isin("click", "view")).select("uuid", "event_time")
     est = F.col("approx_users").cast("double")
     return (
         both.groupBy(F.window("event_time", "5 minutes").alias("w"))
         .agg(
-            F.approx_count_distinct("uuid", rsd=0.02).alias("approx_users"),
+            F.approx_count_distinct("uuid", rsd=0.01).alias("approx_users"),
             F.countDistinct("uuid").alias("active_users"),
         )
         .select(

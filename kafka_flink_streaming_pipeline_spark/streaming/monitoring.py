@@ -120,8 +120,14 @@ def prometheus_text(listener: RateListener, job: str = "kfsp") -> str:
                                                         with kfsp_trigger_duration_ms
 
     Counter/gauge naming follows prometheus conventions (_total suffix
-    for monotonic counters). Pure formatting over O(batches) scalars —
-    no Spark work at scrape time."""
+    for monotonic counters); observed-metric keys are sanitized to the
+    exposition charset and the job label is escaped, so one
+    non-conforming observe() alias cannot invalidate the whole scrape.
+    Pure formatting over O(batches) scalars — no Spark work at scrape
+    time."""
+    import re
+
+    job = job.replace("\\", r"\\").replace('"', r"\"").replace("\n", r"\n")
     last = listener.batches[-1] if listener.batches else {}
     lines = [
         "# HELP kfsp_input_rows_total Rows ingested across all batches.",
@@ -142,8 +148,9 @@ def prometheus_text(listener: RateListener, job: str = "kfsp") -> str:
     ]
     for k, v in (last.get("observed") or {}).items():
         if isinstance(v, (int, float)):
+            name = re.sub(r"[^a-zA-Z0-9_:]", "_", str(k))
             lines += [
-                f"# TYPE kfsp_observed_{k} gauge",
-                f'kfsp_observed_{k}{{job="{job}"}} {v}',
+                f"# TYPE kfsp_observed_{name} gauge",
+                f'kfsp_observed_{name}{{job="{job}"}} {v}',
             ]
     return "\n".join(lines) + "\n"
