@@ -115,6 +115,8 @@ HEADLINE = [
     "dedup_span_exact",
     "dedup_semantic_clusters",
     "split_leakage_check",
+    "dedup_keep_best_per_component",
+    "multimodal_dedup_exact",
 ]
 
 

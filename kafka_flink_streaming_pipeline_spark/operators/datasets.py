@@ -534,6 +534,79 @@ FROM reach GROUP BY node
 """
 
 
+# --- canonical-doc selection per near-dup component -------------------------
+
+
+def dedup_keep_best_per_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last step of the dedup story: given the near-dup components
+    and per-doc quality scores, keep the HIGHEST-QUALITY member of each
+    component (tie-break min doc_id) — quality-aware canonical-doc
+    selection instead of `dedup_components`' min-id default.
+
+    One struct-max aggregation per component: `max(struct(quality,
+    -doc_id))` is a map-side-combinable argmax, so no per-component
+    window sort and no second shuffle. Output is one row per component
+    (corpus-sized, unsorted)."""
+    comp = dedup_components(spark, sf_dir).select("doc_id", "component_id")
+    q = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    return (
+        comp.join(q, "doc_id")
+        .groupBy("component_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.max(
+                F.struct(
+                    F.col("quality_score").alias("q"),
+                    (-F.col("doc_id")).alias("nid"),
+                )
+            ).alias("best"),
+        )
+        .select(
+            "component_id",
+            (-F.col("best.nid")).alias("keeper_doc_id"),
+            F.col("best.q").alias("keeper_quality"),
+            "n_members",
+            (F.col("n_members") - F.lit(1)).alias("n_dropped"),
+        )
+    )
+
+
+KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE
+dw AS ({_DOC_SHINGLES_SQL}),
+cnt AS (SELECT doc_id, count(*) AS c FROM dw GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+  FROM dw a JOIN dw b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY d1, d2
+),
+prs AS (
+  SELECT d1, d2 FROM common
+  JOIN cnt c1 ON c1.doc_id = d1
+  JOIN cnt c2 ON c2.doc_id = d2
+  WHERE round(CAST(common AS DOUBLE) / (c1.c + c2.c - common), 6) >= {_NGRAM_JACCARD_T}
+),
+edges AS (SELECT d1, d2 FROM prs UNION ALL SELECT d2 AS d1, d1 AS d2 FROM prs),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d1, reach.r FROM edges e JOIN reach ON reach.node = e.d2
+),
+comp AS (SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node),
+q AS ({QUALITY_ORACLE.replace("ORDER BY doc_id", "")}),
+ranked AS (
+  SELECT c.component_id, c.doc_id, q.quality_score,
+         row_number() OVER (PARTITION BY c.component_id
+                            ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY c.component_id) AS n_members
+  FROM comp c JOIN q USING (doc_id)
+)
+SELECT component_id, doc_id AS keeper_doc_id, quality_score AS keeper_quality,
+       n_members, n_members - 1 AS n_dropped
+FROM ranked WHERE rn = 1
+"""
+
+
 # --- split leakage check ---------------------------------------------------
 
 
@@ -645,6 +718,12 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_components_lsh,
         DEDUP_COMPONENTS_LSH_ORACLE,
         "connected components over banded-LSH candidate edges (corpus-scale path)",
+    ),
+    "dedup_keep_best_per_component": QuerySpec(
+        "dedup_keep_best_per_component",
+        dedup_keep_best_per_component,
+        KEEP_BEST_ORACLE,
+        "quality-aware canonical doc per near-dup component (struct-max argmax)",
     ),
     "dataset_mixture_expand": QuerySpec(
         "dataset_mixture_expand",

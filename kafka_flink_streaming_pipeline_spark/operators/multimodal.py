@@ -245,7 +245,39 @@ ORDER BY doc_id, frame_idx
 """
 
 
+def media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the OPAQUE BINARY payload — the multimodal twin
+    of `dedup_exact`: md5 the bytes (no decode needed, so it runs
+    entirely JVM-side — no Python stage), hash-groupBy per
+    (media_type, fingerprint), keep min doc_id. At 100 TB this is the
+    first pass of any image/video corpus pipeline: collapsing byte-
+    identical payloads costs one shuffle of (hash, id) pairs, never
+    moving the payloads themselves."""
+    m = media_table(spark, sf_dir)
+    return (
+        m.select(
+            "doc_id", "media_type", F.md5(F.col("payload")).alias("fingerprint")
+        )
+        .groupBy("media_type", "fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )  # one row per unique payload: corpus-sized, unsorted
+
+
+MEDIA_DEDUP_ORACLE = """
+SELECT 'image/fake' AS media_type, md5(text) AS fingerprint,
+       min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+FROM documents
+GROUP BY fingerprint
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "multimodal_dedup_exact": QuerySpec(
+        "multimodal_dedup_exact",
+        media_dedup_exact,
+        MEDIA_DEDUP_ORACLE,
+        "byte-identical payload dedup: md5 over binary, JVM-side only",
+    ),
     "multimodal_media_features": QuerySpec(
         "multimodal_media_features",
         media_features,

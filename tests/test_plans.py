@@ -156,6 +156,8 @@ def test_corpus_sized_outputs_have_no_global_sort(spark):
         "embedding_quantize_int8",
         "dedup_span_exact",
         "dedup_semantic_clusters",
+        "dedup_keep_best_per_component",
+        "multimodal_dedup_exact",
     ]:
         try:
             plan = _plan(spark, name)
