@@ -117,6 +117,8 @@ HEADLINE = [
     "split_leakage_check",
     "dedup_keep_best_per_component",
     "multimodal_dedup_exact",
+    "dedup_containment",
+    "sketch_bottomk_quantiles",
 ]
 
 

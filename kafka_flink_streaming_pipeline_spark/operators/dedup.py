@@ -748,6 +748,81 @@ WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {_FUZZY_MAX_DIST}
 """
 
 
+# --- asymmetric containment (doc-inside-doc) -------------------------------
+
+_CONTAIN_T = 0.9
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT C(A,B) = |A∩B| / |A| over 3-gram shingle sets —
+    Broder's asymmetric companion to resemblance (same 1997 paper):
+    a short doc quoted wholesale inside a long one has jaccard ≈
+    |A|/|B| (tiny) but containment ≈ 1. The signal that catches
+    boilerplate, quotations and subset duplication that symmetric
+    near-dup thresholds miss.
+
+    Same inverted-index common-count join as `_jaccard_pairs` computed
+    ONCE per unordered pair; both directions are then emitted by a
+    map-side explode (no second join), keeping rows where the
+    CONTAINED side's coverage ≥ 0.9. Output (contained_doc,
+    container_doc, containment) — corpus-sized, unsorted."""
+    tokens = _doc_shingles(spark, sf_dir)
+    cnt = tokens.groupBy("doc_id").agg(F.count("*").alias("c"))
+    a = tokens.select(F.col("doc_id").alias("d1"), F.col("shingle").alias("t"))
+    b = tokens.select(F.col("doc_id").alias("d2"), F.col("shingle").alias("t"))
+    common = (
+        a.join(b, (a.t == b.t) & (F.col("d1") < F.col("d2")))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("common"))
+    )
+    c1 = cnt.select(F.col("doc_id").alias("d1"), F.col("c").alias("c1"))
+    c2 = cnt.select(F.col("doc_id").alias("d2"), F.col("c").alias("c2"))
+    both_dirs = F.array(
+        F.struct(
+            F.col("d1").alias("contained_doc"),
+            F.col("d2").alias("container_doc"),
+            F.round(F.col("common").cast("double") / F.col("c1"), 6).alias(
+                "containment"
+            ),
+        ),
+        F.struct(
+            F.col("d2").alias("contained_doc"),
+            F.col("d1").alias("container_doc"),
+            F.round(F.col("common").cast("double") / F.col("c2"), 6).alias(
+                "containment"
+            ),
+        ),
+    )
+    return (
+        common.join(c1, "d1")
+        .join(c2, "d2")
+        .select(F.explode(both_dirs).alias("p"))
+        .select("p.contained_doc", "p.container_doc", "p.containment")
+        .filter(F.col("containment") >= _CONTAIN_T)
+    )
+
+
+DEDUP_CONTAINMENT_ORACLE = f"""
+WITH sh AS ({_DOC_SHINGLES_SQL}),
+cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY d1, d2
+),
+dirs AS (
+  SELECT d1 AS contained_doc, d2 AS container_doc,
+         round(CAST(common AS DOUBLE) / c1.c, 6) AS containment
+  FROM common JOIN cnt c1 ON c1.doc_id = d1
+  UNION ALL
+  SELECT d2, d1, round(CAST(common AS DOUBLE) / c2.c, 6)
+  FROM common JOIN cnt c2 ON c2.doc_id = d2
+)
+SELECT contained_doc, container_doc, containment
+FROM dirs WHERE containment >= {_CONTAIN_T}
+"""
+
+
 # --- cross-doc duplicated-span fraction (substring dedup signal) ----------
 
 _SPAN_W = 8  # words per span — the "memorization-length" window
@@ -844,6 +919,12 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_span_exact,
         DEDUP_SPAN_ORACLE,
         "per-doc duplicated 8-word-span fraction (fixed-window substring-dedup signal)",
+    ),
+    "dedup_containment": QuerySpec(
+        "dedup_containment",
+        dedup_containment,
+        DEDUP_CONTAINMENT_ORACLE,
+        "asymmetric shingle containment >= 0.9: doc-inside-doc detection",
     ),
     "dedup_incoming_vs_corpus": QuerySpec(
         "dedup_incoming_vs_corpus",

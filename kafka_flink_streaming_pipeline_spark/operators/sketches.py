@@ -201,7 +201,101 @@ LIMIT {_CMS_TOPK}
 """
 
 
+# --- bottom-k (KMV-style) quantile sketch ----------------------------------
+
+_BK = 64  # sample rows kept per group
+
+
+def sketch_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable per-group quantile sketch via a deterministic BOTTOM-K
+    sample: keep the k rows with the smallest md5(key) per group (the
+    k-minimum-values idea — Bar-Yossef et al., RANDOM 2002 — applied as
+    a uniform sampler), then read quantiles off the sample.
+
+    Two properties make this the 100 TB rollup pattern:
+    - MERGEABLE: bottom-k of a union == bottom-k of the concatenated
+      per-shard bottom-k's (min-rank rows survive any merge order) —
+      proven in `test_bottomk_sketch_merge_equals_direct`.
+    - DETERMINISTIC: the md5 ranking is a pure function of the key, so
+      unlike reservoir/rand() sampling the sketch — and therefore every
+      estimate — is exactly reproducible cross-engine; the oracle
+      checks est AND exact to equality, no tolerance needed.
+
+    Plan: the per-group top-k rank filter compiles to WindowGroupLimit
+    (partial top-k per partition before the shuffle), so the sketch
+    build never materializes a full per-group sort."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.md5(F.col("o_orderkey").cast("string")).alias("rk"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("rk", "o_orderkey")
+    samp = keyed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _BK)
+    est = samp.groupBy("o_orderpriority").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY price)").alias("est_p50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY price)").alias("est_p90"),
+        F.count("*").alias("sample_n"),
+    )
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE))"
+        ).alias("exact_p50"),
+        F.count("*").alias("n_rows"),
+    )
+    return (
+        est.join(exact, "o_orderpriority")
+        .select(
+            "o_orderpriority", "n_rows", "sample_n",
+            "est_p50", "est_p90", "exact_p50",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SKETCH_BOTTOMK_ORACLE = f"""
+WITH keyed AS (
+  SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS price,
+         md5(CAST(o_orderkey AS VARCHAR)) AS rk, o_orderkey
+  FROM orders
+),
+samp AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY rk, o_orderkey) AS rn
+    FROM keyed
+  ) WHERE rn <= {_BK}
+),
+est AS (
+  SELECT o_orderpriority,
+         quantile_disc(price, 0.5) AS est_p50,
+         quantile_disc(price, 0.9) AS est_p90,
+         count(*) AS sample_n
+  FROM samp GROUP BY 1
+),
+exact AS (
+  SELECT o_orderpriority,
+         quantile_disc(CAST(o_totalprice AS DOUBLE), 0.5) AS exact_p50,
+         count(*) AS n_rows
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, n_rows, sample_n, est_p50, est_p90, exact_p50
+FROM est JOIN exact USING (o_orderpriority)
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sketch_bottomk_quantiles": QuerySpec(
+        "sketch_bottomk_quantiles",
+        sketch_bottomk_quantiles,
+        SKETCH_BOTTOMK_ORACLE,
+        "deterministic bottom-k (KMV) sample quantiles per group, "
+        "merge-closed and exactly cross-engine reproducible",
+    ),
     "sketch_cms_heavy_hitters": QuerySpec(
         "sketch_cms_heavy_hitters",
         sketch_cms_heavy_hitters,

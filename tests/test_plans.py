@@ -158,6 +158,7 @@ def test_corpus_sized_outputs_have_no_global_sort(spark):
         "dedup_semantic_clusters",
         "dedup_keep_best_per_component",
         "multimodal_dedup_exact",
+        "dedup_containment",
     ]:
         try:
             plan = _plan(spark, name)

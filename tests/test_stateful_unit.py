@@ -183,6 +183,49 @@ def test_hll_sketch_rollup_accuracy_and_mergeability(spark):
     assert merged_all == direct_all
 
 
+def test_bottomk_sketch_merge_equals_direct(spark):
+    """The bottom-k (KMV) sample must be MERGE-CLOSED: splitting the
+    input into shards, taking each shard's bottom-k, unioning the
+    per-shard samples and re-taking bottom-k must equal the bottom-k
+    of the whole input — the property that lets per-partition /
+    per-day sketch rollups answer any union without re-scanning."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_flink_streaming_pipeline_spark.operators.sketches import _BK
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+    from tests.conftest import SF_CORRECT
+
+    orders = load_table(spark, SF_CORRECT, "orders").select(
+        "o_orderpriority",
+        F.md5(F.col("o_orderkey").cast("string")).alias("rk"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("rk", "o_orderkey")
+
+    def bottomk(df):
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _BK)
+            .drop("rn")
+        )
+
+    direct = {tuple(r) for r in bottomk(orders).collect()}
+    shards = [
+        bottomk(orders.filter(F.col("o_orderkey") % 3 == i)) for i in range(3)
+    ]
+    union = (
+        shards[0]
+        .unionByName(shards[1])
+        .unionByName(shards[2])
+        .unionByName(shards[0])  # shard 0 redelivered
+    )
+    # dropDuplicates BEFORE re-ranking: a redelivered copy must not
+    # occupy a rank slot (sketch rows are keyed, so dedup is exact)
+    merged = {tuple(r) for r in bottomk(union.dropDuplicates()).collect()}
+    assert merged == direct
+
+
 def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
     """Incremental view maintenance: updating the rollup one date-slice
     at a time (with an overlapping redelivery) must converge to exactly
