@@ -436,8 +436,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # corpus-sized output: no global sort (oracle compare is order-insensitive)
 
 
-DEDUP_COMPONENTS_ORACLE = f"""
-WITH RECURSIVE
+#: the exact-jaccard transitive-closure CTE chain — shared by every
+#: oracle that needs the near-dup components (components + keep-best),
+#: so the edge/threshold definition can never drift between them
+_COMPONENTS_SQL = f"""
 dw AS ({_DOC_SHINGLES_SQL}),
 cnt AS (SELECT doc_id, count(*) AS c FROM dw GROUP BY doc_id),
 common AS (
@@ -456,7 +458,11 @@ reach(node, r) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT e.d1, reach.r FROM edges e JOIN reach ON reach.node = e.d2
-)
+)"""
+
+DEDUP_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE
+{_COMPONENTS_SQL}
 SELECT node AS doc_id,
        min(r) AS component_id,
        (node = min(r)) AS is_canonical
@@ -573,27 +579,9 @@ def dedup_keep_best_per_component(spark: SparkSession, sf_dir: str) -> DataFrame
 
 KEEP_BEST_ORACLE = f"""
 WITH RECURSIVE
-dw AS ({_DOC_SHINGLES_SQL}),
-cnt AS (SELECT doc_id, count(*) AS c FROM dw GROUP BY doc_id),
-common AS (
-  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-  FROM dw a JOIN dw b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY d1, d2
-),
-prs AS (
-  SELECT d1, d2 FROM common
-  JOIN cnt c1 ON c1.doc_id = d1
-  JOIN cnt c2 ON c2.doc_id = d2
-  WHERE round(CAST(common AS DOUBLE) / (c1.c + c2.c - common), 6) >= {_NGRAM_JACCARD_T}
-),
-edges AS (SELECT d1, d2 FROM prs UNION ALL SELECT d2 AS d1, d1 AS d2 FROM prs),
-reach(node, r) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.d1, reach.r FROM edges e JOIN reach ON reach.node = e.d2
-),
+{_COMPONENTS_SQL},
 comp AS (SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node),
-q AS ({QUALITY_ORACLE.replace("ORDER BY doc_id", "")}),
+q AS ({QUALITY_ORACLE}),
 ranked AS (
   SELECT c.component_id, c.doc_id, q.quality_score,
          row_number() OVER (PARTITION BY c.component_id

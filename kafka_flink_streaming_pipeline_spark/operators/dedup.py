@@ -119,9 +119,10 @@ _DOC_SHINGLES_SQL = f"""
 """
 
 
-def _jaccard_pairs(tokens: DataFrame, token_col: str, threshold: float) -> DataFrame:
-    """Inverted-index exact jaccard: join token postings, count common
-    tokens per pair, |A∪B| = |A|+|B|-common."""
+def _common_counts(tokens: DataFrame, token_col: str) -> DataFrame:
+    """Inverted-index common-count join shared by the jaccard and
+    containment operators: (d1, d2, common, c1, c2) per unordered
+    pair (d1 < d2) with any shared token."""
     cnt = tokens.groupBy("doc_id").agg(F.count("*").alias("c"))
     a = tokens.select(F.col("doc_id").alias("d1"), F.col(token_col).alias("t"))
     b = tokens.select(F.col("doc_id").alias("d2"), F.col(token_col).alias("t"))
@@ -132,12 +133,17 @@ def _jaccard_pairs(tokens: DataFrame, token_col: str, threshold: float) -> DataF
     )
     c1 = cnt.select(F.col("doc_id").alias("d1"), F.col("c").alias("c1"))
     c2 = cnt.select(F.col("doc_id").alias("d2"), F.col("c").alias("c2"))
+    return common.join(c1, "d1").join(c2, "d2")
+
+
+def _jaccard_pairs(tokens: DataFrame, token_col: str, threshold: float) -> DataFrame:
+    """Inverted-index exact jaccard: join token postings, count common
+    tokens per pair, |A∪B| = |A|+|B|-common."""
     jac = F.round(
         F.col("common").cast("double") / (F.col("c1") + F.col("c2") - F.col("common")), 6
     )
     return (
-        common.join(c1, "d1")
-        .join(c2, "d2")
+        _common_counts(tokens, token_col)
         .select("d1", "d2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )  # no trailing global sort: pair output is corpus-sized at scale
@@ -761,22 +767,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate, quotations and subset duplication that symmetric
     near-dup thresholds miss.
 
-    Same inverted-index common-count join as `_jaccard_pairs` computed
-    ONCE per unordered pair; both directions are then emitted by a
-    map-side explode (no second join), keeping rows where the
-    CONTAINED side's coverage ≥ 0.9. Output (contained_doc,
-    container_doc, containment) — corpus-sized, unsorted."""
-    tokens = _doc_shingles(spark, sf_dir)
-    cnt = tokens.groupBy("doc_id").agg(F.count("*").alias("c"))
-    a = tokens.select(F.col("doc_id").alias("d1"), F.col("shingle").alias("t"))
-    b = tokens.select(F.col("doc_id").alias("d2"), F.col("shingle").alias("t"))
-    common = (
-        a.join(b, (a.t == b.t) & (F.col("d1") < F.col("d2")))
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("common"))
-    )
-    c1 = cnt.select(F.col("doc_id").alias("d1"), F.col("c").alias("c1"))
-    c2 = cnt.select(F.col("doc_id").alias("d2"), F.col("c").alias("c2"))
+    The SHARED `_common_counts` inverted-index join computed ONCE per
+    unordered pair; both directions are then emitted by a map-side
+    explode (no second join), keeping rows where the CONTAINED side's
+    coverage ≥ 0.9. Output (contained_doc, container_doc,
+    containment) — corpus-sized, unsorted."""
     both_dirs = F.array(
         F.struct(
             F.col("d1").alias("contained_doc"),
@@ -794,8 +789,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        common.join(c1, "d1")
-        .join(c2, "d2")
+        _common_counts(_doc_shingles(spark, sf_dir), "shingle")
         .select(F.explode(both_dirs).alias("p"))
         .select("p.contained_doc", "p.container_doc", "p.containment")
         .filter(F.col("containment") >= _CONTAIN_T)

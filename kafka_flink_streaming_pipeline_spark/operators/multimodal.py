@@ -263,11 +263,19 @@ def media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # one row per unique payload: corpus-sized, unsorted
 
 
+# mirror the real grouping (media_type, fingerprint) over the same
+# synthesized media expression — not a constant-label GROUP BY
+# fingerprint, which would silently diverge if media_table ever
+# synthesizes a second media type
 MEDIA_DEDUP_ORACLE = """
-SELECT 'image/fake' AS media_type, md5(text) AS fingerprint,
+WITH media AS (
+  SELECT doc_id, 'image/fake' AS media_type, md5(text) AS fingerprint
+  FROM documents
+)
+SELECT media_type, fingerprint,
        min(doc_id) AS keeper_doc_id, count(*) AS n_copies
-FROM documents
-GROUP BY fingerprint
+FROM media
+GROUP BY media_type, fingerprint
 """
 
 
