@@ -480,22 +480,24 @@ def topk_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_K = 8  # coarse-quantizer cells; centroids = vec_ids [_N_QUERIES, _N_QUERIES+K)
 
 
-def _ivf_assign(with_norm: DataFrame, nprobe: int = 1) -> DataFrame:
-    """(vec_id, centroid_id): the `nprobe` nearest seed centroids by
-    cosine — nprobe=1 is cell MEMBERSHIP (each vector lives in one
-    cell); nprobe>1 is the query-side PROBE LIST.
+def _ivf_assign(with_norm: DataFrame, nprobe: int = 1, k: int = _IVF_K) -> DataFrame:
+    """(vec_id, centroid_id): the `nprobe` nearest of `k` seed
+    centroids by cosine — nprobe=1 is cell MEMBERSHIP (each vector
+    lives in one cell); nprobe>1 is the query-side PROBE LIST.
 
     The coarse quantizer uses K fixed seed vectors as centroids
     (training-free IVF — at 100 TB you'd k-means a sample, but the
     assign/probe dataflow is identical and the seeds keep the operator
     deterministic and oracle-checkable). Assignment is a broadcast
     cross-score + per-vector argmax: one pass over the corpus, no
-    shuffle of the vectors themselves."""
+    shuffle of the vectors themselves. K is the cost knob for every
+    downstream within-cell stage (candidates ∝ N²/K): size it with
+    the corpus (K ≈ N / target_cell_size), not as a constant."""
     from pyspark.sql import Window
 
     cents = F.broadcast(
         with_norm.filter(
-            (F.col("vec_id") >= _N_QUERIES) & (F.col("vec_id") < _N_QUERIES + _IVF_K)
+            (F.col("vec_id") >= _N_QUERIES) & (F.col("vec_id") < _N_QUERIES + k)
         ).select(
             F.col("vec_id").alias("centroid_id"),
             F.col("embedding").alias("cent"),
@@ -881,7 +883,9 @@ LIMIT {_HYBRID_K}
 # --- semantic dedup within coarse-quantizer cells (SemDeDup) --------------
 
 
-def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_semantic_clusters(
+    spark: SparkSession, sf_dir: str, n_cells: int = _IVF_K
+) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540): cluster the embedding
     space coarsely, then drop near-identical vectors WITHIN each
     cluster, keeping the lowest id. Reuses the IVF coarse quantizer for
@@ -889,6 +893,14 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell instead of all-pairs — the property that makes semantic dedup
     tractable on billion-vector corpora (cross-cell near-dups are
     forgone by design; tighten K/nprobe to trade recall for cost).
+
+    `n_cells` is the COST KNOB: within-cell candidates ∝ N²/K, so K
+    must grow with the corpus (K ≈ N / target_cell_size; SemDeDup
+    itself uses 50k clusters for 5B embeddings). The default K=8 is
+    the oracle-pinned test configuration, NOT a production constant —
+    measured at 100× testdata (500k vectors): K=8 abandoned past
+    20 min, K=64 → 228 s, K=256 → 76 s, with the K=64 and K=256 drop
+    lists 99.97% identical (PERF.md round 3).
 
     Output: one row per DROPPED vector — (vec_id, centroid_id, dup_of
     = lowest-id same-cell vector with cosine ≥ t, n_similar)."""
@@ -898,7 +910,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
-    m = _ivf_assign(with_norm).join(with_norm, "vec_id")
+    m = _ivf_assign(with_norm, k=n_cells).join(with_norm, "vec_id")
     a = m.select(
         F.col("vec_id").alias("v1"),
         "centroid_id",
