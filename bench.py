@@ -119,6 +119,7 @@ HEADLINE = [
     "multimodal_dedup_exact",
     "dedup_containment",
     "sketch_bottomk_quantiles",
+    "rfm_customer_segments",
 ]
 
 

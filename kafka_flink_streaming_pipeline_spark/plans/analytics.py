@@ -374,7 +374,133 @@ SELECT node, round(rank, 4) AS rank FROM final ORDER BY node
 """
 
 
+# --- RFM customer segmentation ---------------------------------------------
+
+
+def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/frequency/monetary segmentation — the classic customer
+    scoring every analytics stack ships, built scale-correct: quartile
+    THRESHOLDS come from one `percentile_disc` aggregate broadcast back
+    over the per-customer frame (9 scalars), NOT from `ntile() OVER ()`
+    whose empty-partition window would serialize the whole table
+    through one task. Monetary sums in exact decimal and casts to
+    double once (partition-order-proof); recency is integer days vs
+    the corpus max date (the J4 broadcast-scalar pattern)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    mx = orders.agg(F.max("o_orderdate").alias("max_d"))
+    rfm = per.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        F.datediff("max_d", "last_order").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    th = rfm.agg(
+        *[
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY {c})"
+            ).alias(f"{c[0]}{int(p * 100)}")
+            for c in ("recency_days", "frequency", "monetary")
+            for p in (0.25, 0.5, 0.75)
+        ]
+    )
+    scored = rfm.crossJoin(F.broadcast(th))
+    r_score = (
+        F.when(F.col("recency_days") <= F.col("r25"), 4)
+        .when(F.col("recency_days") <= F.col("r50"), 3)
+        .when(F.col("recency_days") <= F.col("r75"), 2)
+        .otherwise(1)
+    )
+    f_score = (
+        F.when(F.col("frequency") >= F.col("f75"), 4)
+        .when(F.col("frequency") >= F.col("f50"), 3)
+        .when(F.col("frequency") >= F.col("f25"), 2)
+        .otherwise(1)
+    )
+    m_score = (
+        F.when(F.col("monetary") >= F.col("m75"), 4)
+        .when(F.col("monetary") >= F.col("m50"), 3)
+        .when(F.col("monetary") >= F.col("m25"), 2)
+        .otherwise(1)
+    )
+    segment = (
+        F.when((r_score == 4) & (f_score >= 3), "champion")
+        .when((r_score >= 3) & (f_score >= 3), "loyal")
+        .when(r_score >= 3, "recent")
+        .when(f_score >= 3, "at_risk")
+        .otherwise("hibernating")
+    )
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r_score.alias("r_score"),
+        f_score.alias("f_score"),
+        m_score.alias("m_score"),
+        segment.alias("segment"),
+    )  # one row per customer: corpus-sized, unsorted
+
+
+_RFM_ORACLE = """
+WITH per AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS frequency,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+mx AS (SELECT max(o_orderdate) AS max_d FROM orders),
+rfm AS (
+  SELECT o_custkey,
+         date_diff('day', CAST(last_order AS DATE), CAST(max_d AS DATE))
+           AS recency_days,
+         frequency, monetary
+  FROM per CROSS JOIN mx
+),
+th AS (
+  SELECT quantile_disc(recency_days, 0.25) AS r25,
+         quantile_disc(recency_days, 0.5)  AS r50,
+         quantile_disc(recency_days, 0.75) AS r75,
+         quantile_disc(frequency, 0.25) AS f25,
+         quantile_disc(frequency, 0.5)  AS f50,
+         quantile_disc(frequency, 0.75) AS f75,
+         quantile_disc(monetary, 0.25) AS m25,
+         quantile_disc(monetary, 0.5)  AS m50,
+         quantile_disc(monetary, 0.75) AS m75
+  FROM rfm
+),
+scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+         CASE WHEN recency_days <= r25 THEN 4 WHEN recency_days <= r50 THEN 3
+              WHEN recency_days <= r75 THEN 2 ELSE 1 END AS r_score,
+         CASE WHEN frequency >= f75 THEN 4 WHEN frequency >= f50 THEN 3
+              WHEN frequency >= f25 THEN 2 ELSE 1 END AS f_score,
+         CASE WHEN monetary >= m75 THEN 4 WHEN monetary >= m50 THEN 3
+              WHEN monetary >= m25 THEN 2 ELSE 1 END AS m_score
+  FROM rfm CROSS JOIN th
+)
+SELECT o_custkey, recency_days, frequency, monetary, r_score, f_score, m_score,
+       CASE WHEN r_score = 4 AND f_score >= 3 THEN 'champion'
+            WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+            WHEN r_score >= 3 THEN 'recent'
+            WHEN f_score >= 3 THEN 'at_risk'
+            ELSE 'hibernating' END AS segment
+FROM scored
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "rfm_customer_segments": QuerySpec(
+        "rfm_customer_segments",
+        _rfm_segments,
+        _RFM_ORACLE,
+        "RFM segmentation: broadcast quartile thresholds, no global ntile window",
+    ),
     "pagerank_event_graph": QuerySpec(
         "pagerank_event_graph",
         _pagerank_event_graph,

@@ -159,6 +159,7 @@ def test_corpus_sized_outputs_have_no_global_sort(spark):
         "dedup_keep_best_per_component",
         "multimodal_dedup_exact",
         "dedup_containment",
+        "rfm_customer_segments",
     ]:
         try:
             plan = _plan(spark, name)
