@@ -120,6 +120,9 @@ HEADLINE = [
     "dedup_containment",
     "sketch_bottomk_quantiles",
     "rfm_customer_segments",
+    "dedup_containment_lsh",
+    "split_leakage_check_lsh",
+    "dedup_keep_best_lsh",
 ]
 
 
@@ -149,6 +152,23 @@ def main() -> None:
     # the driver's default run sets nothing and measures everything
     skip = set(filter(None, os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",")))
     per_query: dict[str, float] = {}
+
+    # The near-dup pair graphs (exact prefix-filtered jaccard; banded
+    # LSH + label propagation) are session-shared materializations
+    # (operators/dedup.py `_SHARED_SUBTREES`): the components /
+    # keep-best / leakage / containment composites all reuse them, as a
+    # production curation DAG materializes its candidate-pair table
+    # once. Timing them HERE as first-class battery entries keeps the
+    # one-time build honestly inside the total, while the per-family
+    # entries below then show the true steady-state marginal cost.
+    from kafka_flink_streaming_pipeline_spark.operators.datasets import (
+        _components_labels,
+    )
+
+    for kind in ("exact", "lsh"):
+        t0 = time.time()
+        _components_labels(spark, sf_dir, kind).count()
+        per_query[f"shared_{kind}_graph_build"] = round(time.time() - t0, 3)
     for name in HEADLINE:
         if name not in plans or name in skip:
             continue
@@ -160,12 +180,18 @@ def main() -> None:
         per_query[name] = round(time.time() - t0, 3)
         assert n == warm
     total = round(sum(per_query.values()), 3)
+    # 1-min load average at battery end: the r3 driver total ran 1.2x
+    # the idle-box total purely from machine contention — recording
+    # load lets future rounds separate noise from regression at a
+    # glance (VERDICT r3 #8)
+    load1 = round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else None
     detail = {
         "metric": "headline_queries_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
+        "loadavg_1m": load1,
     }
     # full per-query map: file + an early stdout line (NOT the last line)
     Path(__file__).resolve().parent.joinpath("BENCH_DETAIL.json").write_text(
@@ -181,6 +207,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(per_query),
+                "loadavg_1m": load1,
                 "queries": slowest,
             }
         )

@@ -47,13 +47,29 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_image_real(payload: bytes) -> dict:
-    """Real decode path — requires an image library not present in this
-    container. The plumbing around it (media_table → mapInPandas →
-    FEATURE_SCHEMA) is identical for the real and fake paths."""
-    raise NotImplementedError(
-        "image decoding requires PIL/cv2, not available in this environment; "
-        "use the deterministic fake path (decode_batches)"
-    )
+    """Real decode path — Pillow, import-gated (the default container
+    ships no image libraries; `tests/test_plans.py` exercises this with
+    a real PNG when Pillow exists and self-skips otherwise, the same
+    env-gate treatment as streaming/stateful_v2). The plumbing around
+    it (media_table → mapInPandas → FEATURE_SCHEMA) is identical for
+    the real and fake paths."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - container has no Pillow
+        raise NotImplementedError(
+            "image decoding requires Pillow, not available in this "
+            "environment; use the deterministic fake path (decode_batches)"
+        ) from e
+    with Image.open(io.BytesIO(payload)) as im:
+        return {
+            "n_bytes": len(payload),
+            "head_byte": payload[0] if payload else -1,
+            "width": im.width,
+            "height": im.height,
+            "mode": im.mode,
+        }
 
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,12 +83,16 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def make_decode_batches():
-    """Arrow-batched fake decode: deterministic pure functions of the
-    payload bytes (so the DuckDB oracle can reproduce them exactly).
-    Shape-wise this is exactly what a real PIL/ffmpeg decode UDF looks
-    like: iterate record batches, vectorized per-batch work, yield
-    frames matching FEATURE_SCHEMA.
+def make_decode_batches(real: bool = False):
+    """Arrow-batched decode. Default: deterministic fake — pure
+    functions of the payload bytes (so the DuckDB oracle can reproduce
+    them exactly). `real=True`: actual Pillow decode of the payload as
+    an encoded image, filling the same FEATURE_SCHEMA columns with the
+    decoded width/height — import-gated, used by the env-gated test
+    (and by any deployment that installs Pillow); the fake path stays
+    the oracle configuration. Either way the shape is exactly what a
+    production decode UDF looks like: iterate record batches,
+    per-batch work, yield frames matching FEATURE_SCHEMA.
 
     Returned as a self-contained closure (no references to this module)
     so cloudpickle serializes it BY VALUE: Spark's Python workers can
@@ -83,17 +103,31 @@ def make_decode_batches():
     def decode_batches(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:
         import pandas as pd
 
+        if real:
+            import io
+
+            from PIL import Image  # fails fast on workers without Pillow
+
         for pdf in batches:
             n_bytes = pdf["payload"].map(len)
             head = pdf["payload"].map(lambda b: b[0] if len(b) else -1)
+            if real:
+                dims = pdf["payload"].map(
+                    lambda b: Image.open(io.BytesIO(b)).size
+                )
+                width = dims.map(lambda wh: wh[0]).astype("int32")
+                height = dims.map(lambda wh: wh[1]).astype("int32")
+            else:
+                width = (n_bytes % 640).astype("int32")
+                height = (n_bytes % 480).astype("int32")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": n_bytes.astype("int64"),
                     "head_byte": head.astype("int32"),
-                    "fake_width": (n_bytes % 640).astype("int32"),
-                    "fake_height": (n_bytes % 480).astype("int32"),
+                    "fake_width": width,
+                    "fake_height": height,
                 }
             )
 

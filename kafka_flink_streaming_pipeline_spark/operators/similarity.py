@@ -883,8 +883,17 @@ LIMIT {_HYBRID_K}
 # --- semantic dedup within coarse-quantizer cells (SemDeDup) --------------
 
 
+#: target vectors per IVF cell for the auto-derived quantizer size:
+#: within-cell candidate volume is ~N·target/2 rows, so the pairwise
+#: stage stays LINEAR in N as the corpus grows (K tracks N). 64 keeps
+#: each cell's |cell|² block comfortably inside one task, and at the
+#: driver's oracle scale (500 vectors at sf0.01) derives K = 8 = _IVF_K
+#: — the exact configuration the DuckDB oracle pins.
+_SEM_TARGET_CELL = 64
+
+
 def dedup_semantic_clusters(
-    spark: SparkSession, sf_dir: str, n_cells: int = _IVF_K
+    spark: SparkSession, sf_dir: str, n_cells: int | None = None
 ) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540): cluster the embedding
     space coarsely, then drop near-identical vectors WITHIN each
@@ -895,16 +904,28 @@ def dedup_semantic_clusters(
     forgone by design; tighten K/nprobe to trade recall for cost).
 
     `n_cells` is the COST KNOB: within-cell candidates ∝ N²/K, so K
-    must grow with the corpus (K ≈ N / target_cell_size; SemDeDup
-    itself uses 50k clusters for 5B embeddings). The default K=8 is
-    the oracle-pinned test configuration, NOT a production constant —
-    measured at 100× testdata (500k vectors): K=8 abandoned past
-    20 min, K=64 → 228 s, K=256 → 76 s, with the K=64 and K=256 drop
-    lists 99.97% identical (PERF.md round 3).
+    must grow with the corpus (SemDeDup itself uses 50k clusters for 5B
+    embeddings). When `n_cells` is None (the registered default) K is
+    AUTO-DERIVED as ceil(N / {_SEM_TARGET_CELL}) from a one-row count —
+    one cheap action that makes the registered entry scale-safe by
+    default: measured at 100× testdata (500k vectors) a pinned K=8
+    diverges (>20 min) while K=64 → 228 s and K=256 → 76 s with
+    99.97%-identical drop lists (PERF.md round 3); the derived K=7813
+    bounds each cell to ~64 vectors.
+
+    ORACLE SCOPE: `DEDUP_SEMANTIC_ORACLE` hard-pins K = _IVF_K ( = 8).
+    Parity holds exactly when the effective cell count equals _IVF_K —
+    true for the auto-derivation at the driver's sf0.01 oracle scale
+    (500 vectors → ceil(500/64) = 8) and for explicit n_cells=_IVF_K;
+    any OTHER n_cells (the K=64/256 scaling runs) is deliberately
+    outside oracle coverage and must not be hash-compared against it.
 
     Output: one row per DROPPED vector — (vec_id, centroid_id, dup_of
     = lowest-id same-cell vector with cosine ≥ t, n_similar)."""
     e = load_table(spark, sf_dir, "embeddings")
+    if n_cells is None:
+        n_vecs = e.count()
+        n_cells = int(min(65536, max(1, -(-n_vecs // _SEM_TARGET_CELL))))
     with_norm = e.select(
         "vec_id",
         "embedding",

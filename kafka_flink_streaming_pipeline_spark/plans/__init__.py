@@ -29,78 +29,71 @@ class QuerySpec:
 #:   r1 window: reference parity + TPC-H head (50/50 recorded).
 #:   r2 window: full SURVEY §2 parity surface + one representative per
 #:     LLM-pipeline family (49 green + the then-no-oracle HLL rollup).
-#: r3 window (this one): the four entries without a green driver row —
-#: the three r1 hash failures whose fixes landed in r2 code
-#: (`customer_order_dates_array`, `range_band_join_tiers`,
-#: `tpch_q12_priority_mix`) plus `sketch_rollup_active_users` (now
-#: oracle-able via the within_5pct accuracy contract) — followed by the
-#: 46 never-driver-checked entries. Four near-duplicate variants of
-#: already-green ops (`sim_topk_cosine_pandas`, `dedup_simhash_pairs`,
-#: `dedup_word_jaccard`, `sample_orders_hash`) wait for round 4.
-#: Everything not listed keeps module order after these; all r1/r2
-#: window entries already carry green CORRECTNESS rows.
+#:   r3 window: the 4 retry entries + the 46 never-driver-checked
+#:     (50/50 green; cumulative 131/143 unique).
+#: r4 window (this one): the last 12 never-driver-checked entries
+#: (type-audited clean via tools/window_audit.py before rotation) +
+#: the 4 round-4 additions (3 LSH-edged pair-graph composites, the
+#: writeStream-materialized FP2), then 34 regression re-checks of the
+#: reference parity surface (flink-analysis.sql Q1-Q9, FP2/FP3, the
+#: feature-store twins, TPC-H heads, one representative per
+#: LLM-pipeline family). Green on the first 16 ⇒ cumulative driver
+#: witness = every registry entry ever shipped.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # retries: no green driver row yet (fixes landed after their window)
-    "sketch_rollup_active_users",
-    "customer_order_dates_array",
-    "range_band_join_tiers",
-    "tpch_q12_priority_mix",
-    # TPC-H tail, never driver-checked
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_share",
-    "tpch_q18_large_orders",
-    "tpch_q19_band_revenue",
-    "tpch_q22_idle_balances",
-    # OLAP / analytics, never driver-checked
-    "pagerank_event_graph",
-    "event_transition_matrix",
-    "events_props_variant",
-    "funnel_ordered_4step",
-    "unpivot_price_components",
-    "listagg_top_customers",
-    "winsorize_order_totals",
-    "zscore_order_totals",
-    # profiling family
-    "profile_equidepth_histogram",
-    "profile_anomalous_hours",
-    "profile_gapfill_minutely",
-    "profile_key_skew",
-    "profile_histogram_order_totals",
-    "profile_orders_one_pass",
-    # feature-store twins not yet witnessed
-    "fp_doc_counts_5m",
-    "fp_geo_top_5m",
-    "fp_active_users_5m_approx",
-    "fp_global_features_5m",
-    "stateful_sessions_stream",
-    "stream_enrich_lang_counts",
-    # text analysis tail
-    "text_repetition_stats",
-    "text_vocabulary",
-    "text_fingerprints",
-    "fuzzy_match_part_names",
-    # dedup tail
-    "dedup_ngram_jaccard_prefix",
-    "dedup_components_lsh",
-    # similarity / embedding tail
-    "sim_topk_cosine_int8",
-    "embedding_quantize_int8",
-    "embedding_l2_normalize",
-    "sim_ann_ivf_nprobe2",
-    "sim_ann_lsh",
-    # multimodal tail
-    "multimodal_resize",
-    # skew handling
-    "skew_salted_counts",
-    "skew_salted_join",
-    # datasets / curation tail
-    "dataset_split_assign",
-    "token_histogram",
-    "curation_stratified_cap",
-    "dataset_mixture_expand",
-    "sample_docs_weighted_stratified",
-    "doc_chunk_overlap",
-    "pii_redact_props",
+    # never driver-checked (r3 deferrals + r3 additions)
+    "rfm_customer_segments",
+    "dedup_span_exact",
+    "dedup_containment",
+    "dedup_semantic_clusters",
+    "split_leakage_check",
+    "dedup_keep_best_per_component",
+    "multimodal_dedup_exact",
+    "sketch_bottomk_quantiles",
+    "sim_topk_cosine_pandas",
+    "dedup_simhash_pairs",
+    "dedup_word_jaccard",
+    "sample_orders_hash",
+    # round-4 additions
+    "dedup_containment_lsh",
+    "split_leakage_check_lsh",
+    "dedup_keep_best_lsh",
+    "fp2_stream_materialized",
+    # reference parity surface — regression re-checks (all green r1/r2)
+    "q1_events_per_min",
+    "q1_views_per_min",
+    "q2_top_docs_6h",
+    "q3_geo_pv_24h",
+    "q4_traffic_source_24h",
+    "q5_session_stats_12h",
+    "q5a_session_marks_12h",
+    "session_window_stats",
+    "q6_avg_delay_5m",
+    "q7_heatmap_7d",
+    "q8_hourly_top20_24h",
+    "q9_retention_d7",
+    "fp2_user_features_5m",
+    "fp3_features_20m",
+    "fp3_features_20m_day",
+    "fp_active_users_5m",
+    "fp_geo_top_doc_5m",
+    "fp_hop_active_users_10m_5m",
+    "fp_hop_trending_docs_10m_5m",
+    "fp2_kv_rows",
+    "kafka_wire_frame",
+    "preprocess_clean_events",
+    "cdc_latest_state_per_user",
+    # TPC-H heads + one representative per LLM-pipeline family
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_regional_revenue",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_orders",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "sim_ann_ivf",
+    "text_quality_scores",
+    "curation_pipeline",
 )
 
 

@@ -114,11 +114,73 @@ GROUP BY user_id, session_id
 """
 
 
+def _fp2_stream_materialized_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FP2 produced by the ACTUAL streaming pipeline — replay chunks →
+    `feature_stream_job` (windowed union-pivot aggregate, update mode,
+    foreachBatch keyed upsert — the Redis HSET sink analogue) → the sink
+    table read back. The driver hashes this against the same batch-SQL
+    oracle as `fp2_user_features_5m`, so a green row witnesses the
+    writeStream path end-to-end: watermark, stateful window operator,
+    changelog upsert idempotency (later triggers refine earlier rows).
+
+    Streaming == batch holds at any sf because the replay is chunk-
+    ordered and intra-chunk sorted (`prepare_replay_chunks`), so no row
+    is ever beyond the watermark when its micro-batch runs — the same
+    argument `test_fp2_streaming_equals_batch` proves at sf0.001."""
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+    from kafka_flink_streaming_pipeline_spark.sources.streaming import (
+        prepare_replay_chunks,
+        replay_stream,
+    )
+    from kafka_flink_streaming_pipeline_spark.streaming.jobs import feature_stream_job
+
+    work = tempfile.mkdtemp(prefix="fp2_stream_")
+    chunks = os.path.join(work, "chunks")
+    prepare_replay_chunks(
+        spark, load_table(spark, sf_dir, "events"), chunks, n_chunks=4
+    )
+    table = os.path.join(work, "features")
+    q = feature_stream_job(
+        replay_stream(spark, chunks), table, os.path.join(work, "ckpt")
+    )
+    q.awaitTermination(600)
+
+    out = (
+        spark.read.parquet(table)
+        .select(
+            "uuid",
+            F.date_format("window_end", _TS_FMT).alias("window_end"),
+            "click5m",
+            "view5m",
+            "redis_key",
+        )
+        .localCheckpoint()  # sever lineage from the temp table before cleanup
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def _fp2_stream_oracle() -> str:
+    from kafka_flink_streaming_pipeline_spark.plans.clickstream import _FP2_ORACLE
+
+    return _FP2_ORACLE
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stateful_sessions_stream": QuerySpec(
         "stateful_sessions_stream",
         _stateful_sessions_build,
         _STATEFUL_SESSIONS_ORACLE,
         "applyInPandasWithState 30-min sessionizer vs batch LAG oracle (T9 custom)",
+    ),
+    "fp2_stream_materialized": QuerySpec(
+        "fp2_stream_materialized",
+        _fp2_stream_materialized_build,
+        _fp2_stream_oracle(),
+        "FP2 via the real writeStream job (update-mode upsert sink) read back",
     ),
 }

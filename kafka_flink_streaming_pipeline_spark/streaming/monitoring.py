@@ -146,9 +146,17 @@ def prometheus_text(listener: RateListener, job: str = "kfsp") -> str:
         "# TYPE kfsp_trigger_duration_ms gauge",
         f'kfsp_trigger_duration_ms{{job="{job}"}} {last.get("duration_ms") or 0}',
     ]
+    # sanitization is lossy ('rows.a' and 'rows:a' both -> 'rows_a'):
+    # suffix later collisions so the exposition never emits duplicate
+    # series, which Prometheus rejects as an invalid scrape
+    emitted: dict[str, int] = {}
     for k, v in (last.get("observed") or {}).items():
         if isinstance(v, (int, float)):
             name = re.sub(r"[^a-zA-Z0-9_:]", "_", str(k))
+            n_seen = emitted.get(name, 0)
+            emitted[name] = n_seen + 1
+            if n_seen:
+                name = f"{name}_{n_seen + 1}"
             lines += [
                 f"# TYPE kfsp_observed_{name} gauge",
                 f'kfsp_observed_{name}{{job="{job}"}} {v}',

@@ -604,3 +604,36 @@ def test_ann_recall_on_clustered_embeddings(spark, clustered_emb_dir):
         if recall < floor:
             low.append(f"{name}: recall {recall:.3f} < floor {floor}")
     assert not low, low
+
+
+def test_real_image_decode_when_pillow_exists(spark):
+    """Env-gated real decode (multimodal.decode path parity): when
+    Pillow is installed, `make_decode_batches(real=True)` must decode
+    an actual PNG through the SAME mapInPandas plumbing as the fake
+    path and report the image's true dimensions; self-skips where the
+    container ships no image libraries (the same gate treatment as
+    streaming/stateful_v2's protobuf dependency)."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from kafka_flink_streaming_pipeline_spark.operators.multimodal import (
+        FEATURE_SCHEMA,
+        MEDIA_SCHEMA,
+        decode_image_real,
+        make_decode_batches,
+    )
+
+    buf = io.BytesIO()
+    Image.new("RGB", (37, 21)).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    d = decode_image_real(png)
+    assert (d["width"], d["height"]) == (37, 21)
+
+    df = spark.createDataFrame([(1, "image/png", bytearray(png))], MEDIA_SCHEMA)
+    out = df.mapInPandas(make_decode_batches(real=True), schema=FEATURE_SCHEMA).collect()
+    assert len(out) == 1
+    assert (out[0].fake_width, out[0].fake_height) == (37, 21)
+    assert out[0].n_bytes == len(png)
