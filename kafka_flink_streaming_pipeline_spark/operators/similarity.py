@@ -28,6 +28,8 @@ Also here: embedding-cosine near-dup pairs (the fifth dedup modality).
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd  # module-global so stringified pandas_udf type
                      # hints ('pd.Series') resolve under PEP 563
 
@@ -883,13 +885,19 @@ LIMIT {_HYBRID_K}
 # --- semantic dedup within coarse-quantizer cells (SemDeDup) --------------
 
 
-#: target vectors per IVF cell for the auto-derived quantizer size:
-#: within-cell candidate volume is ~N·target/2 rows, so the pairwise
-#: stage stays LINEAR in N as the corpus grows (K tracks N). 64 keeps
-#: each cell's |cell|² block comfortably inside one task, and at the
-#: driver's oracle scale (500 vectors at sf0.01) derives K = 8 = _IVF_K
-#: — the exact configuration the DuckDB oracle pins.
-_SEM_TARGET_CELL = 64
+#: pair-row : assignment-row cost ratio for the auto-derived quantizer
+#: size. SemDeDup's two stages cost N·K (brute-force centroid
+#: assignment) + N²/K (within-cell pairs); the sum is minimized at
+#: K* = √(N·w) where w weighs a candidate-pair row against an
+#: assignment row — pair rows carry two embeddings through a shuffle,
+#: assignment rows stay map-side, so pairs are ~8× heavier →
+#: K = ceil(√(N/8)). This keeps BOTH stages O(N^1.5): at the driver's
+#: oracle scale (N=500) it derives exactly 8 = _IVF_K (the pinned
+#: oracle configuration), and at 100× testdata (N=500k) it derives 250
+#: — the K=256 regime round-3 measured as the 100× sweet spot (76 s vs
+#: >20 min at K=8). A fixed target CELL size would instead make
+#: assignment N²/cell — quadratic.
+_SEM_PAIR_WEIGHT = 8
 
 
 def dedup_semantic_clusters(
@@ -906,17 +914,19 @@ def dedup_semantic_clusters(
     `n_cells` is the COST KNOB: within-cell candidates ∝ N²/K, so K
     must grow with the corpus (SemDeDup itself uses 50k clusters for 5B
     embeddings). When `n_cells` is None (the registered default) K is
-    AUTO-DERIVED as ceil(N / {_SEM_TARGET_CELL}) from a one-row count —
-    one cheap action that makes the registered entry scale-safe by
+    AUTO-DERIVED as ceil(√(N/{_SEM_PAIR_WEIGHT})) from a one-row count
+    — the balanced-cost choice (see `_SEM_PAIR_WEIGHT`) that keeps both
+    the centroid assignment (N·K) and the within-cell pairwise stage
+    (N²/K) at O(N^1.5), making the registered entry scale-safe by
     default: measured at 100× testdata (500k vectors) a pinned K=8
     diverges (>20 min) while K=64 → 228 s and K=256 → 76 s with
-    99.97%-identical drop lists (PERF.md round 3); the derived K=7813
-    bounds each cell to ~64 vectors.
+    99.97%-identical drop lists (PERF.md round 3); the derivation lands
+    at K=250, the measured sweet-spot regime.
 
     ORACLE SCOPE: `DEDUP_SEMANTIC_ORACLE` hard-pins K = _IVF_K ( = 8).
     Parity holds exactly when the effective cell count equals _IVF_K —
     true for the auto-derivation at the driver's sf0.01 oracle scale
-    (500 vectors → ceil(500/64) = 8) and for explicit n_cells=_IVF_K;
+    (500 vectors → ceil(√62.5) = 8) and for explicit n_cells=_IVF_K;
     any OTHER n_cells (the K=64/256 scaling runs) is deliberately
     outside oracle coverage and must not be hash-compared against it.
 
@@ -925,7 +935,7 @@ def dedup_semantic_clusters(
     e = load_table(spark, sf_dir, "embeddings")
     if n_cells is None:
         n_vecs = e.count()
-        n_cells = int(min(65536, max(1, -(-n_vecs // _SEM_TARGET_CELL))))
+        n_cells = int(min(65536, max(1, math.ceil(math.sqrt(n_vecs / _SEM_PAIR_WEIGHT)))))
     with_norm = e.select(
         "vec_id",
         "embedding",

@@ -19,7 +19,19 @@ from kafka_flink_streaming_pipeline_spark.plans import merged
 from tests.conftest import SF_CORRECT, SF_SMOKE
 
 
+def _fresh_subtrees() -> None:
+    """Drop the session-shared dedup pair-graph materializations so a
+    plan-shape or determinism check exercises the real build pipeline,
+    not a checkpoint scan of a previous test's result."""
+    from kafka_flink_streaming_pipeline_spark.operators.dedup import (
+        _SHARED_SUBTREES,
+    )
+
+    _SHARED_SUBTREES.clear()
+
+
 def _plan(spark, name: str) -> str:
+    _fresh_subtrees()
     df = merged()[name].build(spark, SF_CORRECT)
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -110,6 +122,7 @@ def test_results_invariant_to_shuffle_partitioning(spark):
         "sim_topk_cosine",           # float fold + rank frontier
     ]
     specs = merged()
+    _fresh_subtrees()
     baseline = {
         n: sorted(map(tuple, specs[n].build(spark, SF_CORRECT).collect()))
         for n in names
@@ -117,6 +130,7 @@ def test_results_invariant_to_shuffle_partitioning(spark):
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "7")
+        _fresh_subtrees()  # force a REAL rebuild under the hostile width
         for n in names:
             again = sorted(map(tuple, specs[n].build(spark, SF_CORRECT).collect()))
             assert again == baseline[n], f"{n} changed under repartitioning"
