@@ -1044,3 +1044,34 @@ def test_streaming_dedup_gate_matches_batch(spark, tmp_path):
     assert want.exceptAll(got).count() == 0
     # the gate must actually catch something at this SF
     assert got.filter(F.col("is_dup")).count() > 0
+
+
+def test_prometheus_text_dedupes_sanitized_name_collisions():
+    """Sanitization is lossy ('rows.a' and 'rows a' both map to
+    'rows_a'); the exposition must still never emit duplicate series —
+    Prometheus rejects the whole scrape otherwise. Later collisions get
+    a numeric suffix."""
+    from kafka_flink_streaming_pipeline_spark.streaming.monitoring import (
+        RateListener,
+        prometheus_text,
+    )
+
+    listener = RateListener()
+    listener.batches.append(
+        {
+            "batch_id": 0,
+            "num_input_rows": 5,
+            "duration_ms": 10,
+            "observed": {"rows.a": 1, "rows a": 2, "rows_a": 3},
+        }
+    )
+    text = prometheus_text(listener)
+    names = [
+        line.rsplit(" ", 1)[0].split("{")[0]
+        for line in text.splitlines()
+        if line and not line.startswith("#")
+    ]
+    assert len(names) == len(set(names)), names
+    for expected in ("kfsp_observed_rows_a", "kfsp_observed_rows_a_2",
+                     "kfsp_observed_rows_a_3"):
+        assert expected in names
