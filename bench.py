@@ -123,6 +123,7 @@ HEADLINE = [
     "dedup_containment_lsh",
     "split_leakage_check_lsh",
     "dedup_keep_best_lsh",
+    "sim_ann_ivf_persisted",
 ]
 
 

@@ -565,6 +565,148 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- persisted IVF index (inverted file on disk) ---------------------------
+
+#: session-scoped (applicationId, sf_dir) → on-disk index path, so the
+#: registered probe query builds the index once per session — the
+#: production shape: the inverted file is WRITTEN once, probed forever
+_ANN_INDEX_PATHS: dict[tuple[str, str], str] = {}
+
+
+def build_ann_index(embeddings: DataFrame, index_path: str) -> None:
+    """Write the IVF inverted file: every vector stored WITH its norm,
+    as parquet PARTITIONED BY centroid_id — the embedding-side analogue
+    of `dedup.build_dedup_index` (the persisted minhash-LSH index).
+
+    The partition layout IS the index: a probe for cells {c1..cp} is a
+    parquet scan with `PartitionFilters: [centroid_id IN (c1..cp)]`,
+    so it reads nprobe/K of the corpus from disk and shuffles nothing
+    (asserted by `test_persisted_ann_probe_prunes_partitions`). At
+    100 TB this is the difference between an ANN lookup and a table
+    scan; cell files are also contiguous, so each probe is a handful of
+    sequential reads."""
+    with_norm = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    assigned = _ivf_assign(with_norm).join(with_norm, "vec_id")
+    (
+        assigned.repartition("centroid_id")  # one writer task per cell
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(index_path)
+    )
+
+
+def probe_ann_index(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    nprobe: int = 1,
+    top_k: int = _TOP_K,
+) -> DataFrame:
+    """Answer a query batch against an on-disk IVF index: (query_id,
+    embedding) → top-k (query_id, cand_id, cosine, rank).
+
+    The index is self-contained — the K seed centroids are index
+    members (vec_id in the seed range), so the probe needs NOTHING but
+    the index path and the query batch. Flow: broadcast the K centroid
+    rows, assign each query its `nprobe` cells, collect the distinct
+    probed cells (|queries| × nprobe ids — the probe list is always
+    tiny relative to the corpus), then scan ONLY those parquet
+    partitions (PartitionFilters, asserted in tests) and rank within
+    them. Works identically from the batch query entry and from each
+    foreachBatch of the streaming probe job."""
+    from pyspark.sql import Window
+
+    idx = spark.read.parquet(index_path)
+    cents = F.broadcast(
+        idx.filter(
+            (F.col("vec_id") >= _N_QUERIES) & (F.col("vec_id") < _N_QUERIES + _IVF_K)
+        ).select(
+            # a centroid's cell is itself (self-cosine 1.0 is maximal),
+            # but vec_id is the DEFINITION of its cell id — use it
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent"),
+            F.col("nrm").alias("cent_nrm"),
+        )
+    )
+    qn = queries.select(
+        "query_id",
+        F.col("embedding").alias("qv"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("q_nrm"),
+    )
+    w_assign = Window.partitionBy("query_id").orderBy(
+        F.desc("ccos"), F.asc("cent_id")
+    )
+    probes = (
+        qn.crossJoin(cents)
+        .select(
+            "query_id",
+            "qv",
+            "q_nrm",
+            "cent_id",
+            _pair_cosine(
+                F.col("qv"), F.col("cent"), F.col("q_nrm"), F.col("cent_nrm")
+            ).alias("ccos"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", F.col("cent_id").alias("centroid_id"), "qv", "q_nrm")
+    )
+    cells = [r.centroid_id for r in probes.select("centroid_id").distinct().collect()]
+    cands = idx.filter(F.col("centroid_id").isin(cells)).select(
+        F.col("vec_id").alias("cand_id"),
+        "centroid_id",
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    scored = (
+        probes.join(cands, "centroid_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            _pair_cosine(
+                F.col("qv"), F.col("cv"), F.col("q_nrm"), F.col("c_nrm")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
+def ann_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Session-memoized build of the on-disk IVF index for a testdata
+    dir (written once per session — the production lifecycle)."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ANN_INDEX_PATHS:
+        path = tempfile.mkdtemp(prefix="ann_ivf_index_")
+        build_ann_index(load_table(spark, sf_dir, "embeddings"), path)
+        _ANN_INDEX_PATHS[key] = path
+    return _ANN_INDEX_PATHS[key]
+
+
+def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sim_ann_ivf` THROUGH the on-disk inverted file: build the index
+    once per session (`build_ann_index`), probe via `probe_ann_index`.
+    Output is bit-identical to the in-memory `ann_ivf` (same oracle) —
+    the parquet round-trip preserves every float exactly."""
+    path = ann_index_path(spark, sf_dir)
+    queries = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return probe_ann_index(spark, path, queries).orderBy("query_id", "rank")
+
+
 _DUCK_CENT_COS = (
     "round(list_dot_product(a.v, k.v) / sqrt(list_dot_product(a.v, a.v))"
     " / sqrt(list_dot_product(k.v, k.v)), 6)"
@@ -1059,6 +1201,13 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "sim_ann_ivf": QuerySpec(
         "sim_ann_ivf", ann_ivf, ANN_IVF_ORACLE, "IVF coarse-quantized approximate top-k"
+    ),
+    "sim_ann_ivf_persisted": QuerySpec(
+        "sim_ann_ivf_persisted",
+        ann_ivf_persisted,
+        ANN_IVF_ORACLE,
+        "same IVF top-k probed through the on-disk inverted file "
+        "(centroid-partitioned parquet, partition-pruned probe)",
     ),
     "dedup_embedding_cosine": QuerySpec(
         "dedup_embedding_cosine",

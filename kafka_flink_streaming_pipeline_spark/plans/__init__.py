@@ -33,12 +33,13 @@ class QuerySpec:
 #:     (50/50 green; cumulative 131/143 unique).
 #: r4 window (this one): the last 12 never-driver-checked entries
 #: (type-audited clean via tools/window_audit.py before rotation) +
-#: the 4 round-4 additions (3 LSH-edged pair-graph composites, the
-#: writeStream-materialized FP2), then 34 regression re-checks of the
-#: reference parity surface (flink-analysis.sql Q1-Q9, FP2/FP3, the
-#: feature-store twins, TPC-H heads, one representative per
-#: LLM-pipeline family). Green on the first 16 ⇒ cumulative driver
-#: witness = every registry entry ever shipped.
+#: the 5 round-4 additions (3 LSH-edged pair-graph composites, the
+#: writeStream-materialized FP2, the persisted-IVF-index probe), then
+#: 33 regression re-checks of the reference parity surface
+#: (flink-analysis.sql Q1-Q9, FP2/FP3, the feature-store twins, TPC-H
+#: heads, one representative per LLM-pipeline family). Green on the
+#: first 17 ⇒ cumulative driver witness = every registry entry ever
+#: shipped.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # never driver-checked (r3 deferrals + r3 additions)
     "rfm_customer_segments",
@@ -58,6 +59,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "split_leakage_check_lsh",
     "dedup_keep_best_lsh",
     "fp2_stream_materialized",
+    "sim_ann_ivf_persisted",
     # reference parity surface — regression re-checks (all green r1/r2)
     "q1_events_per_min",
     "q1_views_per_min",
@@ -93,7 +95,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_components",
     "sim_ann_ivf",
     "text_quality_scores",
-    "curation_pipeline",
 )
 
 

@@ -488,6 +488,41 @@ def build_dedup_index(docs: DataFrame, index_path: str) -> None:
     lsh_bands(docs).write.mode("overwrite").parquet(index_path)
 
 
+def ann_probe_stream_job(
+    stream: DataFrame, index_path: str, out_path: str, checkpoint: str
+) -> StreamingQuery:
+    """Streaming vector search: every micro-batch of incoming query
+    embeddings is probed against the persisted IVF index
+    (`operators/similarity.build_ann_index`) and its top-k neighbor
+    lists appended batch-addressed (idempotent under redelivery) — the
+    embedding-side twin of `dedup_index_stream_job`. Stateless like the
+    text gate: each query arrives whole, and the index is re-read per
+    batch so an external index-extension job can grow it between
+    triggers (the stream-static contract). Each batch's scan touches
+    only the batch's probed cells (partition pruning), so probe cost is
+    batch-sized, never corpus-sized."""
+    from kafka_flink_streaming_pipeline_spark.operators.similarity import (
+        probe_ann_index,
+    )
+    from kafka_flink_streaming_pipeline_spark.streaming.txn_sink import (
+        txn_append_sink,
+    )
+
+    write_batch = txn_append_sink(out_path)
+
+    def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        topk = probe_ann_index(spark, index_path, batch_df)
+        write_batch(topk, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dedup_index_stream_job(
     stream: DataFrame, index_path: str, out_path: str, checkpoint: str
 ) -> StreamingQuery:

@@ -651,3 +651,19 @@ def test_real_image_decode_when_pillow_exists(spark):
     assert len(out) == 1
     assert (out[0].fake_width, out[0].fake_height) == (37, 21)
     assert out[0].n_bytes == len(png)
+
+
+def test_persisted_ann_probe_prunes_partitions(spark):
+    """The on-disk IVF index's probe must reach the parquet scan as
+    PartitionFilters on centroid_id — reading nprobe/K of the corpus,
+    not all of it. That pruning IS the index; without it the 'probe'
+    is a table scan."""
+    from kafka_flink_streaming_pipeline_spark.operators.similarity import (
+        _ANN_INDEX_PATHS,
+    )
+
+    _ANN_INDEX_PATHS.clear()  # force a fresh build in this session
+    df = merged()["sim_ann_ivf_persisted"].build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("centroid_id" in f for f in filters), filters

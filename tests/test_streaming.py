@@ -1075,3 +1075,48 @@ def test_prometheus_text_dedupes_sanitized_name_collisions():
     for expected in ("kfsp_observed_rows_a", "kfsp_observed_rows_a_2",
                      "kfsp_observed_rows_a_3"):
         assert expected in names
+
+
+def test_ann_probe_stream_matches_batch(spark, tmp_path):
+    """Streaming vector search == batch probe: stream the query batch
+    through `ann_probe_stream_job` (persisted IVF index, partition-
+    pruned per-batch probe, batch-addressed append sink) and compare
+    row-for-row against the oracled batch entry
+    `sim_ann_ivf_persisted`."""
+    from kafka_flink_streaming_pipeline_spark.operators.similarity import (
+        ann_index_path,
+        ann_ivf_persisted,
+    )
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+    from kafka_flink_streaming_pipeline_spark.streaming.jobs import (
+        ann_probe_stream_job,
+    )
+    from kafka_flink_streaming_pipeline_spark.streaming.txn_sink import (
+        read_append_table,
+    )
+
+    index_path = ann_index_path(spark, SF_CORRECT)
+    queries = (
+        load_table(spark, SF_CORRECT, "embeddings")
+        .filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+
+    in_dir = str(tmp_path / "queries")
+    queries.repartition(2).write.parquet(in_dir)  # 2 files -> 2 batches
+    stream = (
+        spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    out = str(tmp_path / "topk")
+    q = ann_probe_stream_job(stream, index_path, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    got = read_append_table(spark, out).select(
+        "query_id", "cand_id", "cosine", "rank"
+    )
+    want = ann_ivf_persisted(spark, SF_CORRECT)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
