@@ -124,6 +124,8 @@ HEADLINE = [
     "split_leakage_check_lsh",
     "dedup_keep_best_lsh",
     "sim_ann_ivf_persisted",
+    "dq_expectations",
+    "scd2_user_state_history",
 ]
 
 

@@ -351,7 +351,197 @@ ORDER BY hour_ts
 """
 
 
+# --- data-quality expectations gate ---------------------------------------
+
+
+def _dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DQ gate a production ingest runs before publishing a batch:
+    one row per declared expectation — (check_name, violations,
+    passed) — covering the constraint classes warehouse loads break:
+    primary-key uniqueness, referential integrity, and null rates.
+
+    Every check is a distributed aggregate or anti-join (never a
+    driver-side scan): PK checks are count − countDistinct in ONE pass;
+    FK checks are LEFT ANTI joins (the nation side broadcasts, the
+    orders side is a key-projected shuffle join — at 100 TB exactly the
+    plan you want, since only the KEY column of the parent ever
+    moves). The union of one-row aggregates costs one job; a failed
+    gate reads as `passed = false` rows, not an exception, so the
+    caller decides whether to quarantine or halt."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    events = load_table(spark, sf_dir, "events")
+    documents = load_table(spark, sf_dir, "documents")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.col("violations").cast("long").alias("violations"),
+        )
+
+    checks = [
+        one(
+            "orders_pk_unique",
+            orders.agg(
+                (F.count("*") - F.countDistinct("o_orderkey")).alias("violations")
+            ),
+        ),
+        one(
+            "documents_pk_unique",
+            documents.agg(
+                (F.count("*") - F.countDistinct("doc_id")).alias("violations")
+            ),
+        ),
+        one(
+            "lineitem_orderkey_fk",
+            lineitem.join(
+                orders.select("o_orderkey"),
+                lineitem["l_orderkey"] == orders["o_orderkey"],
+                "left_anti",
+            ).agg(F.count("*").alias("violations")),
+        ),
+        one(
+            "customer_nationkey_fk",
+            customer.join(
+                F.broadcast(nation.select("n_nationkey")),
+                customer["c_nationkey"] == nation["n_nationkey"],
+                "left_anti",
+            ).agg(F.count("*").alias("violations")),
+        ),
+        one(
+            "events_user_id_not_null",
+            events.agg(
+                F.count(F.when(F.col("user_id").isNull(), 1)).alias("violations")
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.select(
+        "check_name", "violations", (F.col("violations") == 0).alias("passed")
+    ).orderBy("check_name")
+
+
+_DQ_ORACLE = """
+SELECT check_name, violations, violations = 0 AS passed FROM (
+  SELECT 'orders_pk_unique' AS check_name,
+         count(*) - count(DISTINCT o_orderkey) AS violations FROM orders
+  UNION ALL
+  SELECT 'documents_pk_unique', count(*) - count(DISTINCT doc_id) FROM documents
+  UNION ALL
+  SELECT 'lineitem_orderkey_fk', count(*) FROM lineitem
+  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+  UNION ALL
+  SELECT 'customer_nationkey_fk', count(*) FROM customer
+  WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+  UNION ALL
+  SELECT 'events_user_id_not_null', count(*) FILTER (WHERE user_id IS NULL)
+  FROM events
+)
+ORDER BY check_name
+"""
+
+
+# --- SCD2 state history (gaps-and-islands) ---------------------------------
+
+
+def _scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing state history per user — the interval
+    twin of `cdc_latest_state_per_user` (which keeps only the latest
+    row): collapse each user's event stream into runs of consecutive
+    equal event_type, emitting (state, valid_from, valid_to,
+    is_current) rows — the gaps-and-islands pattern every warehouse
+    dimension build uses (change marks via LAG, run ids via running
+    SUM, interval close via LEAD over the run table).
+
+    Plan shape: ONE shuffle on user_id serves the LAG window, the
+    running sum, the per-run aggregate AND the LEAD window — all four
+    are partitioned by user_id, so Catalyst reuses the exchange.
+    Output is runs-per-user sized (corpus-scale, unsorted)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marks = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    runs = marks.withColumn(
+        "run_id", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    hist = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("state"),  # constant within a run
+        F.min("ts").alias("vf"),
+        F.count("*").alias("n_events"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("run_id")
+    nxt = F.lead("vf").over(w_run)
+    return hist.select(
+        "user_id",
+        "state",
+        F.date_format("vf", TS_FMT).alias("valid_from"),
+        F.date_format(nxt, TS_FMT).alias("valid_to"),
+        "n_events",
+        nxt.isNull().alias("is_current"),
+    )
+
+
+_SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_state
+  FROM events
+),
+marks AS (
+  SELECT *, CASE WHEN prev_state IS NULL OR prev_state <> event_type
+                 THEN 1 ELSE 0 END AS chg
+  FROM ordered
+),
+runs AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM marks
+),
+hist AS (
+  SELECT user_id, run_id, min(event_type) AS state, min(ts) AS vf,
+         count(*) AS n_events
+  FROM runs GROUP BY user_id, run_id
+)
+SELECT user_id, state,
+       strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(vf) OVER (PARTITION BY user_id ORDER BY run_id),
+                '%Y-%m-%d %H:%M:%S') AS valid_to,
+       n_events,
+       lead(vf) OVER (PARTITION BY user_id ORDER BY run_id) IS NULL
+         AS is_current
+FROM hist
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dq_expectations": QuerySpec(
+        "dq_expectations",
+        _dq_expectations,
+        _DQ_ORACLE,
+        "data-quality gate: PK/FK/null expectations as one union of aggregates",
+    ),
+    "scd2_user_state_history": QuerySpec(
+        "scd2_user_state_history",
+        _scd2_user_state_history,
+        _SCD2_ORACLE,
+        "SCD2 interval dimension: gaps-and-islands state runs per user",
+    ),
     "profile_equidepth_histogram": QuerySpec(
         "profile_equidepth_histogram",
         _equidepth_histogram,
