@@ -126,6 +126,7 @@ HEADLINE = [
     "sim_ann_ivf_persisted",
     "dq_expectations",
     "scd2_user_state_history",
+    "sample_docs_temperature",
 ]
 
 

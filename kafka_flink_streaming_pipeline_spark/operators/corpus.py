@@ -520,7 +520,77 @@ ORDER BY user_id
 """
 
 
+# --- temperature (alpha) mixture sampling ----------------------------------
+
+_TEMP_TARGET = 200  # target total docs in the tempered mixture
+
+
+def sample_docs_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (the multilingual
+    "alpha-sampling" of multilingual-LM data pipelines, T = 0.5):
+    per-source sampling probability ∝ (n_source)^T, flattening the
+    head so low-resource sources are over-represented relative to
+    their raw share.
+
+    100 TB shape: NO per-group sort and NO rank window — each doc's
+    admission is one md5-bucket comparison against its source's
+    broadcast micro-rate, i.e. the same map-side hash-threshold
+    pattern as `dataset_split_assign`. All arithmetic is integer-exact
+    cross-engine: sqrt is IEEE-correctly-rounded (the one transcendental
+    both engines agree on bit-for-bit — the reason T is fixed at 0.5
+    rather than a pow() knob), scaled to integer micro-units, and the
+    admission test is CROSS-MULTIPLIED (bucket·denom·n < M·s·1e6) in
+    decimal(38,0)/HUGEINT so there is no division to round at all.
+    Expected sample size per source is target·sqrt-share (binomial, as
+    any rate-based sampler); the draw is a pure function of doc_id."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    cnt = d.groupBy("source").agg(F.count("*").alias("n"))
+    sc = cnt.select(
+        "source",
+        "n",
+        F.round(F.sqrt("n") * 1_000_000).cast("long").alias("s"),
+    )
+    denom = sc.agg(F.sum("s").alias("denom"))
+    rates = F.broadcast(sc.crossJoin(F.broadcast(denom)))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1_000_000
+    )
+    dec = "decimal(38,0)"
+    return (
+        d.join(rates, "source")
+        .withColumn("bucket", bucket)
+        .filter(
+            F.col("bucket").cast(dec) * F.col("denom").cast(dec) * F.col("n").cast(dec)
+            < F.lit(_TEMP_TARGET).cast(dec)
+            * F.col("s").cast(dec)
+            * F.lit(1_000_000).cast(dec)
+        )
+        .select("source", "doc_id")
+    )  # sampled subset: corpus-sized at scale, unsorted
+
+
+SAMPLE_TEMPERATURE_ORACLE = f"""
+WITH d AS (SELECT doc_id, source FROM documents),
+cnt AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+sc AS (SELECT source, n, CAST(round(sqrt(n) * 1000000) AS BIGINT) AS s FROM cnt),
+den AS (SELECT sum(s) AS denom FROM sc)
+SELECT d.source, d.doc_id
+FROM d JOIN sc USING (source) CROSS JOIN den
+WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 1000000 AS HUGEINT) * CAST(den.denom AS HUGEINT) * CAST(sc.n AS HUGEINT)
+      < CAST({_TEMP_TARGET} AS HUGEINT) * CAST(sc.s AS HUGEINT) * CAST(1000000 AS HUGEINT)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sample_docs_temperature": QuerySpec(
+        "sample_docs_temperature",
+        sample_docs_temperature,
+        SAMPLE_TEMPERATURE_ORACLE,
+        "T=0.5 alpha-sampling mixture: sqrt-share micro-rates, map-side hash admission",
+    ),
     "sample_docs_weighted": QuerySpec(
         "sample_docs_weighted",
         sample_docs_weighted,

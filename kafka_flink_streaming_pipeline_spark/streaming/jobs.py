@@ -480,12 +480,26 @@ def fanout_stream_job(
 def build_dedup_index(docs: DataFrame, index_path: str) -> None:
     """Materialize the corpus LSH index — (doc_id, sig, band, band_key)
     parquet, ~200 bytes/doc. Built once from the corpus-so-far, then
-    probed by every `dedup_index_stream_job` micro-batch; extend it by
-    appending the bands of admitted documents (same schema, same
-    builder)."""
+    probed by every `dedup_index_stream_job` micro-batch; extend it
+    with `extend_dedup_index` as documents are admitted."""
     from kafka_flink_streaming_pipeline_spark.operators.dedup import lsh_bands
 
     lsh_bands(docs).write.mode("overwrite").parquet(index_path)
+
+
+def extend_dedup_index(admitted_docs: DataFrame, index_path: str) -> None:
+    """Grow the corpus: append the admitted documents' band rows to the
+    persisted index (same schema, same signature pipeline) — the second
+    half of the ingest loop. The gate's stream-static contract re-reads
+    the index per micro-batch, so documents admitted by batch N are
+    candidate matches for batch N+1 without restarting anything; a
+    re-delivered document is caught as a near-duplicate OF ITSELF on
+    the retry (proven in `test_index_extension_closes_the_loop`).
+    Parquet append is one file-add per writer task — no rewrite of the
+    existing index."""
+    from kafka_flink_streaming_pipeline_spark.operators.dedup import lsh_bands
+
+    lsh_bands(admitted_docs).write.mode("append").parquet(index_path)
 
 
 def ann_probe_stream_job(

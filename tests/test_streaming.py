@@ -1120,3 +1120,47 @@ def test_ann_probe_stream_matches_batch(spark, tmp_path):
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_index_extension_closes_the_loop(spark, tmp_path):
+    """The ingest-dedup LOOP: gate a batch against the corpus index,
+    admit the non-duplicates, extend the index with them
+    (`extend_dedup_index`), then gate the SAME documents again — every
+    one must now be flagged as a near-duplicate (est_jaccard 1.0 match
+    of itself), proving batch-N admissions defend against batch-N+1
+    without a rebuild."""
+    from kafka_flink_streaming_pipeline_spark.operators.dedup import (
+        incoming_flags,
+        lsh_bands,
+    )
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+    from kafka_flink_streaming_pipeline_spark.streaming.jobs import (
+        build_dedup_index,
+        extend_dedup_index,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    incoming = docs.filter(F.col("doc_id") % 3 == 0)
+
+    index_path = str(tmp_path / "lsh_index")
+    build_dedup_index(corpus, index_path)
+
+    first = incoming_flags(
+        spark.read.parquet(index_path), lsh_bands(incoming), incoming
+    )
+    admitted = incoming.join(
+        first.filter(~F.col("is_dup")).select(
+            F.col("incoming_doc").alias("doc_id")
+        ),
+        "doc_id",
+    )
+    n_admitted = admitted.count()
+    assert n_admitted > 0
+    extend_dedup_index(admitted, index_path)
+
+    retry = incoming_flags(
+        spark.read.parquet(index_path), lsh_bands(admitted), admitted
+    )
+    flagged = retry.filter(F.col("is_dup") & (F.col("est_jaccard") == 1.0))
+    assert flagged.count() == n_admitted
