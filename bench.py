@@ -173,6 +173,16 @@ def main() -> None:
         t0 = time.time()
         _components_labels(spark, sf_dir, kind).count()
         per_query[f"shared_{kind}_graph_build"] = round(time.time() - t0, 3)
+
+    # same policy for the on-disk IVF index: built once per session,
+    # probed by sim_ann_ivf_persisted — the build is its own entry
+    from kafka_flink_streaming_pipeline_spark.operators.similarity import (
+        ann_index_path,
+    )
+
+    t0 = time.time()
+    ann_index_path(spark, sf_dir)
+    per_query["shared_ann_index_build"] = round(time.time() - t0, 3)
     for name in HEADLINE:
         if name not in plans or name in skip:
             continue
