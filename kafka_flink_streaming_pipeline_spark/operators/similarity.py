@@ -1065,12 +1065,13 @@ def dedup_semantic_clusters(
     99.97%-identical drop lists (PERF.md round 3); the derivation lands
     at K=250, the measured sweet-spot regime.
 
-    ORACLE SCOPE: `DEDUP_SEMANTIC_ORACLE` hard-pins K = _IVF_K ( = 8).
-    Parity holds exactly when the effective cell count equals _IVF_K —
-    true for the auto-derivation at the driver's sf0.01 oracle scale
-    (500 vectors → ceil(√62.5) = 8) and for explicit n_cells=_IVF_K;
-    any OTHER n_cells (the K=64/256 scaling runs) is deliberately
-    outside oracle coverage and must not be hash-compared against it.
+    ORACLE SCOPE: `DEDUP_SEMANTIC_ORACLE` derives the SAME K from a
+    count(*) inside the SQL (sqrt is IEEE-correctly-rounded in both
+    engines, so ceil(√(N/8)) agrees bit-for-bit), so parity holds for
+    the registered default at ANY scale — verified at sf0.01 (K=8) and
+    sf0.1 (K=25). An EXPLICIT n_cells override is outside oracle
+    coverage unless it happens to equal the derived K; never
+    hash-compare an override run.
 
     Output: one row per DROPPED vector — (vec_id, centroid_id, dup_of
     = lowest-id same-cell vector with cosine ≥ t, n_similar)."""
@@ -1119,9 +1120,14 @@ def dedup_semantic_clusters(
 
 DEDUP_SEMANTIC_ORACLE = f"""
 WITH e AS ({_DUCK_EMB}),
+kq AS (
+  SELECT LEAST(65536, GREATEST(1,
+           CAST(ceil(sqrt(count(*) / {_SEM_PAIR_WEIGHT}.0)) AS BIGINT))) AS k
+  FROM e
+),
 cents AS (
-  SELECT vec_id AS centroid_id, v FROM e
-  WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES + _IVF_K}
+  SELECT vec_id AS centroid_id, v FROM e, kq
+  WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES} + kq.k
 ),
 assign_scored AS (
   SELECT a.vec_id, k.centroid_id, {_DUCK_CENT_COS} AS ccos

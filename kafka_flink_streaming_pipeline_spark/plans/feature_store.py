@@ -199,15 +199,17 @@ def active_users_5m_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     A6; this documents the deviation). This batch twin adds the exact
     count beside it to carry the HASHABLE contract: HLL estimates
     differ across engines, so the oracle checks the accuracy claim —
-    exact distinct plus a `within_5pct` boolean over the internal
-    estimate, same pattern as `sketch_rollup_active_users`. rsd=0.01
-    puts the 5% bound at 5 sigma, so the TRUE-for-every-row oracle is
-    robust even when per-window cardinality leaves HLL++'s
-    sparse-exact range (many windows × 2.5 sigma would eventually
-    fail; 5 sigma does not)."""
+    exact distinct plus a `within_tol` boolean over the internal
+    estimate, same pattern as `sketch_rollup_active_users`. Tolerance =
+    max(5% relative, ±1 user absolute): rsd=0.01 puts the 5% bound at
+    5 sigma for real cardinalities, and the ±1 floor covers the tiny
+    windows (3-8 users at sf0.1) where a sub-user estimator wobble is
+    a large RELATIVE error but an irrelevant absolute one — a pure
+    relative bound is ill-defined as exact → 1."""
     e = _enriched(spark, sf_dir)
     both = e.filter(F.col("event_type").isin("click", "view")).select("uuid", "event_time")
     est = F.col("approx_users").cast("double")
+    exact = F.col("active_users")
     return (
         both.groupBy(F.window("event_time", "5 minutes").alias("w"))
         .agg(
@@ -218,9 +220,8 @@ def active_users_5m_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("w.end", TS_FMT).alias("window_end"),
             "active_users",
             (
-                F.abs(est - F.col("active_users")) / F.col("active_users")
-                <= F.lit(0.05)
-            ).alias("within_5pct"),
+                F.abs(est - exact) <= F.greatest(F.lit(1.0), F.lit(0.05) * exact)
+            ).alias("within_tol"),
         )
         .orderBy("window_end")
     )
@@ -228,7 +229,7 @@ def active_users_5m_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ACTIVE_USERS_APPROX_ORACLE = f"""{_BASE5_SQL}
 SELECT strftime(win_end, '%Y-%m-%d %H:%M:%S') AS window_end,
-       count(DISTINCT uuid) AS active_users, TRUE AS within_5pct
+       count(DISTINCT uuid) AS active_users, TRUE AS within_tol
 FROM (
   SELECT uuid, win_end FROM base WHERE event_type = 'click'
   UNION ALL
@@ -475,7 +476,7 @@ QUERIES: dict[str, QuerySpec] = {
         active_users_5m_approx,
         ACTIVE_USERS_APPROX_ORACLE,  # hashable contract = accuracy claim
         "streaming-legal approx distinct (A6 deviation); "
-        "exact + within_5pct boolean is the oracle contract",
+        "exact + within_tol (max of 5pct, 1 user) boolean is the oracle contract",
     ),
     "fp_global_features_5m": QuerySpec(
         "fp_global_features_5m",
