@@ -544,6 +544,15 @@ def sample_docs_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expected sample size per source is target·sqrt-share (binomial, as
     any rate-based sampler); the draw is a pure function of doc_id."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_sample(d, _TEMP_TARGET)
+
+
+def temperature_sample(d: DataFrame, target: int) -> DataFrame:
+    """T=0.5 tempered sample of any (doc_id, source) frame — see
+    `sample_docs_temperature` for the mechanics. Flattening is
+    property-tested on a skewed synthetic corpus
+    (`test_temperature_sampling_flattens_head`); the registered entry's
+    oracle covers exactness on the driver testdata."""
     cnt = d.groupBy("source").agg(F.count("*").alias("n"))
     sc = cnt.select(
         "source",
@@ -563,7 +572,7 @@ def sample_docs_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bucket", bucket)
         .filter(
             F.col("bucket").cast(dec) * F.col("denom").cast(dec) * F.col("n").cast(dec)
-            < F.lit(_TEMP_TARGET).cast(dec)
+            < F.lit(target).cast(dec)
             * F.col("s").cast(dec)
             * F.lit(1_000_000).cast(dec)
         )

@@ -70,3 +70,31 @@ def test_traffic_source_decode(spark):
     df = spark.createDataFrame([(1,), (2,), (3,), (0,), (4,), (None,)], "s: int")
     got = [r[0] for r in df.select(decode_traffic_source(F.col("s"))).collect()]
     assert got == ["Desktop", "Mobile", "Tablet", "Other", "Other", "Other"]
+
+
+def test_temperature_sampling_flattens_head(spark):
+    """The point of T=0.5 alpha-sampling: a low-resource source's SHARE
+    of the sample must exceed its share of the raw corpus, and the
+    head's share must shrink. Skewed synthetic corpus (the driver
+    testdata's sources are uniform, so the registered oracle can't
+    show this property)."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_streaming_pipeline_spark.operators.corpus import (
+        temperature_sample,
+    )
+
+    rows = [(i, "big") for i in range(9000)] + [
+        (10_000 + i, "small") for i in range(90)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    got = temperature_sample(d, 500).groupBy("source").count().collect()
+    shares = {r["source"]: r["count"] for r in got}
+    n_sample = sum(shares.values())
+    assert n_sample > 100  # enough draws to compare shares
+    raw_small = 90 / 9090
+    sampled_small = shares.get("small", 0) / n_sample
+    # sqrt flattening: expected small share = sqrt(90)/(sqrt(9000)+sqrt(90))
+    # ~ 0.091 vs raw ~ 0.0099 — a 9x boost; assert well past raw share
+    assert sampled_small > 3 * raw_small, (sampled_small, raw_small)
+    assert shares["big"] / n_sample < 1 - 3 * raw_small
