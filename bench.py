@@ -127,6 +127,7 @@ HEADLINE = [
     "dq_expectations",
     "scd2_user_state_history",
     "sample_docs_temperature",
+    "profile_watermark_lateness",
 ]
 
 
@@ -157,7 +158,7 @@ def main() -> None:
     skip = set(filter(None, os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",")))
     per_query: dict[str, float] = {}
 
-    # The near-dup pair graphs (exact prefix-filtered jaccard; banded
+    # The near-dup pair graphs (exact inverted-index jaccard; banded
     # LSH + label propagation) are session-shared materializations
     # (operators/dedup.py `_SHARED_SUBTREES`): the components /
     # keep-best / leakage / containment composites all reuse them, as a

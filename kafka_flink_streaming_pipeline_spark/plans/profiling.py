@@ -351,6 +351,121 @@ ORDER BY hour_ts
 """
 
 
+# --- watermark-lateness report (streaming-config evidence) -----------------
+
+#: candidate watermark settings to evaluate, in ms (the reference
+#: hardcodes 5 s — events_postgres_sink.sql:27 — with no evidence;
+#: this report derives the drop cost of each candidate from the data)
+_WM_THRESH_MS = (0, 1000, 5000, 30000)
+#: arrival-order chunk width for the distributed prefix-scan
+_WM_CHUNK = 10_000
+
+
+def _watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How late does this stream actually run? For each candidate
+    watermark W: how many events arrive with event-time more than W
+    behind the max event-time already seen (and would therefore be
+    dropped by the window operator). Arrival order = event_id (the
+    producer's generation sequence — the replay's delivery order).
+
+    The naive formulation is max(ts) OVER (ORDER BY event_id) — a
+    GLOBAL running max, which is one sequential task at any scale. The
+    scale shape here is a DISTRIBUTED PREFIX SCAN: (1) per-chunk
+    prefix max (window partitioned by arrival chunk — parallel), (2)
+    per-chunk totals reduced to a cumulative previous-chunks max (a
+    window over |chunks| rows — n/10k, trivially one task), (3)
+    broadcast the chunk prefixes back. Same two-level trick as
+    parallel prefix-sum; the only sequential step touches one row per
+    chunk, not one per event.
+
+    Verdict on this dataset: the replay is timestamp-ordered, so even
+    W=0 drops nothing — evidence the reference's 5 s is safely
+    conservative here, and the report is what justifies tightening or
+    loosening it when the transport actually reorders (behavior under
+    real disorder is pytest-proven on a synthetic shuffled stream)."""
+    return watermark_lateness_report(
+        load_table(spark, sf_dir, "events").select("event_id", "ts")
+    )
+
+
+def watermark_lateness_report(ev: DataFrame) -> DataFrame:
+    """Distributed prefix-scan lateness over any (event_id, ts) frame —
+    see `_watermark_lateness` for the full story; property-tested on a
+    synthetic disordered stream (`test_watermark_lateness_on_disorder`)."""
+    chunked = ev.withColumn("chunk", F.expr(f"event_id div {_WM_CHUNK}"))
+    w_in = (
+        Window.partitionBy("chunk")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_in = chunked.withColumn("in_max", F.max("ts").over(w_in))
+    per_chunk = chunked.groupBy("chunk").agg(F.max("ts").alias("cmax"))
+    w_c = Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)
+    prev_max = per_chunk.select(
+        "chunk", F.max("cmax").over(w_c).alias("prev_cmax")
+    )
+    # Spark's greatest() skips NULLs, so the in-chunk/previous-chunk
+    # combination is safe — but the GLOBAL first row has neither, and
+    # engines disagree on greatest(0, NULL); make the no-predecessor
+    # case an explicit 0 in both formulations
+    runmax = F.greatest("in_max", "prev_cmax")
+    late_us = F.when(runmax.isNull(), F.lit(0).cast("long")).otherwise(
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.unix_micros(runmax) - F.unix_micros(F.col("ts")),
+        )
+    )
+    lat = (
+        with_in.join(F.broadcast(prev_max), "chunk")
+        .select(late_us.alias("late_us"))
+    )
+    th = F.explode(
+        F.array(*[F.lit(t).alias("t") for t in _WM_THRESH_MS])
+    ).alias("watermark_ms")
+    return (
+        lat.select("late_us", th)
+        .groupBy("watermark_ms")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when(F.col("late_us") > F.col("watermark_ms") * 1000, 1)).alias(
+                "n_dropped"
+            ),
+        )
+        .select(
+            "watermark_ms",
+            "n_events",
+            "n_dropped",
+            F.round(F.col("n_dropped") / F.col("n_events"), 6).alias("drop_frac"),
+        )
+        .orderBy("watermark_ms")
+    )
+
+
+_WM_LATENESS_ORACLE = f"""
+WITH l AS (
+  SELECT ts,
+         max(ts) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS runmax
+  FROM events
+),
+lat AS (
+  SELECT CASE WHEN runmax IS NULL THEN 0
+              ELSE greatest(0, date_diff('microsecond', ts, runmax)) END AS late_us
+  FROM l
+)
+SELECT t.watermark_ms,
+       count(*) AS n_events,
+       count(*) FILTER (WHERE late_us > t.watermark_ms * 1000) AS n_dropped,
+       round(count(*) FILTER (WHERE late_us > t.watermark_ms * 1000)
+             / CAST(count(*) AS DOUBLE), 6) AS drop_frac
+FROM lat CROSS JOIN (SELECT unnest([{", ".join(str(t) for t in _WM_THRESH_MS)}])
+                     AS watermark_ms) t
+GROUP BY t.watermark_ms
+ORDER BY watermark_ms
+"""
+
+
 # --- data-quality expectations gate ---------------------------------------
 
 
@@ -530,6 +645,12 @@ FROM hist
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "profile_watermark_lateness": QuerySpec(
+        "profile_watermark_lateness",
+        _watermark_lateness,
+        _WM_LATENESS_ORACLE,
+        "per-watermark drop cost from arrival-order lateness (distributed prefix-scan)",
+    ),
     "dq_expectations": QuerySpec(
         "dq_expectations",
         _dq_expectations,

@@ -98,3 +98,54 @@ def test_temperature_sampling_flattens_head(spark):
     # ~ 0.091 vs raw ~ 0.0099 — a 9x boost; assert well past raw share
     assert sampled_small > 3 * raw_small, (sampled_small, raw_small)
     assert shares["big"] / n_sample < 1 - 3 * raw_small
+
+
+def test_watermark_lateness_on_disorder(spark):
+    """The watermark-lateness report on an ACTUALLY disordered stream
+    (the driver testdata is in arrival order, so its registered oracle
+    proves exactness but never exercises a drop): deterministic
+    shuffled timestamps, drop counts checked against a pure-Python
+    replay of the watermark semantics. Chunk width is 10k, and the
+    stream spans several chunks, so the cross-chunk prefix-max path is
+    exercised too."""
+    import datetime
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from kafka_flink_streaming_pipeline_spark.plans.profiling import (
+        _WM_THRESH_MS,
+        watermark_lateness_report,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    n = 25_000  # 3 chunks of 10k
+    # deterministic pseudo-shuffle: event i carries second-offset
+    # i + jitter(i), jitter in [0, 20) — >5 s disorder exists, 30 s
+    # bounds it
+    def jitter(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 20
+
+    rows = [
+        (i, base + datetime.timedelta(seconds=i + jitter(i))) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = {
+        r.watermark_ms: (r.n_events, r.n_dropped)
+        for r in watermark_lateness_report(df).collect()
+    }
+
+    # pure-python watermark replay
+    expected = {}
+    for wm in _WM_THRESH_MS:
+        runmax = None
+        dropped = 0
+        for i, ts in rows:
+            if runmax is not None and (runmax - ts).total_seconds() * 1000 > wm:
+                dropped += 1
+            runmax = ts if runmax is None else max(runmax, ts)
+        expected[wm] = (n, dropped)
+
+    assert got == expected
+    assert got[0][1] > 0  # the synthetic stream is actually disordered
+    assert got[30000][1] == 0  # and bounded by the jitter range
