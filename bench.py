@@ -128,6 +128,7 @@ HEADLINE = [
     "scd2_user_state_history",
     "sample_docs_temperature",
     "profile_watermark_lateness",
+    "dedup_cluster_size_profile",
 ]
 
 

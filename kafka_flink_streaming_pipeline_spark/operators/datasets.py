@@ -627,6 +627,55 @@ FROM ranked WHERE rn = 1
 """
 
 
+# --- duplication profile (component-size histogram) ------------------------
+
+
+def dedup_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus's DUPLICATION PROFILE: histogram of near-dup
+    component sizes over the banded-LSH graph — the one-line answer to
+    "how duplicated is this crawl?" that decides whether dedup is worth
+    a full pass (a profile dominated by size-1 components says no; a
+    heavy tail says the corpus shrinks materially). Composes the
+    session-shared LSH labeling, so after any components-family query
+    this is two tiny aggregations; `dup_frac` = share of all docs
+    living in components of that size (exact integer count ratio)."""
+    comp = _components_labels(spark, sf_dir, "lsh")
+    sizes = comp.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    hist = sizes.groupBy("cluster_size").agg(F.count("*").alias("n_components"))
+    total = hist.agg(
+        F.sum(F.col("cluster_size") * F.col("n_components")).alias("n_total")
+    )
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            "cluster_size",
+            "n_components",
+            (F.col("cluster_size") * F.col("n_components")).alias("n_docs"),
+            F.round(
+                (F.col("cluster_size") * F.col("n_components")) / F.col("n_total"), 6
+            ).alias("dup_frac"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+DUP_CLUSTER_PROFILE_ORACLE = f"""
+WITH RECURSIVE
+{_LSH_CLOSURE_SQL},
+comp AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
+sizes AS (SELECT label, count(*) AS cluster_size FROM comp GROUP BY label),
+hist AS (SELECT cluster_size, count(*) AS n_components FROM sizes
+         GROUP BY cluster_size),
+tot AS (SELECT sum(cluster_size * n_components) AS n_total FROM hist)
+SELECT cluster_size, n_components,
+       cluster_size * n_components AS n_docs,
+       round((cluster_size * n_components) / CAST(n_total AS DOUBLE), 6)
+         AS dup_frac
+FROM hist, tot
+ORDER BY cluster_size
+"""
+
+
 # --- split leakage check ---------------------------------------------------
 
 
@@ -761,6 +810,12 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_keep_best_lsh,
         KEEP_BEST_LSH_ORACLE,
         "quality-aware canonical doc over LSH components (corpus-scale path)",
+    ),
+    "dedup_cluster_size_profile": QuerySpec(
+        "dedup_cluster_size_profile",
+        dedup_cluster_size_profile,
+        DUP_CLUSTER_PROFILE_ORACLE,
+        "duplication profile: near-dup component-size histogram + corpus fractions",
     ),
     "dataset_split_assign": QuerySpec(
         "dataset_split_assign",
