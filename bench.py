@@ -129,6 +129,7 @@ HEADLINE = [
     "sample_docs_temperature",
     "profile_watermark_lateness",
     "dedup_cluster_size_profile",
+    "curation_pipeline_v2",
 ]
 
 

@@ -72,11 +72,91 @@ ORDER BY k.doc_id
 """
 
 
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale curation capstone — the round-3/4 operators
+    composed the way a production run actually chains them:
+
+        corpus → banded-LSH near-dup components (shared labeling)
+               → quality-aware keeper per component (struct-max argmax)
+               → quality threshold gate
+               → deterministic md5-bucket train/val/test assignment
+
+    vs v1 (exact-fingerprint dedup): v2's survivor set is NEAR-dup
+    deduped (one doc per LSH component, highest quality kept), and
+    every surviving doc leaves with its split — the handoff row a
+    training-data builder consumes. All stages are the already-oracled
+    operators; composing them here proves the shared-labeling design
+    carries through a full pipeline (after any components-family query
+    this whole plan is one join + filter + projection). Output:
+    (doc_id, component_id, quality_score, n_members, split)."""
+    from kafka_flink_streaming_pipeline_spark.operators.datasets import (
+        _split_name,
+        dedup_keep_best_lsh,
+    )
+
+    keep = dedup_keep_best_lsh(spark, sf_dir).select(
+        F.col("keeper_doc_id").alias("doc_id"),
+        "component_id",
+        F.col("keeper_quality").alias("quality_score"),
+        "n_members",
+    )
+    return (
+        keep.filter(F.col("quality_score") >= _QUALITY_T)
+        .select(
+            "doc_id",
+            "component_id",
+            "quality_score",
+            "n_members",
+            _split_name(F.col("doc_id")).alias("split"),
+        )
+    )  # unsorted: curated output is corpus-sized at scale
+
+
+def _curation_v2_oracle() -> str:
+    from kafka_flink_streaming_pipeline_spark.operators.datasets import (
+        _LSH_CLOSURE_SQL,
+        _TRAIN_PCT,
+        _VAL_PCT,
+    )
+    from kafka_flink_streaming_pipeline_spark.operators.text import QUALITY_ORACLE
+
+    return f"""
+WITH RECURSIVE
+{_LSH_CLOSURE_SQL},
+comp AS (SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node),
+q AS ({QUALITY_ORACLE}),
+ranked AS (
+  SELECT c.component_id, c.doc_id, q.quality_score,
+         row_number() OVER (PARTITION BY c.component_id
+                            ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY c.component_id) AS n_members
+  FROM comp c JOIN q USING (doc_id)
+)
+SELECT doc_id, component_id, quality_score, n_members,
+       CASE WHEN b < {_TRAIN_PCT} THEN 'train'
+            WHEN b < {_TRAIN_PCT + _VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT component_id, doc_id, quality_score, n_members,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+           % 100 AS b
+  FROM ranked WHERE rn = 1
+)
+WHERE quality_score >= {_QUALITY_T}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "curation_pipeline": QuerySpec(
         "curation_pipeline",
         curation_pipeline,
         _CURATION_ORACLE,
         "composed dedup → quality → filter curation run",
+    ),
+    "curation_pipeline_v2": QuerySpec(
+        "curation_pipeline_v2",
+        curation_pipeline_v2,
+        _curation_v2_oracle(),
+        "LSH components → quality-aware keeper → gate → split (corpus-scale capstone)",
     ),
 }

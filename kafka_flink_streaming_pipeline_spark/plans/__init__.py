@@ -33,14 +33,15 @@ class QuerySpec:
 #:     (50/50 green; cumulative 131/143 unique).
 #: r4 window (this one): the last 12 never-driver-checked entries
 #: (type-audited clean via tools/window_audit.py before rotation) +
-#: the 10 round-4 additions (3 LSH-edged pair-graph composites, the
+#: the 11 round-4 additions (3 LSH-edged pair-graph composites, the
 #: writeStream-materialized FP2, the persisted-IVF-index probe, the DQ
 #: expectations gate, the SCD2 interval dimension, temperature
-#: sampling, the watermark-lateness report, the duplication profile), then 28 regression
+#: sampling, the watermark-lateness report, the duplication profile, the v2 curation capstone), then 27
+#: regression
 #: re-checks of the reference parity
 #: surface (flink-analysis.sql Q1-Q9, FP2/FP3, the feature-store
 #: twins, TPC-H heads, one representative per LLM-pipeline family).
-#: Green on the first 22 ⇒ cumulative driver witness = every registry
+#: Green on the first 23 ⇒ cumulative driver witness = every registry
 #: entry ever shipped.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # never driver-checked (r3 deferrals + r3 additions)
@@ -67,6 +68,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "sample_docs_temperature",
     "profile_watermark_lateness",
     "dedup_cluster_size_profile",
+    "curation_pipeline_v2",
     # reference parity surface — regression re-checks (all green r1/r2)
     "q1_events_per_min",
     "q1_views_per_min",
@@ -94,7 +96,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # TPC-H heads + one representative per LLM-pipeline family
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
-    "tpch_q5_regional_revenue",
     "dedup_minhash_lsh",
     "dedup_components",
 )
