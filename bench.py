@@ -130,6 +130,7 @@ HEADLINE = [
     "profile_watermark_lateness",
     "dedup_cluster_size_profile",
     "curation_pipeline_v2",
+    "text_unigram_logprob",
 ]
 
 

@@ -505,7 +505,75 @@ FROM j
 """
 
 
+# --- unigram language-model scoring (model-free perplexity proxy) ----------
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram cross-entropy against the corpus's own
+    unigram distribution — the model-free stand-in for the KenLM-style
+    perplexity filters production curation runs apply (a doc whose
+    words are corpus-typical scores low; gibberish and off-distribution
+    text scores high). avg_nll = mean over the doc's word occurrences
+    of −ln(count(w)/N), in nats.
+
+    Plan shape at 100 TB: the unigram table is one map-side-combinable
+    groupBy(word) (Zipf-bounded: |vocab| ≪ |corpus|), N is a broadcast
+    scalar, and each doc's score is a join on word + one groupBy(doc).
+    Cross-engine hashing discipline: each word's NLL is rounded ONCE to
+    integer micro-nats (the BM25-idf precedent — a last-ulp ln()
+    disagreement cannot survive 1e-6 rounding), the per-doc sum is an
+    exact integer sum (partition-order independent), and the average
+    divides once at the end."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    uni = words.groupBy("word").agg(F.count("*").alias("c"))
+    total = uni.agg(F.sum("c").alias("n_total"))
+    nll_micro = F.round(
+        F.log(F.col("n_total").cast("double") / F.col("c")) * 1_000_000
+    ).cast("long")
+    scored = (
+        words.join(uni, "word")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", nll_micro.alias("nll_u"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_words"), F.sum("nll_u").alias("s"))
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(F.col("s") / (F.lit(1_000_000.0) * F.col("n_words")), 6).alias(
+                "avg_nll"
+            ),
+        )
+    )  # corpus-sized per-doc output, unsorted
+
+
+UNIGRAM_LOGPROB_ORACLE = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+uni AS (SELECT word, count(*) AS c FROM words GROUP BY word),
+tot AS (SELECT sum(c) AS n_total FROM uni),
+scored AS (
+  SELECT w.doc_id,
+         CAST(round(ln(CAST(t.n_total AS DOUBLE) / u.c) * 1000000) AS BIGINT)
+           AS nll_u
+  FROM words w JOIN uni u USING (word) CROSS JOIN tot t
+)
+SELECT doc_id, count(*) AS n_words,
+       round(sum(nll_u) / (1000000.0 * count(*)), 6) AS avg_nll
+FROM scored GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_unigram_logprob": QuerySpec(
+        "text_unigram_logprob",
+        unigram_logprob,
+        UNIGRAM_LOGPROB_ORACLE,
+        "per-doc unigram cross-entropy (model-free perplexity-filter proxy)",
+    ),
     "text_repetition_stats": QuerySpec(
         "text_repetition_stats",
         repetition_stats,

@@ -33,15 +33,15 @@ class QuerySpec:
 #:     (50/50 green; cumulative 131/143 unique).
 #: r4 window (this one): the last 12 never-driver-checked entries
 #: (type-audited clean via tools/window_audit.py before rotation) +
-#: the 11 round-4 additions (3 LSH-edged pair-graph composites, the
+#: the 12 round-4 additions (3 LSH-edged pair-graph composites, the
 #: writeStream-materialized FP2, the persisted-IVF-index probe, the DQ
 #: expectations gate, the SCD2 interval dimension, temperature
-#: sampling, the watermark-lateness report, the duplication profile, the v2 curation capstone), then 27
-#: regression
+#: sampling, the watermark-lateness report, the duplication profile, the v2 curation capstone, unigram
+#: cross-entropy scoring), then 26 regression
 #: re-checks of the reference parity
 #: surface (flink-analysis.sql Q1-Q9, FP2/FP3, the feature-store
 #: twins, TPC-H heads, one representative per LLM-pipeline family).
-#: Green on the first 23 ⇒ cumulative driver witness = every registry
+#: Green on the first 24 ⇒ cumulative driver witness = every registry
 #: entry ever shipped.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # never driver-checked (r3 deferrals + r3 additions)
@@ -69,6 +69,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "profile_watermark_lateness",
     "dedup_cluster_size_profile",
     "curation_pipeline_v2",
+    "text_unigram_logprob",
     # reference parity surface — regression re-checks (all green r1/r2)
     "q1_events_per_min",
     "q1_views_per_min",
@@ -84,7 +85,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "q9_retention_d7",
     "fp2_user_features_5m",
     "fp3_features_20m",
-    "fp3_features_20m_day",
     "fp_active_users_5m",
     "fp_geo_top_doc_5m",
     "fp_hop_active_users_10m_5m",
