@@ -131,6 +131,7 @@ HEADLINE = [
     "dedup_cluster_size_profile",
     "curation_pipeline_v2",
     "text_unigram_logprob",
+    "curation_token_budget",
 ]
 
 

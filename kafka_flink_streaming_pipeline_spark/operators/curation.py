@@ -146,7 +146,64 @@ WHERE quality_score >= {_QUALITY_T}
 """
 
 
+def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The number a training-run planner actually asks for: how many
+    TOKENS survive curation, by split — docs and tokens per
+    train/val/test over the v2 pipeline's survivor set, with each
+    split's share of the surviving token mass. Composes
+    `curation_pipeline_v2` (shared LSH labeling → keeper → quality
+    gate → split) with the token counts; the rollup is one broadcast-
+    joined aggregation over the survivor rows. Shares are exact
+    integer-count ratios divided once."""
+    from kafka_flink_streaming_pipeline_spark.operators.text import quality_scores
+
+    survivors = curation_pipeline_v2(spark, sf_dir).select("doc_id", "split")
+    toks = quality_scores(spark, sf_dir).select("doc_id", "n_tokens")
+    per_split = (
+        survivors.join(toks, "doc_id")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+    )
+    total = per_split.agg(F.sum("n_tokens").alias("t_total"))
+    return (
+        per_split.crossJoin(F.broadcast(total))
+        .select(
+            "split",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("t_total"), 6).alias("token_share"),
+        )
+        .orderBy("split")
+    )
+
+
+def _token_budget_oracle() -> str:
+    v2 = _curation_v2_oracle()
+    from kafka_flink_streaming_pipeline_spark.operators.text import QUALITY_ORACLE
+
+    return f"""
+WITH v2 AS ({v2}),
+toks AS (SELECT doc_id, n_tokens FROM ({QUALITY_ORACLE})),
+per_split AS (
+  SELECT split, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+  FROM v2 JOIN toks USING (doc_id)
+  GROUP BY split
+),
+tot AS (SELECT sum(n_tokens) AS t_total FROM per_split)
+SELECT split, n_docs, n_tokens,
+       round(n_tokens / CAST(t_total AS DOUBLE), 6) AS token_share
+FROM per_split, tot
+ORDER BY split
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "curation_token_budget": QuerySpec(
+        "curation_token_budget",
+        curation_token_budget,
+        _token_budget_oracle(),
+        "surviving docs/tokens per split after v2 curation (planner handoff)",
+    ),
     "curation_pipeline": QuerySpec(
         "curation_pipeline",
         curation_pipeline,

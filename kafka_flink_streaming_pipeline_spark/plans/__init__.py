@@ -33,15 +33,16 @@ class QuerySpec:
 #:     (50/50 green; cumulative 131/143 unique).
 #: r4 window (this one): the last 12 never-driver-checked entries
 #: (type-audited clean via tools/window_audit.py before rotation) +
-#: the 12 round-4 additions (3 LSH-edged pair-graph composites, the
+#: the 13 round-4 additions (3 LSH-edged pair-graph composites, the
 #: writeStream-materialized FP2, the persisted-IVF-index probe, the DQ
 #: expectations gate, the SCD2 interval dimension, temperature
 #: sampling, the watermark-lateness report, the duplication profile, the v2 curation capstone, unigram
-#: cross-entropy scoring), then 26 regression
+#: cross-entropy scoring, the token-budget planner handoff), then 25
+#: regression
 #: re-checks of the reference parity
 #: surface (flink-analysis.sql Q1-Q9, FP2/FP3, the feature-store
 #: twins, TPC-H heads, one representative per LLM-pipeline family).
-#: Green on the first 24 ⇒ cumulative driver witness = every registry
+#: Green on the first 25 ⇒ cumulative driver witness = every registry
 #: entry ever shipped.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # never driver-checked (r3 deferrals + r3 additions)
@@ -70,9 +71,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_cluster_size_profile",
     "curation_pipeline_v2",
     "text_unigram_logprob",
+    "curation_token_budget",
     # reference parity surface — regression re-checks (all green r1/r2)
     "q1_events_per_min",
-    "q1_views_per_min",
     "q2_top_docs_6h",
     "q3_geo_pv_24h",
     "q4_traffic_source_24h",
