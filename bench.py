@@ -132,6 +132,7 @@ HEADLINE = [
     "curation_pipeline_v2",
     "text_unigram_logprob",
     "curation_token_budget",
+    "cohort_retention_matrix",
 ]
 
 

@@ -494,7 +494,98 @@ FROM scored
 """
 
 
+# --- weekly cohort retention matrix ----------------------------------------
+
+
+def _cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full cohort retention MATRIX — the generalization of Q9's
+    single D0→D7 number: users grouped by first-seen week, each cohort
+    tracked across week offsets, cell = share of the cohort active in
+    that week. Week boundaries are PURE INTEGER epoch-week arithmetic
+    (floor(days-since-1970 / 7)) — calendar week-truncation semantics
+    (ISO vs locale Monday/Sunday) differ across engines, and an
+    off-by-one week boundary silently shifts whole cohorts.
+
+    Plan shape: first-seen per user is one groupBy(user) min; the
+    (user, cohort, offset) activity set is a distinct over a
+    projection; the matrix is one groupBy over that; cohort sizes are
+    a tiny relation broadcast back. Two shuffles on user plus one on
+    the (cohort, offset) key — no window functions at all."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.lit("1970-01-01").cast("date")
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    first = act.groupBy("user_id").agg(F.min("d").alias("d0"))
+    cohorts = first.select(
+        "user_id",
+        "d0",
+        F.floor(F.datediff("d0", epoch) / 7).alias("cohort_week"),
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    cells = (
+        act.join(cohorts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(F.datediff("d", F.col("d0")) / 7).alias("week_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("active_users"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.date_format(
+                F.date_add(epoch, (F.col("cohort_week") * 7).cast("int")), "yyyy-MM-dd"
+            ).alias("cohort_week_start"),
+            "week_offset",
+            "cohort_size",
+            "active_users",
+            F.round(F.col("active_users") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week_start", "week_offset")
+    )
+
+
+_COHORT_MATRIX_ORACLE = """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+first AS (
+  SELECT user_id, min(d) AS d0 FROM act GROUP BY user_id
+),
+cohorts AS (
+  SELECT user_id, d0,
+         date_diff('day', DATE '1970-01-01', d0) // 7 AS cohort_week
+  FROM first
+),
+sizes AS (SELECT cohort_week, count(*) AS cohort_size FROM cohorts
+          GROUP BY cohort_week),
+cells AS (
+  SELECT cohort_week, week_offset, count(*) AS active_users FROM (
+    SELECT DISTINCT a.user_id, c.cohort_week,
+           date_diff('day', c.d0, a.d) // 7 AS week_offset
+    FROM act a JOIN cohorts c USING (user_id)
+  ) GROUP BY cohort_week, week_offset
+)
+SELECT strftime(DATE '1970-01-01' + INTERVAL (ce.cohort_week * 7) DAY,
+                '%Y-%m-%d') AS cohort_week_start,
+       ce.week_offset, s.cohort_size, ce.active_users,
+       round(ce.active_users / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+FROM cells ce JOIN sizes s USING (cohort_week)
+ORDER BY cohort_week_start, week_offset
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "cohort_retention_matrix": QuerySpec(
+        "cohort_retention_matrix",
+        _cohort_retention_matrix,
+        _COHORT_MATRIX_ORACLE,
+        "weekly cohort retention matrix (epoch-week integer arithmetic)",
+    ),
     "rfm_customer_segments": QuerySpec(
         "rfm_customer_segments",
         _rfm_segments,
