@@ -133,6 +133,7 @@ HEADLINE = [
     "text_unigram_logprob",
     "curation_token_budget",
     "cohort_retention_matrix",
+    "profile_functional_deps",
 ]
 
 

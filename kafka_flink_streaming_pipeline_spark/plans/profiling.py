@@ -560,6 +560,71 @@ ORDER BY check_name
 """
 
 
+# --- functional-dependency discovery ---------------------------------------
+
+#: candidate (table, determinant, dependent) triples to test — the
+#: schema-discovery pass a profiler runs before trusting assumed
+#: relationships (a violated "FD" the pipeline relies on, e.g. a
+#: supposedly 1:1 id mapping, is a silent join-fanout bug waiting)
+_FD_CANDIDATES = (
+    ("orders", "o_orderkey", "o_custkey"),       # PK ⇒ holds
+    ("orders", "o_custkey", "o_orderpriority"),  # many orders/cust ⇒ fails
+    ("lineitem", "l_orderkey", "l_suppkey"),     # multi-supplier orders ⇒ fails
+    ("documents", "doc_id", "lang"),             # PK ⇒ holds
+    ("documents", "source", "lang"),             # sources are multilingual?
+    ("events", "event_id", "user_id"),           # PK ⇒ holds
+)
+
+
+def _fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency check A → B per declared candidate: the FD
+    holds iff |distinct A| == |distinct (A,B)| (every determinant value
+    maps to exactly one dependent value). Both counts ride ONE
+    two-phase aggregate over the distinct pair set per candidate —
+    |pairs| ≤ |rows|, map-side combine collapses the Zipf head, and the
+    union of per-candidate one-row aggregates is a single job. Output:
+    (table_name, determinant, dependent, n_keys, n_pairs, holds)."""
+    outs = []
+    for table, det, dep in _FD_CANDIDATES:
+        t = load_table(spark, sf_dir, table)
+        agg = (
+            t.select(F.col(det).alias("a"), F.col(dep).alias("b"))
+            .distinct()
+            .agg(
+                F.countDistinct("a").alias("n_keys"),
+                F.count("*").alias("n_pairs"),
+            )
+        )
+        outs.append(
+            agg.select(
+                F.lit(table).alias("table_name"),
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                "n_keys",
+                "n_pairs",
+                (F.col("n_keys") == F.col("n_pairs")).alias("holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("table_name", "determinant", "dependent")
+
+
+_FD_ORACLE = (
+    "SELECT table_name, determinant, dependent, n_keys, n_pairs,\n"
+    "       n_keys = n_pairs AS holds FROM (\n"
+    + "\n  UNION ALL\n".join(
+        f"""  SELECT '{t}' AS table_name, '{a}' AS determinant, '{b}' AS dependent,
+         count(DISTINCT {a}) AS n_keys,
+         count(*) AS n_pairs
+  FROM (SELECT DISTINCT {a}, {b} FROM {t})"""
+        for t, a, b in _FD_CANDIDATES
+    )
+    + "\n)\nORDER BY table_name, determinant, dependent"
+)
+
+
 # --- SCD2 state history (gaps-and-islands) ---------------------------------
 
 
@@ -656,6 +721,12 @@ QUERIES: dict[str, QuerySpec] = {
         _dq_expectations,
         _DQ_ORACLE,
         "data-quality gate: PK/FK/null expectations as one union of aggregates",
+    ),
+    "profile_functional_deps": QuerySpec(
+        "profile_functional_deps",
+        _fd_discovery,
+        _FD_ORACLE,
+        "functional-dependency discovery over declared candidate column pairs",
     ),
     "scd2_user_state_history": QuerySpec(
         "scd2_user_state_history",
