@@ -134,6 +134,7 @@ HEADLINE = [
     "curation_token_budget",
     "cohort_retention_matrix",
     "profile_functional_deps",
+    "profile_session_gap_quantiles",
 ]
 
 

@@ -560,6 +560,92 @@ ORDER BY check_name
 """
 
 
+# --- inter-event gap distribution (session-gap sizing evidence) -------------
+
+#: candidate session-idle thresholds to cost out, minutes (the
+#: reference hardcodes 30 — analysis/flink-analysis.sql:101 — with no
+#: evidence; this report derives each candidate's session-break rate)
+_GAP_THRESH_MIN = (5, 30, 60)
+
+
+def _session_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long do users actually pause? The think-time distribution
+    behind session-gap sizing — the companion of
+    `profile_watermark_lateness` (that one justifies the watermark,
+    this one the 30-min idle threshold the reference hardcodes):
+    per-user consecutive inter-event gaps (one LAG over the user_id
+    exchange), then ONE global aggregate — exact discrete percentiles
+    of the gap in seconds (percentile_disc picks actual data values, so
+    cross-engine equality is trivial) and, per candidate threshold, the
+    share of gaps that would break a session. A p95 well under the
+    chosen threshold says sessions rarely fragment; a break-share cliff
+    between candidates shows where the threshold actually matters."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.lag("ts").over(w).alias("prev_ts"),
+        )
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            ((F.unix_micros("ts") - F.unix_micros("prev_ts")) / F.lit(1_000_000))
+            .cast("long")
+            .alias("gap_s")  # whole seconds: floor division, exact both engines
+        )
+    )
+    break_cols = [
+        F.round(
+            F.count(F.when(F.col("gap_s") > t * 60, 1)) / F.count("*"), 6
+        ).alias(f"break_share_{t}m")
+        for t in _GAP_THRESH_MIN
+    ]
+    return gaps.agg(
+        F.count("*").alias("n_gaps"),
+        # percentile_disc PICKS an existing gap_s value but Spark types
+        # the result DOUBLE; cast back to the discrete long domain
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_s) AS LONG)"
+        ).alias("p50_s"),
+        F.expr(
+            "CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_s) AS LONG)"
+        ).alias("p90_s"),
+        F.expr(
+            "CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY gap_s) AS LONG)"
+        ).alias("p99_s"),
+        F.max("gap_s").alias("max_s"),
+        *break_cols,
+    )
+
+
+_GAP_BREAK_SQL = ",\n       ".join(
+    f"round(count(*) FILTER (WHERE gap_s > {t * 60}) / CAST(count(*) AS DOUBLE), 6)"
+    f" AS break_share_{t}m"
+    for t in _GAP_THRESH_MIN
+)
+
+_SESSION_GAP_ORACLE = f"""
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+gaps AS (
+  SELECT date_diff('microsecond', prev_ts, ts) // 1000000 AS gap_s
+  FROM o WHERE prev_ts IS NOT NULL
+)
+SELECT count(*) AS n_gaps,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_s) AS p50_s,
+       percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_s) AS p90_s,
+       percentile_disc(0.99) WITHIN GROUP (ORDER BY gap_s) AS p99_s,
+       max(gap_s) AS max_s,
+       {_GAP_BREAK_SQL}
+FROM gaps
+"""
+
+
 # --- functional-dependency discovery ---------------------------------------
 
 #: candidate (table, determinant, dependent) triples to test — the
@@ -727,6 +813,12 @@ QUERIES: dict[str, QuerySpec] = {
         _fd_discovery,
         _FD_ORACLE,
         "functional-dependency discovery over declared candidate column pairs",
+    ),
+    "profile_session_gap_quantiles": QuerySpec(
+        "profile_session_gap_quantiles",
+        _session_gap_profile,
+        _SESSION_GAP_ORACLE,
+        "inter-event gap distribution + per-threshold session-break shares",
     ),
     "scd2_user_state_history": QuerySpec(
         "scd2_user_state_history",
