@@ -1,0 +1,82 @@
+"""Run the full training-data curation pipeline and materialize its
+artifacts — the operators composed exactly as the registered (and
+driver-oracle-checked) queries compose them, but written OUT the way a
+production run hands off to a training job:
+
+    documents ─┬─► near-dup pair graph (banded LSH, session-shared)
+               ├─► duplication profile           → dup_profile.parquet
+               ├─► keep-best survivors + quality gate + split
+               │        (curation_pipeline_v2)   → survivors/split=*/
+               ├─► token budget per split        → token_budget.parquet
+               └─► split-leakage contamination   → leakage.parquet
+
+The survivor table is written PARTITIONED BY split, so a training
+reader opens exactly its split's files (partition pruning) — the same
+layout contract as the engine's other partitioned writers. Because all
+four outputs compose the one session-shared LSH labeling, the whole
+run builds the pair graph once.
+
+Run:  python examples/curation_end_to_end.py \
+          [--sf-dir /root/testdata/sf0.01] [--out /tmp/kfsp_curated]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--out", default="/tmp/kfsp_curated")
+    args = p.parse_args()
+
+    from kafka_flink_streaming_pipeline_spark import get_spark
+    from kafka_flink_streaming_pipeline_spark.operators.curation import (
+        curation_pipeline_v2,
+        curation_token_budget,
+    )
+    from kafka_flink_streaming_pipeline_spark.operators.datasets import (
+        dedup_cluster_size_profile,
+        split_leakage_check_lsh,
+    )
+
+    spark = get_spark("kfsp-curation-run")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = Path(args.out)
+
+    profile = dedup_cluster_size_profile(spark, args.sf_dir)
+    profile.write.mode("overwrite").parquet(str(out / "dup_profile.parquet"))
+    dup_rows = {r.cluster_size: r.dup_frac for r in profile.collect()}
+    print(f"duplication profile: {dup_rows}")
+
+    survivors = curation_pipeline_v2(spark, args.sf_dir)
+    (
+        survivors.repartition("split")
+        .write.mode("overwrite")
+        .partitionBy("split")
+        .parquet(str(out / "survivors"))
+    )
+    print(f"survivors written partitioned by split → {out / 'survivors'}")
+
+    budget = curation_token_budget(spark, args.sf_dir)
+    budget.write.mode("overwrite").parquet(str(out / "token_budget.parquet"))
+    for r in budget.collect():
+        print(
+            f"  {r.split:<6} docs={r.n_docs:<8} tokens={r.n_tokens:<10} "
+            f"share={r.token_share}"
+        )
+
+    leakage = split_leakage_check_lsh(spark, args.sf_dir)
+    leakage.write.mode("overwrite").parquet(str(out / "leakage.parquet"))
+    n_leaks = sum(r.n_pairs for r in leakage.collect() if r.leaks)
+    print(f"cross-split near-dup pairs remaining: {n_leaks}")
+    print("done")
+
+
+if __name__ == "__main__":
+    main()
