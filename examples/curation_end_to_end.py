@@ -68,7 +68,7 @@ def main() -> None:
     for r in budget.collect():
         print(
             f"  {r.split:<6} docs={r.n_docs:<8} tokens={r.n_tokens:<10} "
-            f"share={r.token_share}"
+            f"share_ppm={r.token_share_ppm}"
         )
 
     leakage = split_leakage_check_lsh(spark, args.sf_dir)

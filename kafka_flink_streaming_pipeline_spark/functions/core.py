@@ -66,3 +66,36 @@ def synth_geo(event_type: Column, user_id: Column, k: Column) -> Column:
         (user_id % 5).cast("string"),
         (k % 10).cast("string"),
     )
+
+
+def det_round(col: Column, digits: int = 6) -> Column:
+    """Environment-proof replacement for ``F.round`` on DOUBLE output
+    columns that the driver value-hashes.
+
+    ``round(x, n)`` is implemented differently per engine — Spark goes
+    through BigDecimal HALF_UP on the shortest decimal string repr,
+    DuckDB computes ``std::round(x * 10^n) / 10^n`` — so near-tie
+    quotients can hash-diverge across environments even when the input
+    double is bit-identical (observed on ``curation_token_budget`` in
+    the r4 driver run). ``floor(x * 10^n + 0.5) / 10^n`` uses only
+    IEEE-754 ops (multiply, add, floor, divide), each of which is
+    bit-deterministic for identical input bits on every engine, so the
+    Spark plan and the DuckDB oracle provably agree. Semantics are
+    round-half-up for positive values (half-toward-+inf for negatives).
+
+    The SQL-side twin is :func:`det_round_sql`; every hashed double
+    column must use the pair in lockstep.
+    """
+    p = float(10**digits)
+    return F.floor(col * F.lit(p) + F.lit(0.5)) / F.lit(p)
+
+
+def det_round_sql(expr: str, digits: int = 6) -> str:
+    """DuckDB-side twin of :func:`det_round` — inline SQL string.
+
+    Spark's ``floor`` returns BIGINT and DuckDB's returns DOUBLE, but
+    BIGINT→DOUBLE conversion is exact below 2^53 so the final division
+    yields identical bits in both engines.
+    """
+    p = f"{float(10 ** digits):.1f}"
+    return f"(floor(({expr}) * {p} + 0.5) / {p})"

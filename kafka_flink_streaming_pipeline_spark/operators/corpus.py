@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_flink_streaming_pipeline_spark.functions.core import det_round
 from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
 from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
 
@@ -276,7 +277,7 @@ def zscore_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(F.broadcast(per_cust), o.o_custkey == F.col("g_custkey"))
         .filter(var > 0)
-        .select("o_orderkey", "o_custkey", F.round(z, 6).alias("zscore"))
+        .select("o_orderkey", "o_custkey", det_round(z, 6).alias("zscore"))
     )
 
 
@@ -292,8 +293,7 @@ WITH m AS (
   HAVING count(*) >= 2
 )
 SELECT o_orderkey, o_custkey,
-       round((CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) - s1 / n)
-             / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS zscore
+       (floor(((CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) * 1000000.0 + 0.5) / 1000000.0) AS zscore
 FROM orders JOIN m ON o_custkey = g_custkey
 WHERE (s2 - s1 * s1 / n) / (n - 1) > 0
 """
@@ -329,7 +329,7 @@ def sample_docs_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.col("n_chars").alias("weight"), race.alias("race_key"))
         .orderBy("race_key", "doc_id")
         .limit(_WSAMPLE_K)
-        .select("doc_id", "weight", F.round("race_key", 10).alias("race_key"))
+        .select("doc_id", "weight", det_round(F.col("race_key"), 10).alias("race_key"))
     )
 
 
@@ -358,7 +358,7 @@ def sample_docs_weighted_stratified(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _STRAT_K)
-        .select("lang", "doc_id", "weight", F.round("race_key", 10).alias("race_key"), "rn")
+        .select("lang", "doc_id", "weight", det_round(F.col("race_key"), 10).alias("race_key"), "rn")
         .orderBy("lang", "rn")
     )
 
@@ -375,7 +375,7 @@ ranked AS (
          row_number() OVER (PARTITION BY lang ORDER BY race_key, doc_id) AS rn
   FROM raced
 )
-SELECT lang, doc_id, weight, round(race_key, 10) AS race_key, rn
+SELECT lang, doc_id, weight, (floor((race_key) * 10000000000.0 + 0.5) / 10000000000.0) AS race_key, rn
 FROM ranked
 WHERE rn <= {_STRAT_K}
 ORDER BY lang, rn
@@ -389,7 +389,7 @@ WITH raced AS (
              / {_U_DENOM}) / n_chars AS race_key
   FROM documents
 )
-SELECT doc_id, weight, round(race_key, 10) AS race_key
+SELECT doc_id, weight, (floor((race_key) * 10000000000.0 + 0.5) / 10000000000.0) AS race_key
 FROM raced
 ORDER BY race_key, doc_id
 LIMIT {_WSAMPLE_K}
@@ -557,7 +557,7 @@ def temperature_sample(d: DataFrame, target: int) -> DataFrame:
     sc = cnt.select(
         "source",
         "n",
-        F.round(F.sqrt("n") * 1_000_000).cast("long").alias("s"),
+        F.floor(F.sqrt("n") * 1_000_000 + F.lit(0.5)).cast("long").alias("s"),
     )
     denom = sc.agg(F.sum("s").alias("denom"))
     rates = F.broadcast(sc.crossJoin(F.broadcast(denom)))
@@ -583,7 +583,7 @@ def temperature_sample(d: DataFrame, target: int) -> DataFrame:
 SAMPLE_TEMPERATURE_ORACLE = f"""
 WITH d AS (SELECT doc_id, source FROM documents),
 cnt AS (SELECT source, count(*) AS n FROM d GROUP BY source),
-sc AS (SELECT source, n, CAST(round(sqrt(n) * 1000000) AS BIGINT) AS s FROM cnt),
+sc AS (SELECT source, n, CAST(floor(sqrt(n) * 1000000 + 0.5) AS BIGINT) AS s FROM cnt),
 den AS (SELECT sum(s) AS denom FROM sc)
 SELECT d.source, d.doc_id
 FROM d JOIN sc USING (source) CROSS JOIN den

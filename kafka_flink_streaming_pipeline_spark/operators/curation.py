@@ -61,8 +61,7 @@ quality AS (
 ),
 scored AS (
   SELECT doc_id, n_tokens,
-         round((1.0 - coalesce(round(CAST(n_stops AS DOUBLE) / nullif(n_tokens, 0), 6), 1.0))
-               * CAST(least(n_tokens, 200) AS DOUBLE) / 200.0, 6) AS quality_score
+         (floor(((1.0 - coalesce((floor((CAST(n_stops AS DOUBLE) / nullif(n_tokens, 0)) * 1000000.0 + 0.5) / 1000000.0), 1.0)) * CAST(least(n_tokens, 200) AS DOUBLE) / 200.0) * 1000000.0 + 0.5) / 1000000.0) AS quality_score
   FROM quality
 )
 SELECT k.doc_id, k.fingerprint, k.n_copies, s.n_tokens, s.quality_score
@@ -153,8 +152,14 @@ def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     split's share of the surviving token mass. Composes
     `curation_pipeline_v2` (shared LSH labeling → keeper → quality
     gate → split) with the token counts; the rollup is one broadcast-
-    joined aggregation over the survivor rows. Shares are exact
-    integer-count ratios divided once."""
+    joined aggregation over the survivor rows. The share column is an
+    integer parts-per-million (``token_share_ppm``) computed with exact
+    DECIMAL(38,0) floor-division — never a rounded double — so the
+    value hash is identical across engines and environments (the r4
+    driver proved ``round(int/int, 6)`` doubles can diverge; this is
+    the repo's micro-unit discipline). DECIMAL(38,0) keeps the
+    ``n_tokens * 1e6`` product exact even at 100-TB token counts where
+    BIGINT would overflow."""
     from kafka_flink_streaming_pipeline_spark.operators.text import quality_scores
 
     survivors = curation_pipeline_v2(spark, sf_dir).select("doc_id", "split")
@@ -171,7 +176,10 @@ def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split",
             "n_docs",
             "n_tokens",
-            F.round(F.col("n_tokens") / F.col("t_total"), 6).alias("token_share"),
+            F.expr(
+                "CAST((CAST(n_tokens AS DECIMAL(38,0)) * 1000000) DIV t_total"
+                " AS BIGINT)"
+            ).alias("token_share_ppm"),
         )
         .orderBy("split")
     )
@@ -191,7 +199,8 @@ per_split AS (
 ),
 tot AS (SELECT sum(n_tokens) AS t_total FROM per_split)
 SELECT split, n_docs, n_tokens,
-       round(n_tokens / CAST(t_total AS DOUBLE), 6) AS token_share
+       CAST((CAST(n_tokens AS HUGEINT) * 1000000) // t_total AS BIGINT)
+         AS token_share_ppm
 FROM per_split, tot
 ORDER BY split
 """

@@ -47,6 +47,7 @@ from kafka_flink_streaming_pipeline_spark.operators.dedup import (
     exact_ngram_pairs,
 )
 from kafka_flink_streaming_pipeline_spark.operators.text import QUALITY_ORACLE, quality_scores
+from kafka_flink_streaming_pipeline_spark.functions.core import det_round
 from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
 from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
 
@@ -474,7 +475,7 @@ pairs AS (
   SELECT d1, d2 FROM common
   JOIN cnt c1 ON c1.doc_id = d1
   JOIN cnt c2 ON c2.doc_id = d2
-  WHERE round(CAST(common AS DOUBLE) / (c1.c + c2.c - common), 6) >= {_NGRAM_JACCARD_T}
+  WHERE (floor((CAST(common AS DOUBLE) / (c1.c + c2.c - common)) * 1000000.0 + 0.5) / 1000000.0) >= {_NGRAM_JACCARD_T}
 ),
 edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2 AS d1, d1 AS d2 FROM pairs),
 reach(node, r) AS (
@@ -651,7 +652,7 @@ def dedup_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
             "n_components",
             (F.col("cluster_size") * F.col("n_components")).alias("n_docs"),
-            F.round(
+            det_round(
                 (F.col("cluster_size") * F.col("n_components")) / F.col("n_total"), 6
             ).alias("dup_frac"),
         )
@@ -669,7 +670,7 @@ hist AS (SELECT cluster_size, count(*) AS n_components FROM sizes
 tot AS (SELECT sum(cluster_size * n_components) AS n_total FROM hist)
 SELECT cluster_size, n_components,
        cluster_size * n_components AS n_docs,
-       round((cluster_size * n_components) / CAST(n_total AS DOUBLE), 6)
+       (floor(((cluster_size * n_components) / CAST(n_total AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
          AS dup_frac
 FROM hist, tot
 ORDER BY cluster_size
@@ -745,7 +746,7 @@ pairs AS (
 near AS (
   SELECT d1, d2
   FROM pairs JOIN cnt c1 ON c1.doc_id = d1 JOIN cnt c2 ON c2.doc_id = d2
-  WHERE round(CAST(common AS DOUBLE) / (c1.c + c2.c - common), 6)
+  WHERE (floor((CAST(common AS DOUBLE) / (c1.c + c2.c - common)) * 1000000.0 + 0.5) / 1000000.0)
         >= {_NGRAM_JACCARD_T}
 ),
 splits AS (

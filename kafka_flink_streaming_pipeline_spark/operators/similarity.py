@@ -36,6 +36,7 @@ import pandas as pd  # module-global so stringified pandas_udf type
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_flink_streaming_pipeline_spark.functions.core import det_round
 from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
 from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
 
@@ -55,7 +56,7 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _cosine(va: Column, vb: Column) -> Column:
-    return F.round(_dot(va, vb) / F.sqrt(_dot(va, va)) / F.sqrt(_dot(vb, vb)), 6)
+    return det_round(_dot(va, vb) / F.sqrt(_dot(va, va)) / F.sqrt(_dot(vb, vb)), 6)
 
 
 def _with_norm(e: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
@@ -70,14 +71,14 @@ def _with_norm(e: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
 
 
 def _pair_cosine(qv: Column, cv: Column, q_nrm: Column, c_nrm: Column) -> Column:
-    return F.round(_dot(qv, cv) / q_nrm / c_nrm, 6)
+    return det_round(_dot(qv, cv) / q_nrm / c_nrm, 6)
 
 
 # DuckDB: same formula over DOUBLE[] lists (list_dot_product folds in
 # list order, matching the Spark-side sequential fold).
 _DUCK_COS = (
-    "round(list_dot_product(q.v, c.v) / sqrt(list_dot_product(q.v, q.v))"
-    " / sqrt(list_dot_product(c.v, c.v)), 6)"
+    "(floor((list_dot_product(q.v, c.v) / sqrt(list_dot_product(q.v, q.v))"
+    " / sqrt(list_dot_product(c.v, c.v))) * 1000000.0 + 0.5) / 1000000.0)"
 )
 _DUCK_EMB = "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
 
@@ -461,7 +462,7 @@ def topk_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            F.round(
+            det_round(
                 cos_udf(
                     F.col("qv"), F.col("cv"), F.col("query_id_nrm"), F.col("cand_id_nrm")
                 ),
@@ -708,8 +709,8 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DUCK_CENT_COS = (
-    "round(list_dot_product(a.v, k.v) / sqrt(list_dot_product(a.v, a.v))"
-    " / sqrt(list_dot_product(k.v, k.v)), 6)"
+    "(floor((list_dot_product(a.v, k.v) / sqrt(list_dot_product(a.v, a.v))"
+    " / sqrt(list_dot_product(k.v, k.v))) * 1000000.0 + 0.5) / 1000000.0)"
 )
 
 ANN_IVF_ORACLE = f"""
@@ -915,7 +916,7 @@ def topk_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            F.round(
+            det_round(
                 _dot(F.col("qv"), F.col("cv8")) / F.col("query_id_nrm") / F.col("c_nrm8"), 6
             ).alias("cosine8"),
         )
@@ -943,9 +944,7 @@ qz AS (
 ),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-         round(list_dot_product(q.v, c.c8)
-               / sqrt(list_dot_product(q.v, q.v))
-               / sqrt(list_dot_product(c.c8, c.c8)), 6) AS cosine8
+         (floor((list_dot_product(q.v, c.c8) / sqrt(list_dot_product(q.v, q.v)) / sqrt(list_dot_product(c.c8, c.c8))) * 1000000.0 + 0.5) / 1000000.0) AS cosine8
   FROM e q CROSS JOIN qz c
   WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id
 ),
@@ -1013,9 +1012,7 @@ WITH cand AS (
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 q AS (SELECT v FROM e WHERE vec_id = 0)
 SELECT c.doc_id, c.bm25,
-       round(list_dot_product(q.v, ce.v)
-             / sqrt(list_dot_product(q.v, q.v))
-             / sqrt(list_dot_product(ce.v, ce.v)), 6) AS cosine
+       (floor((list_dot_product(q.v, ce.v) / sqrt(list_dot_product(q.v, q.v)) / sqrt(list_dot_product(ce.v, ce.v))) * 1000000.0 + 0.5) / 1000000.0) AS cosine
 FROM cand c
 JOIN e ce ON ce.vec_id = c.doc_id
 CROSS JOIN q

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_flink_streaming_pipeline_spark.functions.core import det_round
 from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
 from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
 
@@ -48,7 +49,7 @@ def salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         partial.groupBy("event_type")
         .agg(
             F.sum("c").alias("n_events"),
-            F.round(F.sum("v").cast("double"), 4).alias("sum_value"),
+            det_round(F.sum("v").cast("double"), 4).alias("sum_value"),
         )
         .orderBy("event_type")
     )
@@ -57,7 +58,7 @@ def salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 SALTED_COUNTS_ORACLE = """
 SELECT event_type,
        count(*) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_value
+       (floor((CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) AS sum_value
 FROM events
 GROUP BY event_type
 ORDER BY event_type

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_flink_streaming_pipeline_spark.functions.core import det_round
 from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
 from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
 
@@ -39,13 +40,13 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     n_tokens = F.regexp_count("text", F.lit(r"[a-z0-9]+"))
     stops = F.regexp_count("text", F.lit(_STOPWORDS))
-    ratio = F.round(stops.cast("double") / F.nullif(n_tokens, F.lit(0)), 6)
+    ratio = det_round(stops.cast("double") / F.nullif(n_tokens, F.lit(0)), 6)
     return d.select(
         "doc_id",
         F.length("text").alias("n_chars_actual"),
         n_tokens.alias("n_tokens"),
         ratio.alias("stopword_ratio"),
-        F.round(
+        det_round(
             (F.lit(1.0) - F.coalesce(ratio, F.lit(1.0)))
             * F.least(n_tokens, F.lit(200)).cast("double")
             / 200.0,
@@ -63,9 +64,8 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id, n_chars_actual, n_tokens,
-       round(CAST(n_stops AS DOUBLE) / nullif(n_tokens, 0), 6) AS stopword_ratio,
-       round((1.0 - coalesce(round(CAST(n_stops AS DOUBLE) / nullif(n_tokens, 0), 6), 1.0))
-             * CAST(least(n_tokens, 200) AS DOUBLE) / 200.0, 6) AS quality_score
+       (floor((CAST(n_stops AS DOUBLE) / nullif(n_tokens, 0)) * 1000000.0 + 0.5) / 1000000.0) AS stopword_ratio,
+       (floor(((1.0 - coalesce((floor((CAST(n_stops AS DOUBLE) / nullif(n_tokens, 0)) * 1000000.0 + 0.5) / 1000000.0), 1.0)) * CAST(least(n_tokens, 200) AS DOUBLE) / 200.0) * 1000000.0 + 0.5) / 1000000.0) AS quality_score
 FROM t
 ORDER BY doc_id
 """
@@ -146,7 +146,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("docs"),
             F.sum("wt").alias("sum_ws_tokens"),
             F.sum("bt").alias("sum_bpe_tokens"),
-            F.round(F.sum("bt").cast("double") / F.count("*"), 2).alias("avg_bpe_tokens"),
+            det_round(F.sum("bt").cast("double") / F.count("*"), 2).alias("avg_bpe_tokens"),
         )
         .orderBy("source")
     )
@@ -162,7 +162,7 @@ WITH t AS (
 SELECT source, count(*) AS docs,
        CAST(sum(wt) AS BIGINT) AS sum_ws_tokens,
        CAST(sum(bt) AS BIGINT) AS sum_bpe_tokens,
-       round(CAST(sum(bt) AS DOUBLE) / count(*), 2) AS avg_bpe_tokens
+       (floor((CAST(sum(bt) AS DOUBLE) / count(*)) * 100.0 + 0.5) / 100.0) AS avg_bpe_tokens
 FROM t
 GROUP BY source
 ORDER BY source
@@ -237,8 +237,8 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     word_chars = F.length(F.regexp_replace("text", r"[^a-z0-9]", ""))
     symbols = F.length(F.regexp_replace("text", r"[a-z0-9 ]", ""))
     stops = F.regexp_count("text", F.lit(_STOPWORDS))
-    mwl = F.round(word_chars.cast("double") / F.nullif(n_words, F.lit(0)), 6)
-    sym_ratio = F.round(symbols.cast("double") / F.nullif(n_words, F.lit(0)), 6)
+    mwl = det_round(word_chars.cast("double") / F.nullif(n_words, F.lit(0)), 6)
+    sym_ratio = det_round(symbols.cast("double") / F.nullif(n_words, F.lit(0)), 6)
     r_words = n_words >= _MIN_WORDS
     r_mwl = (mwl >= _MIN_MWL) & (mwl <= _MAX_MWL)
     r_sym = sym_ratio < _MAX_SYMBOL_RATIO
@@ -267,8 +267,8 @@ WITH t AS (
 ),
 m AS (
   SELECT doc_id, n_words,
-         round(CAST(word_chars AS DOUBLE) / nullif(n_words, 0), 6) AS mean_word_len,
-         round(CAST(symbols AS DOUBLE) / nullif(n_words, 0), 6) AS symbol_ratio,
+         (floor((CAST(word_chars AS DOUBLE) / nullif(n_words, 0)) * 1000000.0 + 0.5) / 1000000.0) AS mean_word_len,
+         (floor((CAST(symbols AS DOUBLE) / nullif(n_words, 0)) * 1000000.0 + 0.5) / 1000000.0) AS symbol_ratio,
          n_stops
   FROM t
 )
@@ -330,7 +330,7 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(doclen, "doc_id")
         .crossJoin(F.broadcast(scalars))
         .groupBy("doc_id")
-        .agg(F.round(F.sum(contrib), 4).alias("bm25"))
+        .agg(det_round(F.sum(contrib), 4).alias("bm25"))
     )
 
 
@@ -354,9 +354,10 @@ tf AS (SELECT doc_id, term, count(*) AS cnt FROM tok
        WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id, term),
 df AS (SELECT term, count(*) AS ndf FROM tf GROUP BY term)
 SELECT tf.doc_id,
-       round(sum(ln((n_docs - ndf + 0.5) / (ndf + 0.5) + 1.0)
+       (floor((sum(ln((n_docs - ndf + 0.5) / (ndf + 0.5) + 1.0)
                  * cnt * ({_BM25_K1} + 1.0)
-                 / (cnt + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))), 4)
+                 / (cnt + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))))
+              * 10000.0 + 0.5) / 10000.0)
          AS bm25
 FROM tf
 JOIN df USING (term)
@@ -428,13 +429,13 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("n").alias("n_bigrams"), F.max("n").alias("top_bigram_n"))
     )
-    top_word_share = F.round(
+    top_word_share = det_round(
         F.col("top_word_n").cast("double") / F.col("n_words"), 6
     )
-    top_bigram_share = F.round(
+    top_bigram_share = det_round(
         F.col("top_bigram_n").cast("double") / F.col("n_bigrams"), 6
     )
-    dup_word_frac = F.round(
+    dup_word_frac = det_round(
         F.lit(1.0)
         - F.col("n_distinct_words").cast("double") / F.col("n_words"),
         6,
@@ -489,9 +490,9 @@ bstats AS (
 ),
 j AS (
   SELECT w.doc_id, CAST(w.n_words AS BIGINT) AS n_words,
-         round(CAST(w.top_word_n AS DOUBLE) / w.n_words, 6) AS top_word_share,
-         round(CAST(b.top_bigram_n AS DOUBLE) / b.n_bigrams, 6) AS top_bigram_share,
-         round(1.0 - CAST(w.n_distinct_words AS DOUBLE) / w.n_words, 6) AS dup_word_frac
+         (floor((CAST(w.top_word_n AS DOUBLE) / w.n_words) * 1000000.0 + 0.5) / 1000000.0) AS top_word_share,
+         (floor((CAST(b.top_bigram_n AS DOUBLE) / b.n_bigrams) * 1000000.0 + 0.5) / 1000000.0) AS top_bigram_share,
+         (floor((1.0 - CAST(w.n_distinct_words AS DOUBLE) / w.n_words) * 1000000.0 + 0.5) / 1000000.0) AS dup_word_frac
   FROM wstats w LEFT JOIN bstats b ON w.doc_id = b.doc_id
 )
 SELECT doc_id, n_words, top_word_share, top_bigram_share, dup_word_frac,
@@ -528,8 +529,8 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     uni = words.groupBy("word").agg(F.count("*").alias("c"))
     total = uni.agg(F.sum("c").alias("n_total"))
-    nll_micro = F.round(
-        F.log(F.col("n_total").cast("double") / F.col("c")) * 1_000_000
+    nll_micro = F.floor(
+        F.log(F.col("n_total").cast("double") / F.col("c")) * 1_000_000 + F.lit(0.5)
     ).cast("long")
     scored = (
         words.join(uni, "word")
@@ -542,7 +543,7 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_words",
-            F.round(F.col("s") / (F.lit(1_000_000.0) * F.col("n_words")), 6).alias(
+            det_round(F.col("s") / (F.lit(1_000_000.0) * F.col("n_words")), 6).alias(
                 "avg_nll"
             ),
         )
@@ -557,12 +558,12 @@ uni AS (SELECT word, count(*) AS c FROM words GROUP BY word),
 tot AS (SELECT sum(c) AS n_total FROM uni),
 scored AS (
   SELECT w.doc_id,
-         CAST(round(ln(CAST(t.n_total AS DOUBLE) / u.c) * 1000000) AS BIGINT)
+         CAST(floor(ln(CAST(t.n_total AS DOUBLE) / u.c) * 1000000 + 0.5) AS BIGINT)
            AS nll_u
   FROM words w JOIN uni u USING (word) CROSS JOIN tot t
 )
 SELECT doc_id, count(*) AS n_words,
-       round(sum(nll_u) / (1000000.0 * count(*)), 6) AS avg_nll
+       (floor((sum(nll_u) / (1000000.0 * count(*))) * 1000000.0 + 0.5) / 1000000.0) AS avg_nll
 FROM scored GROUP BY doc_id
 """
 

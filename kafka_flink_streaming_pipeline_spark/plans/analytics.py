@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_flink_streaming_pipeline_spark.functions.core import det_round
 from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
 from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
 
@@ -262,7 +263,7 @@ def _event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_type",
         "to_type",
         "n",
-        F.round(F.col("n") / F.sum("n").over(w_from), 4).alias("share"),
+        det_round(F.col("n") / F.sum("n").over(w_from), 4).alias("share"),
     ).orderBy("from_type", "to_type")
 
 
@@ -278,7 +279,7 @@ counts AS (
   GROUP BY from_type, to_type
 )
 SELECT from_type, to_type, n,
-       round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 4) AS share
+       (floor((n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) AS share
 FROM counts
 ORDER BY from_type, to_type
 """
@@ -337,7 +338,7 @@ def _pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank"),
             )
         )
-    return ranks.select("node", F.round("rank", 4).alias("rank")).orderBy("node")
+    return ranks.select("node", det_round(F.col("rank"), 4).alias("rank")).orderBy("node")
 
 
 def _pagerank_oracle() -> str:
@@ -370,7 +371,7 @@ nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM nodes),
 r0 AS (SELECT node, 1.0 / n_nodes AS rank FROM nodes CROSS JOIN nn),
 {iters}
 final AS (SELECT node, rank FROM r{_PR_ITERS})
-SELECT node, round(rank, 4) AS rank FROM final ORDER BY node
+SELECT node, (floor((rank) * 10000.0 + 0.5) / 10000.0) AS rank FROM final ORDER BY node
 """
 
 
@@ -541,7 +542,7 @@ def _cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "week_offset",
             "cohort_size",
             "active_users",
-            F.round(F.col("active_users") / F.col("cohort_size"), 6).alias(
+            det_round(F.col("active_users") / F.col("cohort_size"), 6).alias(
                 "retention"
             ),
         )
@@ -573,7 +574,7 @@ cells AS (
 SELECT strftime(DATE '1970-01-01' + INTERVAL (ce.cohort_week * 7) DAY,
                 '%Y-%m-%d') AS cohort_week_start,
        ce.week_offset, s.cohort_size, ce.active_users,
-       round(ce.active_users / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+       (floor((ce.active_users / CAST(s.cohort_size AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) AS retention
 FROM cells ce JOIN sizes s USING (cohort_week)
 ORDER BY cohort_week_start, week_offset
 """

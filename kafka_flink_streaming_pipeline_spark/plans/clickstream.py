@@ -41,6 +41,7 @@ from kafka_flink_streaming_pipeline_spark.functions import (
     redis_feature_key,
     synth_geo,
 )
+from kafka_flink_streaming_pipeline_spark.functions.core import det_round
 from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
 from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
 
@@ -252,7 +253,7 @@ def _q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # avg as exact-long-sum / count for cross-engine bit equality.
     return per_session.agg(
         F.count("*").alias("sessions_12h"),
-        F.round(
+        det_round(
             F.sum("events_per_session").cast("double") / F.count("*"), 2
         ).alias("avg_pages_per_session"),
     )
@@ -279,7 +280,7 @@ session_ids AS (
   FROM session_marks
 )
 SELECT count(*) AS sessions_12h,
-       round(CAST(sum(events_per_session) AS DOUBLE) / count(*), 2) AS avg_pages_per_session
+       (floor((CAST(sum(events_per_session) AS DOUBLE) / count(*)) * 100.0 + 0.5) / 100.0) AS avg_pages_per_session
 FROM (
   SELECT uuid, session_id, count(*) AS events_per_session
   FROM session_ids
@@ -392,7 +393,7 @@ def _q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_time") >= F.col("max_ts") - F.expr("INTERVAL 5 MINUTES"))
         .select((F.unix_micros("max_ts") - F.unix_micros("event_time")).alias("delay_us"))
         .agg(
-            F.round(F.sum("delay_us").cast("double") / F.count("*") / 1000.0).alias(
+            det_round(F.sum("delay_us").cast("double") / F.count("*") / 1000.0, 0).alias(
                 "avg_ms_delay"
             )
         )
@@ -400,7 +401,7 @@ def _q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q6_ORACLE = f"""{ENRICHED_SQL}
-SELECT round(CAST(sum(delay_us) AS DOUBLE) / count(*) / 1000.0) AS avg_ms_delay
+SELECT (floor((CAST(sum(delay_us) AS DOUBLE) / count(*) / 1000.0) * 1.0 + 0.5) / 1.0) AS avg_ms_delay
 FROM (
   SELECT date_diff('microsecond', event_time, latest.max_ts) AS delay_us
   FROM enriched, latest

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_flink_streaming_pipeline_spark.functions.core import det_round
 from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
 from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
 
@@ -582,7 +583,7 @@ def _nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_name",
         "n_name",
         F.col("rev").cast("double").alias("revenue"),
-        F.round(
+        det_round(
             F.col("rev").cast("double") / F.sum("rev").over(w).cast("double"), 6
         ).alias("region_share"),
     ).orderBy("r_name", "n_name")
@@ -601,8 +602,7 @@ WITH per_nation AS (
 )
 SELECT r_name, n_name,
        CAST(rev AS DOUBLE) AS revenue,
-       round(CAST(rev AS DOUBLE) /
-             CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE), 6) AS region_share
+       (floor((CAST(rev AS DOUBLE) / CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) AS region_share
 FROM per_nation
 ORDER BY r_name, n_name
 """

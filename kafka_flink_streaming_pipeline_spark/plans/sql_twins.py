@@ -117,7 +117,7 @@ session_ids AS (
   FROM session_marks
 )
 SELECT count(*) AS sessions_12h,
-       round(CAST(sum(events_per_session) AS DOUBLE) / count(*), 2)
+       (floor((CAST(sum(events_per_session) AS DOUBLE) / count(*)) * 100.0 + 0.5) / 100.0)
          AS avg_pages_per_session
 FROM (
   SELECT uuid, session_id, count(*) AS events_per_session
@@ -142,7 +142,7 @@ FROM ordered
 ORDER BY uuid, event_time
 """,
     "q6_avg_delay_5m": f"""{ENRICHED_SPARK_SQL}
-SELECT round(CAST(sum(delay_us) AS DOUBLE) / count(*) / 1000.0) AS avg_ms_delay
+SELECT (floor((CAST(sum(delay_us) AS DOUBLE) / count(*) / 1000.0) * 1.0 + 0.5) / 1.0) AS avg_ms_delay
 FROM (
   SELECT unix_micros(latest.max_ts) - unix_micros(event_time) AS delay_us
   FROM enriched, latest
