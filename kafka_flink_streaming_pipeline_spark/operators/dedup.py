@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_flink_streaming_pipeline_spark.functions.core import det_round, det_round_sql
 from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
 from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
 
@@ -168,7 +169,7 @@ def _common_counts(tokens: DataFrame, token_col: str) -> DataFrame:
 def _jaccard_pairs(tokens: DataFrame, token_col: str, threshold: float) -> DataFrame:
     """Inverted-index exact jaccard: join token postings, count common
     tokens per pair, |A∪B| = |A|+|B|-common."""
-    jac = F.round(
+    jac = det_round(
         F.col("common").cast("double") / (F.col("c1") + F.col("c2") - F.col("common")), 6
     )
     return (
@@ -189,11 +190,11 @@ common AS (
   GROUP BY d1, d2
 )
 SELECT d1, d2,
-       round(CAST(common AS DOUBLE) / (c1.c + c2.c - common), 6) AS jaccard
+       {det_round_sql('CAST(common AS DOUBLE) / (c1.c + c2.c - common)', 6)} AS jaccard
 FROM common
 JOIN cnt c1 ON c1.doc_id = d1
 JOIN cnt c2 ON c2.doc_id = d2
-WHERE round(CAST(common AS DOUBLE) / (c1.c + c2.c - common), 6) >= {threshold}
+WHERE {det_round_sql('CAST(common AS DOUBLE) / (c1.c + c2.c - common)', 6)} >= {threshold}
 ORDER BY d1, d2
 """
 
@@ -266,7 +267,7 @@ def _jaccard_pairs_prefix(
     )
     c1 = cnt.select(F.col("doc_id").alias("d1"), F.col("c").alias("c1"))
     c2 = cnt.select(F.col("doc_id").alias("d2"), F.col("c").alias("c2"))
-    jac = F.round(
+    jac = det_round(
         F.col("common").cast("double") / (F.col("c1") + F.col("c2") - F.col("common")), 6
     )
     return (
@@ -471,7 +472,7 @@ def _lsh_est_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "d1",
         "d2",
-        F.round(matches.cast("double") / _N_PERM, 6).alias("est_jaccard"),
+        det_round(matches.cast("double") / _N_PERM, 6).alias("est_jaccard"),
     )  # unsorted candidate pairs
 
 
@@ -497,7 +498,7 @@ cand AS (
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 )
 SELECT d1, d2,
-       round(CAST(sum(CASE WHEN s1.h = s2.h THEN 1 ELSE 0 END) AS DOUBLE) / {_N_PERM}, 6)
+       {det_round_sql(f'CAST(sum(CASE WHEN s1.h = s2.h THEN 1 ELSE 0 END) AS DOUBLE) / {_N_PERM}', 6)}
          AS est_jaccard
 FROM cand
 JOIN sigs s1 ON s1.doc_id = d1
@@ -541,8 +542,8 @@ cand AS (
 ),
 est AS (
   SELECT d1, d2,
-         round(CAST(sum(CASE WHEN s1.h = s2.h THEN 1 ELSE 0 END) AS DOUBLE)
-               / {_N_PERM}, 6) AS est_jaccard
+         {det_round_sql(f'CAST(sum(CASE WHEN s1.h = s2.h THEN 1 ELSE 0 END) AS DOUBLE) / {_N_PERM}', 6)}
+           AS est_jaccard
   FROM cand
   JOIN sigs s1 ON s1.doc_id = d1
   JOIN sigs s2 ON s2.doc_id = d2 AND s2.perm = s1.perm
@@ -602,7 +603,7 @@ def incoming_flags(
         .select(
             "corpus_doc",
             "incoming_doc",
-            F.round(matches.cast("double") / _N_PERM, 6).alias("est_jaccard"),
+            det_round(matches.cast("double") / _N_PERM, 6).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= _DUP_THRESH)
     )
@@ -656,8 +657,8 @@ cand AS (
 ),
 scored AS (
   SELECT corpus_doc, incoming_doc,
-         round(CAST(sum(CASE WHEN s1.h = s2.h THEN 1 ELSE 0 END) AS DOUBLE)
-               / {_N_PERM}, 6) AS est_jaccard
+         {det_round_sql(f'CAST(sum(CASE WHEN s1.h = s2.h THEN 1 ELSE 0 END) AS DOUBLE) / {_N_PERM}', 6)}
+           AS est_jaccard
   FROM cand
   JOIN sigs s1 ON s1.doc_id = corpus_doc
   JOIN sigs s2 ON s2.doc_id = incoming_doc AND s2.perm = s1.perm
@@ -888,14 +889,14 @@ def _containment_dirs(counts: DataFrame) -> DataFrame:
         F.struct(
             F.col("d1").alias("contained_doc"),
             F.col("d2").alias("container_doc"),
-            F.round(F.col("common").cast("double") / F.col("c1"), 6).alias(
+            det_round(F.col("common").cast("double") / F.col("c1"), 6).alias(
                 "containment"
             ),
         ),
         F.struct(
             F.col("d2").alias("contained_doc"),
             F.col("d1").alias("container_doc"),
-            F.round(F.col("common").cast("double") / F.col("c2"), 6).alias(
+            det_round(F.col("common").cast("double") / F.col("c2"), 6).alias(
                 "containment"
             ),
         ),
@@ -923,21 +924,38 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     that never collide in any band — is the documented LSH trade; the
     exact op stays registered as the baseline. The shared session
     subtree (`dedup_minhash_lsh`) makes the candidate set free when the
-    components family already ran."""
+    components family already ran.
+
+    Verify stage (r5 rework): each doc's shingle set is carried as ONE
+    bounded array (≈ doc length, ~900 elements) and the exact common
+    count is `size(array_intersect(s1, s2))` evaluated per candidate
+    row — the intermediate stays |candidates| rows. The previous
+    formulation joined candidates against per-shingle postings rows,
+    materializing |candidates| x |shingles(doc)| intermediate rows
+    before the count (~22 B rows at 100x replication — OOM'd; PERF.md
+    r4). Two hash joins on doc_id replace one doc_id join plus one
+    (doc_id, shingle) join, so shuffle volume DROPS to
+    |docs| + 2|cand| rows."""
     cand = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
     sh = _doc_shingles(spark, sf_dir)
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
-    p1 = sh.select(F.col("doc_id").alias("d1"), F.col("shingle").alias("t"))
-    p2 = sh.select(F.col("doc_id").alias("d2"), F.col("shingle").alias("t"))
-    common = (
-        cand.join(p1, "d1")
-        .join(p2, ["d2", "t"])
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("common"))
+    # shingles are already distinct per doc → collect_set size == |set|
+    sets_ = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sset"))
+    counts = (
+        cand.join(
+            sets_.select(F.col("doc_id").alias("d1"), F.col("sset").alias("s1")), "d1"
+        )
+        .join(
+            sets_.select(F.col("doc_id").alias("d2"), F.col("sset").alias("s2")), "d2"
+        )
+        .select(
+            "d1",
+            "d2",
+            F.size(F.array_intersect("s1", "s2")).alias("common"),
+            F.size("s1").alias("c1"),
+            F.size("s2").alias("c2"),
+        )
+        .filter(F.col("common") > 0)
     )
-    counts = common.join(
-        cnt.select(F.col("doc_id").alias("d1"), F.col("c").alias("c1")), "d1"
-    ).join(cnt.select(F.col("doc_id").alias("d2"), F.col("c").alias("c2")), "d2")
     return _containment_dirs(counts)
 
 
@@ -951,10 +969,10 @@ common AS (
 ),
 dirs AS (
   SELECT d1 AS contained_doc, d2 AS container_doc,
-         round(CAST(common AS DOUBLE) / c1.c, 6) AS containment
+         (floor((CAST(common AS DOUBLE) / c1.c) * 1000000.0 + 0.5) / 1000000.0) AS containment
   FROM common JOIN cnt c1 ON c1.doc_id = d1
   UNION ALL
-  SELECT d2, d1, round(CAST(common AS DOUBLE) / c2.c, 6)
+  SELECT d2, d1, (floor((CAST(common AS DOUBLE) / c2.c) * 1000000.0 + 0.5) / 1000000.0)
   FROM common JOIN cnt c2 ON c2.doc_id = d2
 )
 SELECT contained_doc, container_doc, containment
@@ -974,10 +992,10 @@ common AS (
 ),
 dirs AS (
   SELECT d1 AS contained_doc, d2 AS container_doc,
-         round(CAST(common AS DOUBLE) / c1.c, 6) AS containment
+         (floor((CAST(common AS DOUBLE) / c1.c) * 1000000.0 + 0.5) / 1000000.0) AS containment
   FROM common JOIN cnt c1 ON c1.doc_id = d1
   UNION ALL
-  SELECT d2, d1, round(CAST(common AS DOUBLE) / c2.c, 6)
+  SELECT d2, d1, (floor((CAST(common AS DOUBLE) / c2.c) * 1000000.0 + 0.5) / 1000000.0)
   FROM common JOIN cnt c2 ON c2.doc_id = d2
 )
 SELECT contained_doc, container_doc, containment
@@ -1036,7 +1054,7 @@ def span_dup_fractions(docs: DataFrame) -> DataFrame:
             "n_dup_spans",
             F.when(
                 F.col("n_spans") > 0,
-                F.round(F.col("n_dup_spans") / F.col("n_spans"), 6),
+                det_round(F.col("n_dup_spans") / F.col("n_spans"), 6),
             )
             .otherwise(F.lit(0.0))
             .alias("dup_span_frac"),
@@ -1067,8 +1085,7 @@ SELECT ds.doc_id,
        count(ds.span) AS n_spans,
        count(CASE WHEN f.ndocs > 1 THEN 1 END) AS n_dup_spans,
        CASE WHEN count(ds.span) > 0
-            THEN round(count(CASE WHEN f.ndocs > 1 THEN 1 END)
-                       / CAST(count(ds.span) AS DOUBLE), 6)
+            THEN (floor((count(CASE WHEN f.ndocs > 1 THEN 1 END) / CAST(count(ds.span) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
             ELSE 0.0 END AS dup_span_frac
 FROM doc_spans ds LEFT JOIN freq f ON ds.span = f.span
 GROUP BY ds.doc_id
