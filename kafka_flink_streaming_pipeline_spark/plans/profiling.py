@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_flink_streaming_pipeline_spark.functions.core import det_round
 from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
 from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
 
@@ -48,8 +49,8 @@ def _histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(bucket)
         .agg(
             F.count("*").alias("n"),
-            F.round(F.min("o_totalprice"), 2).alias("lo"),
-            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            det_round(F.min("o_totalprice"), 2).alias("lo"),
+            det_round(F.max("o_totalprice"), 2).alias("hi"),
         )
         .orderBy("bucket")
     )
@@ -58,8 +59,8 @@ def _histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HISTOGRAM_ORACLE = f"""
 SELECT CAST(floor(o_totalprice / {_BUCKET_W}) AS BIGINT) AS bucket,
        count(*) AS n,
-       round(min(o_totalprice), 2) AS lo,
-       round(max(o_totalprice), 2) AS hi
+       (floor((min(o_totalprice)) * 100.0 + 0.5) / 100.0) AS lo,
+       (floor((max(o_totalprice)) * 100.0 + 0.5) / 100.0) AS hi
 FROM orders
 GROUP BY 1
 ORDER BY bucket
@@ -84,8 +85,8 @@ def _profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("o_orderpriority").alias("distinct_priority"),
         F.date_format(F.min("o_orderdate"), TS_FMT).alias("min_orderdate"),
         F.date_format(F.max("o_orderdate"), TS_FMT).alias("max_orderdate"),
-        F.round(F.min("o_totalprice"), 2).alias("min_total"),
-        F.round(F.max("o_totalprice"), 2).alias("max_total"),
+        det_round(F.min("o_totalprice"), 2).alias("min_total"),
+        det_round(F.max("o_totalprice"), 2).alias("max_total"),
     )
 
 
@@ -98,8 +99,8 @@ SELECT count(*) AS n_rows,
        count(DISTINCT o_orderpriority) AS distinct_priority,
        strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_orderdate,
        strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_orderdate,
-       round(min(o_totalprice), 2) AS min_total,
-       round(max(o_totalprice), 2) AS max_total
+       (floor((min(o_totalprice)) * 100.0 + 0.5) / 100.0) AS min_total,
+       (floor((max(o_totalprice)) * 100.0 + 0.5) / 100.0) AS max_total
 FROM orders
 """
 
@@ -123,7 +124,7 @@ def _cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.col("event_type").alias("last_type"),
-            F.round("value", 4).alias("last_value"),
+            det_round(F.col("value"), 4).alias("last_value"),
             F.date_format("ts", TS_FMT).alias("last_ts"),
         )
     )  # unsorted: one row per key, key-partitioned — no global sort at scale
@@ -138,7 +139,7 @@ WITH ranked AS (
 )
 SELECT user_id,
        event_type AS last_type,
-       round(value, 4) AS last_value,
+       (floor((value) * 10000.0 + 0.5) / 10000.0) AS last_value,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
 FROM ranked
 WHERE rn = 1
@@ -212,8 +213,8 @@ def _key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("max_key_rows"),
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)").cast("long").alias("p50"),
         F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY n)").cast("long").alias("p99"),
-        F.round(F.max("n") / F.sum("n"), 6).alias("hot_key_share"),
-        F.round(F.max("n") * F.count("*") / F.sum("n"), 4).alias("skew_factor"),
+        det_round(F.max("n") / F.sum("n"), 6).alias("hot_key_share"),
+        det_round(F.max("n") * F.count("*") / F.sum("n"), 4).alias("skew_factor"),
     )
 
 
@@ -224,8 +225,8 @@ SELECT count(*) AS n_keys,
        max(n) AS max_key_rows,
        CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50,
        CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99,
-       round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS hot_key_share,
-       round(max(n) * count(*) / CAST(sum(n) AS DOUBLE), 4) AS skew_factor
+       (floor((max(n) / CAST(sum(n) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) AS hot_key_share,
+       (floor((max(n) * count(*) / CAST(sum(n) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) AS skew_factor
 FROM c
 """
 
@@ -263,8 +264,8 @@ def _equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(bucket)
         .agg(
             F.count("*").alias("n"),
-            F.round(F.min("o_totalprice"), 2).alias("lo"),
-            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            det_round(F.min("o_totalprice"), 2).alias("lo"),
+            det_round(F.max("o_totalprice"), 2).alias("hi"),
         )
         .orderBy("bucket")
     )
@@ -282,8 +283,8 @@ SELECT CAST(CASE WHEN o_totalprice <= q1 THEN 0
             WHEN o_totalprice <= q3 THEN 2
             ELSE 3 END AS INTEGER) AS bucket,
        count(*) AS n,
-       round(min(o_totalprice), 2) AS lo,
-       round(max(o_totalprice), 2) AS hi
+       (floor((min(o_totalprice)) * 100.0 + 0.5) / 100.0) AS lo,
+       (floor((max(o_totalprice)) * 100.0 + 0.5) / 100.0) AS hi
 FROM orders, b
 GROUP BY 1
 ORDER BY bucket
@@ -326,7 +327,7 @@ def _anomalous_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.date_format("hour", TS_FMT).alias("hour_ts"),
             "n",
-            F.round(F.lit(0.6745) * (F.col("n") - F.col("med")) / F.col("mad"), 4).alias(
+            det_round(F.lit(0.6745) * (F.col("n") - F.col("med")) / F.col("mad"), 4).alias(
                 "robust_z"
             ),
         )
@@ -344,7 +345,7 @@ dev AS (SELECT c.hour, c.n, abs(c.n - med.med) AS abs_dev, med.med FROM c, med),
 mad AS (SELECT quantile_disc(abs_dev, 0.5)::DOUBLE AS mad FROM dev)
 SELECT strftime(dev.hour, '%Y-%m-%d %H:%M:%S') AS hour_ts,
        dev.n,
-       round(0.6745 * (dev.n - dev.med) / mad.mad, 4) AS robust_z
+       (floor((0.6745 * (dev.n - dev.med) / mad.mad) * 10000.0 + 0.5) / 10000.0) AS robust_z
 FROM dev, mad
 WHERE mad.mad > 0 AND dev.abs_dev > 3 * mad.mad
 ORDER BY hour_ts
@@ -435,7 +436,7 @@ def watermark_lateness_report(ev: DataFrame) -> DataFrame:
             "watermark_ms",
             "n_events",
             "n_dropped",
-            F.round(F.col("n_dropped") / F.col("n_events"), 6).alias("drop_frac"),
+            det_round(F.col("n_dropped") / F.col("n_events"), 6).alias("drop_frac"),
         )
         .orderBy("watermark_ms")
     )
@@ -457,8 +458,7 @@ lat AS (
 SELECT t.watermark_ms,
        count(*) AS n_events,
        count(*) FILTER (WHERE late_us > t.watermark_ms * 1000) AS n_dropped,
-       round(count(*) FILTER (WHERE late_us > t.watermark_ms * 1000)
-             / CAST(count(*) AS DOUBLE), 6) AS drop_frac
+       (floor((count(*) FILTER (WHERE late_us > t.watermark_ms * 1000) / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) AS drop_frac
 FROM lat CROSS JOIN (SELECT unnest([{", ".join(str(t) for t in _WM_THRESH_MS)}])
                      AS watermark_ms) t
 GROUP BY t.watermark_ms
@@ -547,11 +547,15 @@ SELECT check_name, violations, violations = 0 AS passed FROM (
   UNION ALL
   SELECT 'documents_pk_unique', count(*) - count(DISTINCT doc_id) FROM documents
   UNION ALL
-  SELECT 'lineitem_orderkey_fk', count(*) FROM lineitem
-  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+  -- NOT EXISTS, not NOT IN: LEFT ANTI (the Spark side) counts a NULL
+  -- child key as a violation, while NOT IN silently drops it — and
+  -- returns zero violations outright if the parent side ever holds a
+  -- NULL. NOT EXISTS matches anti-join semantics under NULLs exactly.
+  SELECT 'lineitem_orderkey_fk', count(*) FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
   UNION ALL
-  SELECT 'customer_nationkey_fk', count(*) FROM customer
-  WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+  SELECT 'customer_nationkey_fk', count(*) FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
   UNION ALL
   SELECT 'events_user_id_not_null', count(*) FILTER (WHERE user_id IS NULL)
   FROM events
@@ -597,7 +601,7 @@ def _session_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     break_cols = [
-        F.round(
+        det_round(
             F.count(F.when(F.col("gap_s") > t * 60, 1)) / F.count("*"), 6
         ).alias(f"break_share_{t}m")
         for t in _GAP_THRESH_MIN
@@ -621,7 +625,8 @@ def _session_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GAP_BREAK_SQL = ",\n       ".join(
-    f"round(count(*) FILTER (WHERE gap_s > {t * 60}) / CAST(count(*) AS DOUBLE), 6)"
+    f"(floor((count(*) FILTER (WHERE gap_s > {t * 60})"
+    f" / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)"
     f" AS break_share_{t}m"
     for t in _GAP_THRESH_MIN
 )

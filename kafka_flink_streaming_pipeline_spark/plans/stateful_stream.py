@@ -147,7 +147,16 @@ def _fp2_stream_materialized_build(spark: SparkSession, sf_dir: str) -> DataFram
     q = feature_stream_job(
         replay_stream(spark, chunks), table, os.path.join(work, "ckpt")
     )
-    q.awaitTermination(600)
+    # awaitTermination(timeout) returns False when the query is STILL
+    # RUNNING; reading the sink then would hash a partially-written
+    # table and rmtree would yank files under a live query — fail loud
+    if not q.awaitTermination(600):
+        q.stop()
+        shutil.rmtree(work, ignore_errors=True)
+        raise TimeoutError(
+            "fp2 replay stream did not finish within 600s; sink table "
+            "is incomplete — not reading it"
+        )
 
     out = (
         spark.read.parquet(table)
@@ -170,7 +179,72 @@ def _fp2_stream_oracle() -> str:
     return _FP2_ORACLE
 
 
+def _dedup_gate_stream_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming ingest near-dup gate run FOR REAL — the second
+    writeStream-produced artifact in the driver rotation (r4 verdict
+    ask #6, so streaming witness doesn't rest on fp2 alone): corpus
+    docs (doc_id % 3 != 0) are indexed once with `build_dedup_index`,
+    the incoming docs arrive as a 4-file parquet stream
+    (maxFilesPerTrigger=1 → 4 micro-batches), and
+    `dedup_index_stream_job` signs each batch and probes the persisted
+    index inside foreachBatch, appending verdicts to a batch-addressed
+    table. The gate is per-doc (stateless across batches), so the
+    streamed union must equal the batch twin `dedup_incoming_vs_corpus`
+    — which is exactly the oracle the driver hashes this against."""
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+    from kafka_flink_streaming_pipeline_spark.streaming.jobs import (
+        build_dedup_index,
+        dedup_index_stream_job,
+    )
+    from kafka_flink_streaming_pipeline_spark.streaming.txn_sink import (
+        read_append_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="dedup_gate_stream_")
+    index_path = os.path.join(work, "lsh_index")
+    build_dedup_index(docs.filter(F.col("doc_id") % 3 != 0), index_path)
+
+    incoming = docs.filter(F.col("doc_id") % 3 == 0)
+    in_dir = os.path.join(work, "incoming")
+    incoming.repartition(4).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = dedup_index_stream_job(
+        stream, index_path, os.path.join(work, "verdicts"), os.path.join(work, "ckpt")
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        shutil.rmtree(work, ignore_errors=True)
+        raise TimeoutError("dedup gate stream did not finish within 600s")
+
+    out = (
+        read_append_table(spark, os.path.join(work, "verdicts"))
+        .select("incoming_doc", "is_dup", "matched_doc", "est_jaccard")
+        .localCheckpoint()  # sever lineage from the temp table before cleanup
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def _dedup_gate_stream_oracle() -> str:
+    from kafka_flink_streaming_pipeline_spark.operators.dedup import (
+        DEDUP_INCOMING_ORACLE,
+    )
+
+    return DEDUP_INCOMING_ORACLE
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_gate_stream_materialized": QuerySpec(
+        "dedup_gate_stream_materialized",
+        _dedup_gate_stream_build,
+        _dedup_gate_stream_oracle(),
+        "ingest near-dup gate via the real foreachBatch stream job read back",
+    ),
     "stateful_sessions_stream": QuerySpec(
         "stateful_sessions_stream",
         _stateful_sessions_build,

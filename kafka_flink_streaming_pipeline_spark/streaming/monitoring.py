@@ -149,14 +149,18 @@ def prometheus_text(listener: RateListener, job: str = "kfsp") -> str:
     # sanitization is lossy ('rows.a' and 'rows:a' both -> 'rows_a'):
     # suffix later collisions so the exposition never emits duplicate
     # series, which Prometheus rejects as an invalid scrape
-    emitted: dict[str, int] = {}
+    # track FINAL emitted names, not just pre-suffix ones: a natural
+    # metric named 'rows_a_2' alongside colliding 'rows.a'/'rows a'
+    # must not produce a duplicate 'rows_a_2' series either
+    emitted: set[str] = set()
     for k, v in (last.get("observed") or {}).items():
         if isinstance(v, (int, float)):
-            name = re.sub(r"[^a-zA-Z0-9_:]", "_", str(k))
-            n_seen = emitted.get(name, 0)
-            emitted[name] = n_seen + 1
-            if n_seen:
-                name = f"{name}_{n_seen + 1}"
+            base = re.sub(r"[^a-zA-Z0-9_:]", "_", str(k))
+            name, n = base, 1
+            while name in emitted:
+                n += 1
+                name = f"{base}_{n}"
+            emitted.add(name)
             lines += [
                 f"# TYPE kfsp_observed_{name} gauge",
                 f'kfsp_observed_{name}{{job="{job}"}} {v}',
