@@ -135,6 +135,9 @@ HEADLINE = [
     "cohort_retention_matrix",
     "profile_functional_deps",
     "profile_session_gap_quantiles",
+    "corpus_chunk_windows",
+    "corpus_pack_sequences",
+    "curation_decontaminate",
 ]
 
 

@@ -10,6 +10,7 @@ from kafka_flink_streaming_pipeline_spark.operators import (
     interval_join,
     dedup,
     multimodal,
+    packing,
     similarity,
     sketches,
     skew,
@@ -23,6 +24,7 @@ for _mod in (
     dedup,
     similarity,
     multimodal,
+    packing,
     skew,
     curation,
     asof,
