@@ -8,7 +8,10 @@ production run hands off to a training job:
                ├─► keep-best survivors + quality gate + split
                │        (curation_pipeline_v2)   → survivors/split=*/
                ├─► token budget per split        → token_budget.parquet
-               └─► split-leakage contamination   → leakage.parquet
+               ├─► split-leakage contamination   → leakage.parquet
+               ├─► eval-overlap decontamination  → decontamination.parquet
+               ├─► packed-sequence interval map  → packed_sequences.parquet
+               └─► RAG/embedding chunk inventory → chunks.parquet
 
 The survivor table is written PARTITIONED BY split, so a training
 reader opens exactly its split's files (partition pruning) — the same
@@ -75,6 +78,32 @@ def main() -> None:
     leakage.write.mode("overwrite").parquet(str(out / "leakage.parquet"))
     n_leaks = sum(r.n_pairs for r in leakage.collect() if r.leaks)
     print(f"cross-split near-dup pairs remaining: {n_leaks}")
+
+    # sequence shaping (operators/packing.py): the handoff from
+    # "curated corpus" to "tokenized batches" — eval-overlap verdicts,
+    # the doc -> packed-sequence interval map, and the chunk inventory
+    # an embedding/RAG indexer consumes
+    from pyspark.sql import functions as F
+
+    from kafka_flink_streaming_pipeline_spark.operators.packing import (
+        corpus_chunk_windows,
+        corpus_pack_sequences,
+        curation_decontaminate,
+    )
+
+    decon = curation_decontaminate(spark, args.sf_dir)
+    decon.write.mode("overwrite").parquet(str(out / "decontamination.parquet"))
+    n_contam = decon.filter(F.col("contaminated")).count()
+    print(f"decontamination: {n_contam} train docs share eval 3-shingles")
+
+    packed = corpus_pack_sequences(spark, args.sf_dir)
+    packed.write.mode("overwrite").parquet(str(out / "packed_sequences.parquet"))
+    n_seqs = packed.agg(F.max("seq_last")).first()[0] + 1
+    print(f"sequence packing: corpus chops into {n_seqs} fixed-budget sequences")
+
+    chunks = corpus_chunk_windows(spark, args.sf_dir)
+    chunks.write.mode("overwrite").parquet(str(out / "chunks.parquet"))
+    print(f"chunk inventory: {chunks.count()} overlapping windows written")
     print("done")
 
 
