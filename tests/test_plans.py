@@ -667,3 +667,33 @@ def test_persisted_ann_probe_prunes_partitions(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert any("centroid_id" in f for f in filters), filters
+
+
+def test_no_engine_round_in_hashed_contracts():
+    """`round()` is a different algorithm per engine (Spark: BigDecimal
+    HALF_UP over the shortest string repr; DuckDB: std::round(x*p)/p)
+    and hash-diverged in the round-4 grading run even though the local
+    simulator passed. Every hashed contract must use the IEEE-only
+    det_round/det_round_sql pair (functions/core.py) or integer
+    micro-units: no registry oracle may call engine round(), and no
+    plan/operator module may call F.round."""
+    import pathlib
+    import re
+
+    round_re = re.compile(r"(?<![a-z_])round\s*\(", re.IGNORECASE)
+    offenders = [
+        name
+        for name, spec in merged().items()
+        if spec.oracle and round_re.search(spec.oracle)
+    ]
+    assert not offenders, f"engine round() in oracle SQL: {offenders}"
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / (
+        "kafka_flink_streaming_pipeline_spark"
+    )
+    src_offenders = [
+        str(p)
+        for p in pkg.rglob("*.py")
+        if "F.round(" in p.read_text()
+    ]
+    assert not src_offenders, f"F.round in plan source: {src_offenders}"

@@ -10,6 +10,10 @@ driver hash mismatches:
   * DecimalType / ArrayType / MapType in the Spark output schema
   * decimal.Decimal values in the DuckDB oracle result
   * Spark vs DuckDB Python-type disagreement in any column
+  * engine-native round() in the oracle SQL (round is a different
+    algorithm per engine and hash-diverged in the r4 driver run —
+    hashed contracts must use det_round/det_round_sql or integer
+    micro-units; tests/test_plans.py enforces the same registry-wide)
 
 Usage: python tools/window_audit.py [name ...]   (default: full window)
 Exit 0 = all compared clean with no flags.
@@ -18,9 +22,13 @@ Exit 0 = all compared clean with no flags.
 from __future__ import annotations
 
 import decimal
+import re
 import sys
 import time
 from pathlib import Path
+
+#: engine-native round( call in oracle SQL (not part of an identifier)
+_ROUND_RE = re.compile(r"(?<![a-z_])round\s*\(", re.IGNORECASE)
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -46,6 +54,12 @@ def main() -> int:
             continue
         t0 = time.time()
         flags: list[str] = []
+        # engine-native round() is a different algorithm per engine
+        # (Spark: BigDecimal HALF_UP; DuckDB: std::round(x*p)/p) and
+        # hash-diverged in the r4 driver environment — hashed contracts
+        # must use the floor-based det_round/det_round_sql pair instead
+        if spec.oracle and _ROUND_RE.search(spec.oracle):
+            flags.append("oracle:engine-round()")
         try:
             df = spec.build(spark, SF_CORRECT)
             for f in df.schema.fields:
