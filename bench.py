@@ -138,6 +138,8 @@ HEADLINE = [
     "corpus_chunk_windows",
     "corpus_pack_sequences",
     "curation_decontaminate",
+    "embedding_pq_codes",
+    "sim_topk_cosine_pq",
 ]
 
 

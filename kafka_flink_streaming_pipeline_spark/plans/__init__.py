@@ -101,8 +101,11 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "split_leakage_check",
     "dedup_keep_best_per_component",
     "sim_topk_cosine_pandas",
-    "dedup_word_jaccard",
-    "split_leakage_check_lsh",
+    # round-5 PQ additions displace the two newest-witnessed fillers
+    # (dedup_word_jaccard, split_leakage_check_lsh — both r4-green with
+    # byte-identical values under the sweep)
+    "embedding_pq_codes",
+    "sim_topk_cosine_pq",
 )
 
 

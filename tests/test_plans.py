@@ -542,6 +542,10 @@ def test_ann_recall_floors(spark):
         "sim_ann_ivf_nprobe2": 0.25,
         "sim_ann_lsh_multiprobe": 0.05,
         "sim_topk_cosine_int8": 0.95,
+        # ADC shortlist@50 + exact refine (measured 0.68 isotropic —
+        # the refine stage makes it the best approximate variant even
+        # on data where partition-based ANN caps near probed fraction)
+        "sim_topk_cosine_pq": 0.55,
     }
     low = []
     for name, floor in floors.items():
@@ -607,6 +611,10 @@ def test_ann_recall_on_clustered_embeddings(spark, clustered_emb_dir):
         "sim_ann_ivf": 0.7,
         "sim_ann_ivf_nprobe2": 0.8,
         "sim_ann_lsh_multiprobe": 0.8,
+        # PQ codes collapse within tight clusters (every member shares
+        # a code vector), so the 50-wide ADC shortlist + exact refine
+        # carries the quality claim: measured 0.82 (deterministic)
+        "sim_topk_cosine_pq": 0.8,
     }
     low = []
     for name, floor in floors.items():
