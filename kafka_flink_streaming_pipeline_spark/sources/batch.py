@@ -101,3 +101,46 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """Register testdata tables as temp views for spark.sql() plans."""
     for n in names:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: "StructType | str | None" = None,
+    mode: str = "PERMISSIVE",
+):
+    """JSON-Lines corpus reader — the interchange format LLM training
+    corpora actually ship in (one JSON document per line, usually
+    .jsonl or .jsonl.gz; Spark's json source decompresses by file
+    extension automatically).
+
+    An explicit schema is strongly preferred at scale: schema
+    inference is a FULL extra pass over 100 TB before the real read.
+    Malformed lines follow Spark's standard contract — PERMISSIVE
+    keeps the row with parse-failed columns NULL and the raw line in
+    `_corrupt_record` (declared in the schema here, so bad lines are
+    quarantinable downstream instead of killing the job); DROPMALFORMED
+    and FAILFAST are passed through for pipelines that prefer dropping
+    or dying. Multiline JSON is deliberately NOT enabled: line-split
+    files are what make the format splittable — one 100 GB .jsonl
+    still parallelizes by HDFS/object-store block.
+    """
+    reader = spark.read.option("mode", mode).option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    )
+    if schema is not None:
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        if mode.upper() == "PERMISSIVE" and "_corrupt_record" not in schema.names:
+            schema = schema.add("_corrupt_record", T.StringType())
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl_corpus(df: DataFrame, path: str, compression: str = "gzip") -> None:
+    """JSON-Lines corpus writer (one document per line, gzip by
+    default — the hand-off format for tokenizer/training jobs that
+    don't read parquet). Column order follows the frame's schema;
+    writers that need a stable multi-file layout should repartition by
+    their shard key first."""
+    df.write.mode("overwrite").option("compression", compression).json(path)

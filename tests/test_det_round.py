@@ -1,0 +1,90 @@
+"""Cross-engine bit-identity of the det_round/det_round_sql pair
+(functions/core.py) — the contract every hashed double column now
+rests on. Engine-native round() diverged in the r4 grading
+environment; these tests pin the replacement to exact string-repr
+equality between Spark and DuckDB over an adversarial ratio corpus:
+exact decimal ties (k/2^m, k/10^m), near-ties, negatives, large
+magnitudes, and seeded random rationals.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from kafka_flink_streaming_pipeline_spark.functions.core import (
+    det_round,
+    det_round_sql,
+)
+
+from tests.conftest import SF_CORRECT  # noqa: F401  (spark fixture dep)
+
+
+def _ratio_corpus() -> list[tuple[int, int]]:
+    pairs: list[tuple[int, int]] = []
+    # exact binary-representable ties: k/2^m terminates in decimal,
+    # often ON the half boundary at 6 digits
+    for m in (7, 10, 20):
+        pairs += [(k, 2**m) for k in range(1, 200, 3)]
+    # exact decimal ties at the rounding digit
+    pairs += [(k, 10**6) for k in range(1, 5000, 61)]
+    pairs += [(k * 10 + 5, 10**7) for k in range(0, 4000, 37)]
+    # near-ties from dense rationals
+    pairs += [(k, k * 8 + 1) for k in range(1, 6000, 11)]
+    pairs += [(k, 999_983) for k in range(1, 9000, 97)]  # prime denom
+    # negatives and magnitude spread
+    pairs += [(-k, 7) for k in range(1, 500, 13)]
+    pairs += [(k * 1_000_003, 17) for k in range(1, 200, 7)]
+    rng = np.random.default_rng(42)
+    a = rng.integers(-10**9, 10**9, 3000)
+    b = rng.integers(1, 10**6, 3000)
+    pairs += list(zip((int(x) for x in a), (int(x) for x in b)))
+    return pairs
+
+
+@pytest.mark.parametrize("digits", [0, 2, 4, 6])
+def test_det_round_bit_identical_across_engines(spark, digits):
+    from pyspark.sql import functions as F
+
+    pairs = _ratio_corpus()
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {
+        (r.a, r.b): r.v
+        for r in df.select(
+            "a", "b", det_round(F.col("a") / F.col("b"), digits).alias("v")
+        ).collect()
+    }
+    con = duckdb.connect()
+    q = (
+        f"SELECT a, b, {det_round_sql('CAST(a AS DOUBLE) / b', digits)} AS v "
+        "FROM (SELECT unnest($1) a, unnest($2) b)"
+    )
+    want = {
+        (a, b): v
+        for a, b, v in con.execute(
+            q, [[p[0] for p in pairs], [p[1] for p in pairs]]
+        ).fetchall()
+    }
+    bad = [
+        (k, got[k], want[k]) for k in got if str(got[k]) != str(want[k])
+    ]
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
+    assert len(got) == len(want)
+
+
+def test_det_round_never_emits_negative_zero(spark):
+    """round() can yield -0.0 in one engine and 0.0 in the other —
+    str() then differs. floor(x*p + 0.5)/p maps the (-0.5/p, 0] band
+    to exact +0.0 in both engines."""
+    from pyspark.sql import functions as F
+
+    vals = [(i,) for i in range(-40, 1)]
+    df = spark.createDataFrame(vals, "a long")
+    out = [
+        r.v
+        for r in df.select(
+            det_round(F.col("a") / F.lit(10**9), 6).alias("v")
+        ).collect()
+    ]
+    assert all(str(v) == "0.0" for v in out), out

@@ -195,3 +195,46 @@ def test_testdata_schema_canary(spark):
             assert not isinstance(f.dataType, T.TimestampNTZType), (
                 f"{table}.{f.name} leaked TIMESTAMP_NTZ past normalize_timestamps"
             )
+
+
+def test_jsonl_corpus_roundtrip_and_corrupt_quarantine(spark, tmp_path):
+    """JSONL corpus contract: schema-first read (no inference pass),
+    gzip round-trip through the writer, and PERMISSIVE quarantine —
+    a malformed line survives as a `_corrupt_record` row instead of
+    killing the read or silently vanishing."""
+    from kafka_flink_streaming_pipeline_spark.sources.batch import (
+        read_jsonl_corpus,
+        write_jsonl_corpus,
+    )
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "part0.jsonl").write_text(
+        '{"doc_id": 1, "text": "alpha beta", "lang": "en"}\n'
+        '{"doc_id": 2, "text": "gamma", "lang": "fr"}\n'
+        "{this line is not json\n"
+        '{"doc_id": 3, "text": "delta", "lang": "en"}\n'
+    )
+    ddl = "doc_id long, text string, lang string"
+    df = read_jsonl_corpus(spark, str(raw), schema=ddl)
+    rows = df.collect()
+    assert len(rows) == 4
+    good = {r.doc_id: (r.text, r.lang) for r in rows if r._corrupt_record is None}
+    assert good == {1: ("alpha beta", "en"), 2: ("gamma", "fr"), 3: ("delta", "en")}
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(bad) == 1 and "not json" in bad[0]._corrupt_record
+    assert bad[0].doc_id is None  # parse-failed columns NULL, row kept
+
+    # DROPMALFORMED drops exactly the quarantined line
+    dropped = read_jsonl_corpus(spark, str(raw), schema=ddl, mode="DROPMALFORMED")
+    assert dropped.count() == 3
+
+    # gzip round-trip through the writer
+    out = str(tmp_path / "out")
+    clean = df.filter(df._corrupt_record.isNull()).select("doc_id", "text", "lang")
+    write_jsonl_corpus(clean, out)
+    import glob
+
+    assert glob.glob(out + "/*.json.gz"), "writer must gzip by default"
+    back = read_jsonl_corpus(spark, out, schema=ddl)
+    assert {r.doc_id for r in back.collect()} == {1, 2, 3}
