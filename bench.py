@@ -196,6 +196,17 @@ def main() -> None:
     t0 = time.time()
     ann_index_path(spark, sf_dir)
     per_query["shared_ann_index_build"] = round(time.time() - t0, 3)
+
+    # and the PQ code table (the third persisted index artifact): the
+    # encode is session-shared; the codes entry and ADC search then
+    # show their true steady-state marginals
+    from kafka_flink_streaming_pipeline_spark.operators.similarity import (
+        _pq_codes,
+    )
+
+    t0 = time.time()
+    _pq_codes(spark, sf_dir).count()
+    per_query["shared_pq_codes_build"] = round(time.time() - t0, 3)
     for name in HEADLINE:
         if name not in plans or name in skip:
             continue
