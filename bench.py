@@ -140,6 +140,7 @@ HEADLINE = [
     "curation_decontaminate",
     "embedding_pq_codes",
     "sim_topk_cosine_pq",
+    "dedup_span_scrub",
 ]
 
 

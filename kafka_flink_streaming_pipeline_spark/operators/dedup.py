@@ -1092,7 +1092,151 @@ GROUP BY ds.doc_id
 """
 
 
+def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring REMOVAL — the operator `dedup_span_exact` only
+    profiles: every {_SPAN_W}-word span occurring in ≥ 2 distinct docs
+    is excised from all docs except the span's keeper (min doc_id —
+    the first-occurrence policy of Lee et al. ACL'22's ExactSubstr
+    dedup, at fixed window width instead of a suffix array). Output is
+    the scrubbed corpus: (doc_id, n_words, n_removed, clean_text),
+    with clean_text the surviving words in original order ('' when a
+    doc is scrubbed empty).
+
+    Plan shape at 100 TB: span occurrences explode map-side; the dup
+    set is one span-keyed aggregation (Zipf head collapses in partial
+    aggs); covered positions re-explode only DUP occurrences; the
+    anti-join and the ordered re-assembly both hash-partition on
+    doc_id. No pair join anywhere — cost is O(corpus + dup mass)."""
+    return span_scrub(_docs_parallel(spark, sf_dir))
+
+
+def span_scrub(docs: DataFrame) -> DataFrame:
+    """`dedup_span_scrub` over any (doc_id, text) frame — see that
+    docstring; split out so the synthetic-corpus property test
+    (tests/test_span_dedup_property.py) can drive it directly."""
+    d = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    n = F.size("ws")
+    words = d.select(
+        "doc_id", F.posexplode("ws").alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    idx = F.when(n >= _SPAN_W, F.sequence(F.lit(1), n - (_SPAN_W - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    occ = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.concat_ws(" ", F.slice("ws", i, _SPAN_W)).alias("span"),
+                ),
+            )
+        ).alias("o"),
+    ).select("doc_id", "o.start", "o.span")
+    dups = (
+        occ.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("ndocs"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("ndocs") >= 2)
+        .select("span", "keeper")
+    )
+    covered = (
+        occ.join(dups, "span")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (_SPAN_W - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    clean = (
+        words.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s.word,
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        d.select("doc_id", n.cast("long").alias("n_words"))
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            (F.col("n_words") - F.coalesce("n_kept", F.lit(0))).cast("long").alias(
+                "n_removed"
+            ),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )  # scrubbed corpus: one row per doc, unsorted
+
+
+DEDUP_SPAN_SCRUB_ORACLE = f"""
+WITH d AS ({_WORDS_SQL}),
+words AS (
+  SELECT doc_id,
+         unnest(range(1, len(ws) + 1)) AS pos,
+         unnest(ws) AS word
+  FROM d
+),
+occ AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(ws) >= {_SPAN_W}
+                     THEN range(1, len(ws) - {_SPAN_W - 2})
+                     ELSE CAST([] AS BIGINT[]) END) AS start,
+         unnest(CASE WHEN len(ws) >= {_SPAN_W}
+                     THEN list_transform(range(1, len(ws) - {_SPAN_W - 2}),
+                          i -> array_to_string(ws[i:i+{_SPAN_W - 1}], ' '))
+                     ELSE CAST([] AS VARCHAR[]) END) AS span
+  FROM d
+),
+dups AS (
+  SELECT span, min(doc_id) AS keeper FROM occ
+  GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+),
+covered AS (
+  SELECT DISTINCT o.doc_id, o.start + k.k AS pos
+  FROM occ o JOIN dups USING (span)
+  CROSS JOIN (SELECT unnest(range(0, {_SPAN_W})) AS k) k
+  WHERE o.doc_id <> dups.keeper
+),
+kept AS (
+  SELECT w.doc_id, w.pos, w.word
+  FROM words w LEFT JOIN covered c ON c.doc_id = w.doc_id AND c.pos = w.pos
+  WHERE c.doc_id IS NULL
+),
+clean AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(word, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.ws) AS BIGINT) AS n_words,
+       CAST(len(d.ws) - coalesce(c.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(c.clean_text, '') AS clean_text
+FROM d LEFT JOIN clean c ON c.doc_id = d.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_span_scrub": QuerySpec(
+        "dedup_span_scrub",
+        dedup_span_scrub,
+        DEDUP_SPAN_SCRUB_ORACLE,
+        "exact-substring removal: cross-doc duplicated spans excised "
+        "from all but the keeper doc (scrubbed corpus out)",
+    ),
     "dedup_span_exact": QuerySpec(
         "dedup_span_exact",
         dedup_span_exact,

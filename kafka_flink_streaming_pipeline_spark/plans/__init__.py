@@ -100,12 +100,13 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_semantic_clusters",
     "split_leakage_check",
     "dedup_keep_best_per_component",
-    "sim_topk_cosine_pandas",
-    # round-5 PQ additions displace the two newest-witnessed fillers
-    # (dedup_word_jaccard, split_leakage_check_lsh — both r4-green with
-    # byte-identical values under the sweep)
+    # round-5 additions displace the three newest-witnessed fillers
+    # (sim_topk_cosine_pandas, dedup_word_jaccard,
+    # split_leakage_check_lsh — all r4-green with byte-identical
+    # values under the sweep)
     "embedding_pq_codes",
     "sim_topk_cosine_pq",
+    "dedup_span_scrub",
 )
 
 

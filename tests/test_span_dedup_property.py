@@ -71,3 +71,45 @@ def test_exact_copy_has_fraction_one(spark):
     assert got[0] == (3, 3, 1.0)  # 10 words -> 3 spans, all duplicated
     assert got[1] == (3, 3, 1.0)
     assert got[2] == (0, 0, 0.0)  # short doc: no spans at all
+
+
+def test_span_scrub_removes_non_keeper_occurrences(spark):
+    """Hand-built corpus: doc 0 and doc 1 share an exact 8-word run,
+    doc 2 is unique. The scrub must keep doc 0 (keeper = min doc_id)
+    intact, excise exactly the shared 8 words from doc 1, and leave
+    doc 2 untouched; counts must reconcile with the clean text."""
+    from kafka_flink_streaming_pipeline_spark.operators.dedup import span_scrub
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [
+        (0, f"aa bb {shared} cc"),
+        (1, f"xx yy {shared} zz qq"),
+        (2, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in span_scrub(docs).collect()}
+
+    assert out[0].n_removed == 0 and out[0].clean_text == rows[0][1]
+    assert out[1].n_removed == 8
+    assert out[1].clean_text == "xx yy zz qq"
+    assert out[2].n_removed == 0 and out[2].clean_text == rows[2][1]
+    for r in out.values():
+        n_clean = len(r.clean_text.split(" ")) if r.clean_text else 0
+        assert n_clean == r.n_words - r.n_removed
+
+
+def test_span_scrub_overlapping_spans_union_of_positions(spark):
+    """A 10-word run shared between two docs produces three
+    overlapping duplicated 8-spans in the non-keeper; the scrub must
+    remove the UNION of covered positions (all 10 words), not 3x8."""
+    from kafka_flink_streaming_pipeline_spark.operators.dedup import span_scrub
+
+    run = " ".join(f"s{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(0, f"head {run}"), (1, f"{run} tail")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in span_scrub(docs).collect()}
+    assert out[0].n_removed == 0
+    assert out[1].n_removed == 10
+    assert out[1].clean_text == "tail"
