@@ -1,0 +1,90 @@
+"""Compare two bench result files (BENCH_DETAIL.json / BENCH_r{N}.json
+shape: {"value": total, "loadavg_1m": ..., "queries": {name: sec}})
+and print the per-query delta story the round verdicts reconstruct by
+hand: added/removed entries, one-time `shared_*_build` accounting, and
+regressions beyond a noise ratio — with both runs' loadavg so ambient
+contention is separable from real change.
+
+Usage:
+    python tools/bench_diff.py OLD.json NEW.json [--ratio 1.3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("old")
+    p.add_argument("new")
+    p.add_argument("--ratio", type=float, default=1.3)
+    p.add_argument("--min-abs", type=float, default=0.2,
+                   help="ignore regressions below this absolute seconds delta")
+    args = p.parse_args()
+
+    def load(path: str) -> dict:
+        d = json.load(open(path))
+        # driver BENCH_r{N}.json wraps the bench line under "parsed";
+        # its short summary has only the slowest-3 queries, so prefer
+        # a sibling full-detail map when the caller passes one directly
+        if "parsed" in d and isinstance(d.get("parsed"), dict):
+            d = d["parsed"]
+        return d
+
+    a, b = load(args.old), load(args.new)
+    qa, qb = a.get("queries") or {}, b.get("queries") or {}
+
+    print(
+        f"total: {a.get('value')} s / {len(qa)} -> {b.get('value')} s / {len(qb)}"
+        f"   loadavg_1m: {a.get('loadavg_1m')} -> {b.get('loadavg_1m')}"
+    )
+    added = sorted(set(qb) - set(qa))
+    removed = sorted(set(qa) - set(qb))
+    if added:
+        tot = sum(qb[k] for k in added)
+        print(f"added ({len(added)}, {tot:.2f} s): "
+              + ", ".join(f"{k}={qb[k]}" for k in added))
+    if removed:
+        tot = sum(qa[k] for k in removed)
+        print(f"removed ({len(removed)}, {tot:.2f} s): "
+              + ", ".join(f"{k}={qa[k]}" for k in removed))
+
+    builds = [k for k in qb if k.startswith("shared_") and k.endswith("_build")]
+    if builds:
+        print("one-time builds (explicit entries): "
+              + ", ".join(f"{k}={qb[k]}" for k in sorted(builds))
+              + f"  (sum {sum(qb[k] for k in builds):.2f} s)")
+
+    common = sorted(set(qa) & set(qb))
+    reg = [
+        (k, qa[k], qb[k])
+        for k in common
+        if qa[k] > 0
+        and qb[k] / qa[k] > args.ratio
+        and qb[k] - qa[k] >= args.min_abs
+    ]
+    imp = [
+        (k, qa[k], qb[k])
+        for k in common
+        if qb[k] > 0
+        and qa[k] / qb[k] > args.ratio
+        and qa[k] - qb[k] >= args.min_abs
+    ]
+    for title, rows in (("regressed", reg), ("improved", imp)):
+        if rows:
+            print(f"{title} (> {args.ratio}x and >= {args.min_abs}s):")
+            for k, x, y in sorted(rows, key=lambda r: r[2] - r[1], reverse=True):
+                print(f"  {k}: {x} -> {y} s ({y / x:.2f}x)")
+    if not reg:
+        print("no per-query regressions beyond the noise ratio")
+    carried_a = sum(qa[k] for k in common)
+    carried_b = sum(qb[k] for k in common)
+    print(f"carried battery ({len(common)} common entries): "
+          f"{carried_a:.2f} -> {carried_b:.2f} s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
