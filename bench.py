@@ -17,6 +17,13 @@ the second, fully re-built and re-materialized execution is what we
 report. That is the number a long-lived cluster sees per query, while
 the clearCache keeps persisted intermediates (e.g. minhash signature
 tables) honestly inside the measured run.
+
+Materialization (round-5 fix): every column of the result is forced
+through a JVM-side xxhash64 sum, because a bare `.count()` lets
+Catalyst column-prune the very work being measured (a LEFT-join-shaped
+output counts its rows without running its joins or projections).
+Totals from before round 5 therefore UNDERSTATE per-doc projection
+entries; the r5 PERF.md close-out records the re-based battery.
 """
 
 from __future__ import annotations
@@ -208,14 +215,42 @@ def main() -> None:
     t0 = time.time()
     _pq_codes(spark, sf_dir).count()
     per_query["shared_pq_codes_build"] = round(time.time() - t0, 3)
+    # Materialization (round-5 methodology fix): `.count()` is NOT a
+    # valid benchmark action for projection- or LEFT-join-shaped
+    # outputs — Catalyst prunes every column the count doesn't need,
+    # so a per-doc scoring query "ran" without ever evaluating its
+    # scores (dedup_span_scrub's whole scrub pipeline was pruned to a
+    # row count of the input). BIT_XOR of a JVM-side hash OF EVERY
+    # COLUMN forces the complete result to be computed while still
+    # returning one row to the driver (XOR, not SUM: summing random
+    # 64-bit hashes overflows LONG under ANSI mode); entries whose
+    # types the hash expression rejects (VARIANT) fall back to
+    # count() at plan-analysis time, before any execution.
+    from pyspark.sql import functions as _F
+
+    def _materialize(df) -> int:
+        try:
+            probe = df.select(
+                _F.count("*").alias("n"),
+                _F.expr(
+                    "bit_xor(xxhash64("
+                    + ", ".join(f"`{c}`" for c in df.columns)
+                    + "))"
+                ).alias("h"),
+            )
+            probe.schema  # analyze now: unsupported types fail HERE, pre-execution
+            return probe.collect()[0]["n"]
+        except Exception:
+            return df.count()
+
     for name in HEADLINE:
         if name not in plans or name in skip:
             continue
-        warm = plans[name].build(spark, sf_dir).count()
+        warm = _materialize(plans[name].build(spark, sf_dir))
         spark.catalog.clearCache()
         t0 = time.time()
         df = plans[name].build(spark, sf_dir)
-        n = df.count()
+        n = _materialize(df)
         per_query[name] = round(time.time() - t0, 3)
         assert n == warm
     total = round(sum(per_query.values()), 3)
