@@ -148,6 +148,9 @@ HEADLINE = [
     "embedding_pq_codes",
     "sim_topk_cosine_pq",
     "dedup_span_scrub",
+    "dedup_lsh_calibration",
+    "profile_source_mix",
+    "curation_filter_audit",
 ]
 
 

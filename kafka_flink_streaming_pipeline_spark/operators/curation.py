@@ -206,7 +206,108 @@ ORDER BY split
 """
 
 
+def curation_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel accounting for the curation gates — for every doc, WHICH
+    gates would drop it (exact-dup loser, near-dup loser, low quality),
+    rolled up by the reason combination with docs and token mass lost.
+    This is the debugging/reporting surface every production curation
+    run keeps next to its output ("where did my tokens go?"): overlap
+    between gates is visible (an exact dup is usually also its LSH
+    component's loser — the combination row shows it) and 'kept' is the
+    survivor row. Composes the session-shared labelings, so after any
+    dedup-family query this is two doc_id joins + a ~8-row aggregate.
+    Reasons are a fixed-order comma string (never a set type) so both
+    engines hash identical values."""
+    from kafka_flink_streaming_pipeline_spark.operators.datasets import (
+        dedup_keep_best_lsh,
+    )
+
+    q = quality_scores(spark, sf_dir).select("doc_id", "n_tokens", "quality_score")
+    ek = (
+        dedup_exact(spark, sf_dir)
+        .select(F.col("keeper_doc_id").alias("doc_id"))
+        .withColumn("ex_keep", F.lit(True))
+    )
+    lk = (
+        dedup_keep_best_lsh(spark, sf_dir)
+        .select(F.col("keeper_doc_id").alias("doc_id"))
+        .withColumn("lsh_keep", F.lit(True))
+    )
+    flagged = (
+        q.join(ek, "doc_id", "left")
+        .join(lk, "doc_id", "left")
+        .select(
+            "n_tokens",
+            F.concat_ws(
+                ",",
+                F.when(F.col("ex_keep").isNull(), F.lit("exact_dup")),
+                F.when(F.col("lsh_keep").isNull(), F.lit("near_dup")),
+                F.when(F.col("quality_score") < _QUALITY_T, F.lit("low_quality")),
+            ).alias("rs"),
+        )
+    )
+    return (
+        flagged.groupBy("rs")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            F.when(F.col("rs") == "", F.lit("kept"))
+            .otherwise(F.col("rs"))
+            .alias("reasons"),
+            "n_docs",
+            "n_tokens",
+        )
+        .orderBy("reasons")
+    )
+
+
+def _filter_audit_oracle() -> str:
+    from kafka_flink_streaming_pipeline_spark.operators.datasets import (
+        _LSH_CLOSURE_SQL,
+    )
+    from kafka_flink_streaming_pipeline_spark.operators.text import QUALITY_ORACLE
+
+    return f"""
+WITH RECURSIVE
+{_LSH_CLOSURE_SQL},
+comp AS (SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node),
+q AS ({QUALITY_ORACLE}),
+ranked AS (
+  SELECT c.component_id, c.doc_id, q.quality_score, q.n_tokens,
+         row_number() OVER (PARTITION BY c.component_id
+                            ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn
+  FROM comp c JOIN q USING (doc_id)
+),
+ek AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+),
+flags AS (
+  SELECT r.doc_id, r.n_tokens,
+         concat_ws(',',
+           CASE WHEN e.doc_id IS NULL THEN 'exact_dup' END,
+           CASE WHEN r.rn <> 1 THEN 'near_dup' END,
+           CASE WHEN r.quality_score < {_QUALITY_T} THEN 'low_quality' END) AS rs
+  FROM ranked r LEFT JOIN ek e ON e.doc_id = r.doc_id
+)
+SELECT CASE WHEN rs = '' THEN 'kept' ELSE rs END AS reasons,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM flags
+GROUP BY rs
+ORDER BY reasons
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "curation_filter_audit": QuerySpec(
+        "curation_filter_audit",
+        curation_filter_audit,
+        _filter_audit_oracle(),
+        "per-gate drop accounting: docs/tokens lost by reason combination",
+    ),
     "curation_token_budget": QuerySpec(
         "curation_token_budget",
         curation_token_budget,

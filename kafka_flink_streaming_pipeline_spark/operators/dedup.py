@@ -1229,7 +1229,100 @@ FROM d LEFT JOIN clean c ON c.doc_id = d.doc_id
 """
 
 
+# --- LSH-vs-exact calibration report ---------------------------------------
+
+
+def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured calibration of the banded-LSH estimator against its
+    exact anchor — the report that justifies running the LSH family at
+    100 TB where the exact graph cannot go: per TRUE-jaccard decile
+    bucket, how many exact near-dup pairs exist, how many the LSH
+    candidate stage recovered (recall, integer ppm), and the mean
+    |estimated − true| jaccard error over recovered pairs (ppm).
+
+    Both inputs are the session-shared pair graphs
+    (`exact_ngram_pairs`, `dedup_minhash_lsh`), so after any dedup
+    query this whole report is one (d1,d2) join + a 6-row aggregate;
+    the join is pair-table-sized — result-bound like the family
+    itself. All derived columns are integer ppm via the floor(x·10⁶
+    + 0.5) device (IEEE-primitive-only, identical in both engines);
+    the bucket comes from integer division of the ppm value, never
+    from floating-point floor(jaccard*10). False-positive candidates
+    (LSH pairs below the exact threshold) are out of scope — recall
+    and error against TRUTH is the contract; the est-side threshold
+    behavior is already pinned by `dedup_minhash_lsh`'s own oracle."""
+    true_pairs = exact_ngram_pairs(spark, sf_dir)
+    est = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2", "est_jaccard")
+    tppm = F.floor(F.col("jaccard") * 1000000.0 + F.lit(0.5)).cast("bigint")
+    eppm = F.floor(F.col("est_jaccard") * 1000000.0 + F.lit(0.5)).cast("bigint")
+    joined = true_pairs.join(est, ["d1", "d2"], "left").select(
+        F.least(
+            F.expr(
+                "CAST(floor(jaccard * 1000000.0 + 0.5) AS BIGINT) DIV 100000"
+            ),
+            F.lit(9).cast("bigint"),
+        ).alias("bucket"),
+        F.col("est_jaccard").isNotNull().alias("found"),
+        F.when(F.col("est_jaccard").isNotNull(), F.abs(eppm - tppm)).alias("err_ppm"),
+    )
+    return (
+        joined.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_true"),
+            F.sum(F.when(F.col("found"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_found"),
+            F.sum("err_ppm").alias("err_sum"),
+        )
+        .select(
+            "bucket",
+            "n_true",
+            "n_found",
+            F.expr("CAST(n_found * 1000000 DIV n_true AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+            F.expr(
+                "CAST(CASE WHEN n_found > 0 THEN err_sum DIV n_found END AS BIGINT)"
+            ).alias("mean_abs_err_ppm"),
+        )
+        .orderBy("bucket")
+    )
+
+
+DEDUP_LSH_CALIBRATION_ORACLE = f"""
+WITH {LSH_EST_SQL},
+truep AS (SELECT * FROM ({_jaccard_oracle(_DOC_SHINGLES_SQL, "shingle", _NGRAM_JACCARD_T)})),
+b AS (
+  SELECT least(CAST(floor(t.jaccard * 1000000.0 + 0.5) AS BIGINT) // 100000, 9)
+           AS bucket,
+         e.est_jaccard IS NOT NULL AS found,
+         CASE WHEN e.est_jaccard IS NOT NULL
+              THEN abs(CAST(floor(e.est_jaccard * 1000000.0 + 0.5) AS BIGINT)
+                       - CAST(floor(t.jaccard * 1000000.0 + 0.5) AS BIGINT))
+         END AS err_ppm
+  FROM truep t LEFT JOIN est e USING (d1, d2)
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN found THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+       CAST(sum(CASE WHEN found THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN sum(CASE WHEN found THEN 1 ELSE 0 END) > 0
+                 THEN sum(err_ppm) // sum(CASE WHEN found THEN 1 ELSE 0 END)
+            END AS BIGINT) AS mean_abs_err_ppm
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_lsh_calibration": QuerySpec(
+        "dedup_lsh_calibration",
+        dedup_lsh_calibration,
+        DEDUP_LSH_CALIBRATION_ORACLE,
+        "LSH recall + estimate error vs the exact jaccard anchor, per decile",
+    ),
     "dedup_span_scrub": QuerySpec(
         "dedup_span_scrub",
         dedup_span_scrub,

@@ -800,7 +800,115 @@ FROM hist
 """
 
 
+# --- corpus composition by source ------------------------------------------
+
+
+def _source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-`source` corpus composition — the first report a corpus
+    owner asks for before weighting sources in a training mix: docs,
+    token mass, exact-duplicate rate, mean quality, and the dominant
+    language with its share. One scan feeds two aggregations (the
+    per-source rollup and the (source, lang) counts for the mode);
+    the final join is on `source` — dimension-sized, broadcast. The
+    duplicate rate reuses `dedup_exact`'s content fingerprint so the
+    number can never drift from the dedup family's definition. All
+    rates are integer ppm (floor-division in both engines); the lang
+    mode tiebreak is (count DESC, lang ASC) with NULL langs coalesced
+    to '' — Spark and DuckDB default NULL ordering differs, so NULLs
+    never reach the ORDER BY."""
+    from kafka_flink_streaming_pipeline_spark.operators.text import quality_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]", "")
+    base = d.select(
+        "doc_id",
+        "source",
+        F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+        F.md5(normalized.cast("binary")).alias("fingerprint"),
+    )
+    q = quality_scores(spark, sf_dir).select("doc_id", "n_tokens", "quality_score")
+    qppm = F.floor(F.col("quality_score") * 1000000.0 + F.lit(0.5)).cast("bigint")
+    per_doc = base.join(q, "doc_id")
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.countDistinct("fingerprint").alias("n_unique"),
+        F.sum(qppm).alias("q_sum"),
+    )
+    lang_counts = per_doc.groupBy("source", "lang").agg(F.count("*").alias("n_lang"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_lang").desc(), F.col("lang").asc()
+    )
+    top = (
+        lang_counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), "n_lang")
+    )
+    return (
+        agg.join(F.broadcast(top), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("CAST((n_docs - n_unique) * 1000000 DIV n_docs AS BIGINT)").alias(
+                "dup_ppm"
+            ),
+            F.expr("CAST(q_sum DIV n_docs AS BIGINT)").alias("mean_quality_ppm"),
+            "top_lang",
+            F.expr("CAST(n_lang * 1000000 DIV n_docs AS BIGINT)").alias(
+                "top_lang_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _source_mix_oracle() -> str:
+    from kafka_flink_streaming_pipeline_spark.operators.text import QUALITY_ORACLE
+
+    return f"""
+WITH q AS ({QUALITY_ORACLE}),
+base AS (
+  SELECT doc_id, source, coalesce(lang, '') AS lang,
+         md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+  FROM documents
+),
+per_doc AS (
+  SELECT b.*, q.n_tokens,
+         CAST(floor(q.quality_score * 1000000.0 + 0.5) AS BIGINT) AS qppm
+  FROM base b JOIN q USING (doc_id)
+),
+agg AS (
+  SELECT source, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+         count(DISTINCT fingerprint) AS n_unique, sum(qppm) AS q_sum
+  FROM per_doc GROUP BY source
+),
+lc AS (SELECT source, lang, count(*) AS n_lang FROM per_doc GROUP BY source, lang),
+top AS (
+  SELECT source, lang AS top_lang, n_lang,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_lang DESC, lang ASC) AS rn
+  FROM lc
+)
+SELECT a.source,
+       CAST(a.n_docs AS BIGINT) AS n_docs,
+       CAST(a.n_tokens AS BIGINT) AS n_tokens,
+       CAST((a.n_docs - a.n_unique) * 1000000 // a.n_docs AS BIGINT) AS dup_ppm,
+       CAST(a.q_sum // a.n_docs AS BIGINT) AS mean_quality_ppm,
+       t.top_lang,
+       CAST(t.n_lang * 1000000 // a.n_docs AS BIGINT) AS top_lang_ppm
+FROM agg a JOIN top t ON t.source = a.source AND t.rn = 1
+ORDER BY a.source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "profile_source_mix": QuerySpec(
+        "profile_source_mix",
+        _source_mix,
+        _source_mix_oracle(),
+        "per-source corpus composition: docs/tokens/dup-rate/quality/top-lang",
+    ),
     "profile_watermark_lateness": QuerySpec(
         "profile_watermark_lateness",
         _watermark_lateness,

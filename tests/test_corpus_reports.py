@@ -1,0 +1,75 @@
+"""Semantic invariants for the round-5 corpus-report operators
+(`dedup_lsh_calibration`, `profile_source_mix`, `curation_filter_audit`)
+beyond the oracle-parity gate (tests/test_oracle_parity.py covers the
+value-exactness of all three automatically): conservation laws the
+reports must satisfy against their own input corpus.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_CORRECT
+
+
+def test_lsh_calibration_bounds(spark):
+    from kafka_flink_streaming_pipeline_spark.operators.dedup import (
+        dedup_lsh_calibration,
+        exact_ngram_pairs,
+    )
+
+    rows = dedup_lsh_calibration(spark, SF_CORRECT).collect()
+    assert rows, "calibration report is empty"
+    n_true_total = sum(r.n_true for r in rows)
+    assert n_true_total == exact_ngram_pairs(spark, SF_CORRECT).count()
+    for r in rows:
+        assert 5 <= r.bucket <= 9  # exact threshold 0.5 floors the bucket
+        assert 0 <= r.n_found <= r.n_true
+        assert 0 <= r.recall_ppm <= 1_000_000
+        if r.n_found == 0:
+            assert r.mean_abs_err_ppm is None
+        else:
+            # 12 permutations resolve jaccard to 1/12 steps: the mean
+            # error can never exceed one full unit (1e6 ppm)
+            assert 0 <= r.mean_abs_err_ppm <= 1_000_000
+
+
+def test_source_mix_conserves_corpus(spark):
+    from kafka_flink_streaming_pipeline_spark.plans.profiling import _source_mix
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    rows = _source_mix(spark, SF_CORRECT).collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert len(rows) == docs.select("source").distinct().count()
+    for r in rows:
+        assert 0 <= r.dup_ppm < 1_000_000
+        assert 0 <= r.mean_quality_ppm <= 1_000_000
+        assert 0 < r.top_lang_ppm <= 1_000_000
+        assert r.top_lang is not None
+
+
+def test_filter_audit_conserves_corpus_and_matches_v2(spark):
+    from kafka_flink_streaming_pipeline_spark.operators.curation import (
+        curation_filter_audit,
+        curation_pipeline_v2,
+    )
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+    rows = curation_filter_audit(spark, SF_CORRECT).collect()
+    n_docs_total = sum(r.n_docs for r in rows)
+    assert n_docs_total == load_table(spark, SF_CORRECT, "documents").count()
+    by_reason = {r.reasons: r.n_docs for r in rows}
+    allowed = {"exact_dup", "near_dup", "low_quality"}
+    for reasons in by_reason:
+        if reasons != "kept":
+            parts = reasons.split(",")
+            assert set(parts) <= allowed
+            assert parts == sorted(parts, key=["exact_dup", "near_dup", "low_quality"].index)
+    # the audit's survivor count must equal the v2 pipeline's output:
+    # v2 keeps LSH-component keepers passing the quality gate, i.e.
+    # audit rows without near_dup and without low_quality
+    survivors = sum(
+        n
+        for reasons, n in by_reason.items()
+        if "near_dup" not in reasons and "low_quality" not in reasons
+    )
+    assert survivors == curation_pipeline_v2(spark, SF_CORRECT).count()
