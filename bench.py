@@ -151,6 +151,7 @@ HEADLINE = [
     "dedup_lsh_calibration",
     "profile_source_mix",
     "curation_filter_audit",
+    "curation_adaptive_quality_gate",
 ]
 
 

@@ -301,7 +301,100 @@ ORDER BY reasons
 """
 
 
+def curation_adaptive_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ADAPTIVE quality gate: each source's threshold is its
+    own 25th-percentile quality, so a uniformly clean source keeps ~75%
+    while a noisy one is pruned at ITS distribution — the standard
+    per-domain filtering refinement over one global cutoff (a global
+    threshold over-prunes clean sources and under-prunes noisy ones).
+    Output per source: the derived threshold (integer ppm), docs,
+    survivors, survivor share, and surviving token mass.
+
+    Plan: one scan → per-source exact percentile (percentile_disc over
+    the integer ppm — sort-within-group, one shuffle on `source`) →
+    the 20-row threshold table broadcasts back → one more per-source
+    aggregate on the same partitioning. At unbounded per-source
+    cardinality swap percentile_disc for approx_percentile (same plan
+    shape — the documented deviation profiling already notes). The
+    threshold is computed on integer ppm so the percentile is an
+    element of the data, never an interpolation — cross-engine
+    equivalence of percentile_disc/quantile_disc at q=0.25 is pinned
+    for all group-size residues in tests/test_corpus_reports.py."""
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    q = quality_scores(spark, sf_dir).select("doc_id", "n_tokens", "quality_score")
+    qppm = F.floor(F.col("quality_score") * 1000000.0 + F.lit(0.5)).cast("bigint")
+    per_doc = d.join(q, "doc_id").select(
+        "source", "n_tokens", qppm.alias("qppm")
+    )
+    th = per_doc.groupBy("source").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY qppm)")
+        .cast("bigint")
+        .alias("threshold_ppm")
+    )
+    return (
+        per_doc.join(F.broadcast(th), "source")
+        .groupBy("source", "threshold_ppm")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("qppm") >= F.col("threshold_ppm"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pass"),
+            F.sum(
+                F.when(F.col("qppm") >= F.col("threshold_ppm"), F.col("n_tokens"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+        .select(
+            "source",
+            "threshold_ppm",
+            "n_docs",
+            "n_pass",
+            F.expr("CAST(n_pass * 1000000 DIV n_docs AS BIGINT)").alias("pass_ppm"),
+            "tokens_kept",
+        )
+        .orderBy("source")
+    )
+
+
+def _adaptive_gate_oracle() -> str:
+    from kafka_flink_streaming_pipeline_spark.operators.text import QUALITY_ORACLE
+
+    return f"""
+WITH q AS ({QUALITY_ORACLE}),
+per_doc AS (
+  SELECT d.source, q.n_tokens,
+         CAST(floor(q.quality_score * 1000000.0 + 0.5) AS BIGINT) AS qppm
+  FROM documents d JOIN q USING (doc_id)
+),
+th AS (
+  SELECT source, CAST(quantile_disc(qppm, 0.25) AS BIGINT) AS threshold_ppm
+  FROM per_doc GROUP BY source
+)
+SELECT p.source, t.threshold_ppm,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN p.qppm >= t.threshold_ppm THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass,
+       CAST(sum(CASE WHEN p.qppm >= t.threshold_ppm THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS pass_ppm,
+       CAST(sum(CASE WHEN p.qppm >= t.threshold_ppm THEN p.n_tokens ELSE 0 END)
+            AS BIGINT) AS tokens_kept
+FROM per_doc p JOIN th t USING (source)
+GROUP BY p.source, t.threshold_ppm
+ORDER BY p.source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "curation_adaptive_quality_gate": QuerySpec(
+        "curation_adaptive_quality_gate",
+        curation_adaptive_quality_gate,
+        _adaptive_gate_oracle(),
+        "per-source P25 quality threshold: survivors + token mass per source",
+    ),
     "curation_filter_audit": QuerySpec(
         "curation_filter_audit",
         curation_filter_audit,

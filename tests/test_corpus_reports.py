@@ -47,6 +47,43 @@ def test_source_mix_conserves_corpus(spark):
         assert r.top_lang is not None
 
 
+def test_percentile_disc_cross_engine_pin(spark, duck):
+    """Pin the Spark percentile_disc ≡ DuckDB quantile_disc equivalence
+    the adaptive gate relies on, across every group-size residue mod 4
+    (where the two discrete-quantile definitions could diverge)."""
+    for n in range(1, 26):
+        vals = list(range(1, n + 1))
+        s = (
+            spark.createDataFrame([(v,) for v in vals], "v int")
+            .selectExpr(
+                "CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY v) AS BIGINT) p"
+            )
+            .collect()[0]
+            .p
+        )
+        d = duck.execute(
+            f"SELECT CAST(quantile_disc(v, 0.25) AS BIGINT) FROM (SELECT unnest({vals}) v)"
+        ).fetchone()[0]
+        assert s == d, f"n={n}: spark {s} != duckdb {d}"
+
+
+def test_adaptive_gate_invariants(spark):
+    from kafka_flink_streaming_pipeline_spark.operators.curation import (
+        curation_adaptive_quality_gate,
+    )
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+    rows = curation_adaptive_quality_gate(spark, SF_CORRECT).collect()
+    docs = load_table(spark, SF_CORRECT, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert 0 <= r.threshold_ppm <= 1_000_000
+        # P25 cutoff keeps at least 75% of the source (ties can only add)
+        assert r.n_pass * 4 >= r.n_docs * 3
+        assert r.n_pass <= r.n_docs
+        assert r.pass_ppm == r.n_pass * 1_000_000 // r.n_docs
+
+
 def test_filter_audit_conserves_corpus_and_matches_v2(spark):
     from kafka_flink_streaming_pipeline_spark.operators.curation import (
         curation_filter_audit,
