@@ -104,6 +104,35 @@ def main() -> None:
     chunks = corpus_chunk_windows(spark, args.sf_dir)
     chunks.write.mode("overwrite").parquet(str(out / "chunks.parquet"))
     print(f"chunk inventory: {chunks.count()} overlapping windows written")
+
+    # run reports (the late round-5 operators): where the tokens went,
+    # what the source mix looks like, and whether the LSH edges the
+    # whole run rested on are trustworthy — written next to the output
+    # the way a production run keeps its audit trail
+    from kafka_flink_streaming_pipeline_spark.operators.curation import (
+        curation_filter_audit,
+    )
+    from kafka_flink_streaming_pipeline_spark.operators.dedup import (
+        dedup_lsh_calibration,
+    )
+    from kafka_flink_streaming_pipeline_spark.plans.profiling import _source_mix
+
+    audit = curation_filter_audit(spark, args.sf_dir)
+    audit.write.mode("overwrite").parquet(str(out / "filter_audit.parquet"))
+    for r in audit.collect():
+        print(f"  audit {r.reasons:<32} docs={r.n_docs:<7} tokens={r.n_tokens}")
+
+    mix = _source_mix(spark, args.sf_dir)
+    mix.write.mode("overwrite").parquet(str(out / "source_mix.parquet"))
+    print(f"source mix: {mix.count()} sources profiled")
+
+    calib = dedup_lsh_calibration(spark, args.sf_dir)
+    calib.write.mode("overwrite").parquet(str(out / "lsh_calibration.parquet"))
+    for r in calib.collect():
+        print(
+            f"  lsh bucket {r.bucket}: recall_ppm={r.recall_ppm} "
+            f"mean_abs_err_ppm={r.mean_abs_err_ppm}"
+        )
     print("done")
 
 
