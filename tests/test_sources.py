@@ -238,3 +238,30 @@ def test_jsonl_corpus_roundtrip_and_corrupt_quarantine(spark, tmp_path):
     assert glob.glob(out + "/*.json.gz"), "writer must gzip by default"
     back = read_jsonl_corpus(spark, out, schema=ddl)
     assert {r.doc_id for r in back.collect()} == {1, 2, 3}
+
+
+def test_orc_source_roundtrip(spark, tmp_path):
+    """ORC interchange (Spark-native, no extra package): write the
+    normalized events table to ORC and read it back with full type and
+    value fidelity — schemas equal, and a whole-table xxhash64 XOR over
+    every column matches bit-for-bit (the same materialization device
+    bench.py uses). ORC matters at 100 TB as the other columnar
+    interchange format a Spark engine is expected to read alongside
+    parquet/CSV/JSONL."""
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+    src = load_table(spark, SF_SMOKE, "events")
+    p = str(tmp_path / "events_orc")
+    src.write.orc(p)
+    back = spark.read.orc(p)
+
+    def sig(df):
+        cols = ", ".join(f"`{c}`" for c in df.columns)
+        return df.select(
+            F.count("*").alias("n"),
+            F.expr(f"bit_xor(xxhash64({cols}))").alias("h"),
+        ).first()
+
+    assert dict(back.dtypes) == dict(src.dtypes)
+    a, b = sig(src), sig(back.select(*src.columns))
+    assert (a.n, a.h) == (b.n, b.h)
