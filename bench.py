@@ -152,6 +152,7 @@ HEADLINE = [
     "profile_source_mix",
     "curation_filter_audit",
     "curation_adaptive_quality_gate",
+    "profile_category_drift",
 ]
 
 

@@ -95,13 +95,12 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_components_lsh",
     "sample_docs_weighted_stratified",
     "zscore_order_totals",
-    "dedup_span_exact",
-    # round-5 additions displace the seven newest-witnessed fillers
+    # round-5 additions displace the eight newest-witnessed fillers
     # (sim_topk_cosine_pandas, dedup_word_jaccard,
     # split_leakage_check_lsh, dedup_semantic_clusters,
     # split_leakage_check, dedup_keep_best_per_component,
-    # dedup_containment — all r4-green with byte-identical values
-    # under the sweep)
+    # dedup_containment, dedup_span_exact — all r4-green with
+    # byte-identical values under the sweep)
     "embedding_pq_codes",
     "sim_topk_cosine_pq",
     "dedup_span_scrub",
@@ -109,6 +108,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "profile_source_mix",
     "curation_filter_audit",
     "curation_adaptive_quality_gate",
+    "profile_category_drift",
 )
 
 

@@ -902,7 +902,125 @@ ORDER BY a.source
 """
 
 
+# --- day-over-day distribution drift ----------------------------------------
+
+
+def _category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: for every day, the L1 distance (in
+    integer ppm) between the day's event_type share vector and the
+    previous day's, plus the single type that moved most. This is the
+    ingest-health check a 100 TB pipeline alarms on — schema-valid data
+    whose CATEGORY MIX silently shifts (a client rollout, a bot wave)
+    passes every row-level expectation in `dq_expectations` and shows
+    up only here.
+
+    Plan: one scan → (day, type) counts (map-side partial agg) → the
+    per-day share table; the day spine is dimension-sized, so the
+    lag() that pairs consecutive days is a single tiny window, and the
+    share self-join on (day-pair, type) is bounded by |days|×|types|
+    rows. All shares are integer ppm (floor division) and the L1 sum
+    is exact integer arithmetic — hash-stable by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    per = (
+        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+        .groupBy("day", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = per.groupBy("day").agg(F.sum("n").alias("day_total"))
+    shares = per.join(tot, "day").select(
+        "day",
+        "event_type",
+        F.expr("CAST(n * 1000000 DIV day_total AS BIGINT)").alias("ppm"),
+    )
+    wd = Window.orderBy("day")
+    pairs = (
+        shares.select("day")
+        .distinct()
+        .select("day", F.lag("day").over(wd).alias("prev_day"))
+        .filter(F.col("prev_day").isNotNull())
+    )
+    cur = pairs.join(
+        shares.select("day", "event_type", F.col("ppm").alias("ppm_t")), "day"
+    )
+    prv = pairs.join(
+        shares.select(
+            F.col("day").alias("prev_day"), "event_type", F.col("ppm").alias("ppm_p")
+        ),
+        "prev_day",
+    )
+    delta = F.coalesce("ppm_t", F.lit(0)) - F.coalesce("ppm_p", F.lit(0))
+    merged = cur.join(prv, ["day", "prev_day", "event_type"], "full_outer").select(
+        "day", "event_type", delta.alias("delta_ppm")
+    )
+    l1 = merged.groupBy("day").agg(
+        F.count("*").alias("n_types"),
+        F.sum(F.abs("delta_ppm")).alias("l1_ppm"),
+    )
+    wt = Window.partitionBy("day").orderBy(
+        F.abs("delta_ppm").desc(), F.col("event_type").asc()
+    )
+    top = (
+        merged.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") == 1)
+        .select("day", F.col("event_type").alias("top_type"),
+                F.col("delta_ppm").alias("top_delta_ppm"))
+    )
+    return l1.join(top, "day").orderBy("day")
+
+
+_CATEGORY_DRIFT_ORACLE = """
+WITH per AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n
+  FROM events GROUP BY day, event_type
+),
+tot AS (SELECT day, sum(n) AS day_total FROM per GROUP BY day),
+shares AS (
+  SELECT per.day, per.event_type,
+         CAST(per.n * 1000000 // tot.day_total AS BIGINT) AS ppm
+  FROM per JOIN tot ON tot.day = per.day
+),
+pairs AS (
+  SELECT day, lag(day) OVER (ORDER BY day) AS prev_day
+  FROM (SELECT DISTINCT day FROM shares)
+  QUALIFY prev_day IS NOT NULL
+),
+cur AS (
+  SELECT p.day, p.prev_day, s.event_type, s.ppm AS ppm_t
+  FROM pairs p JOIN shares s ON s.day = p.day
+),
+prv AS (
+  SELECT p.day, p.prev_day, s.event_type, s.ppm AS ppm_p
+  FROM pairs p JOIN shares s ON s.day = p.prev_day
+),
+merged AS (
+  SELECT day, event_type,
+         coalesce(ppm_t, 0) - coalesce(ppm_p, 0) AS delta_ppm
+  FROM cur FULL JOIN prv USING (day, prev_day, event_type)
+),
+l1 AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(abs(delta_ppm)) AS BIGINT) AS l1_ppm
+  FROM merged GROUP BY day
+),
+top AS (
+  SELECT day, event_type AS top_type, delta_ppm AS top_delta_ppm,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY abs(delta_ppm) DESC, event_type ASC) AS rn
+  FROM merged
+)
+SELECT l1.day, l1.n_types, l1.l1_ppm, top.top_type, top.top_delta_ppm
+FROM l1 JOIN top ON top.day = l1.day AND top.rn = 1
+ORDER BY l1.day
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "profile_category_drift": QuerySpec(
+        "profile_category_drift",
+        _category_drift,
+        _CATEGORY_DRIFT_ORACLE,
+        "day-over-day L1 drift of the event_type mix + top mover (integer ppm)",
+    ),
     "profile_source_mix": QuerySpec(
         "profile_source_mix",
         _source_mix,

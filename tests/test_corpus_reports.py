@@ -84,6 +84,24 @@ def test_adaptive_gate_invariants(spark):
         assert r.pass_ppm == r.n_pass * 1_000_000 // r.n_docs
 
 
+def test_category_drift_invariants(spark):
+    from kafka_flink_streaming_pipeline_spark.plans.profiling import _category_drift
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+    rows = _category_drift(spark, SF_CORRECT).collect()
+    ev = load_table(spark, SF_CORRECT, "events")
+    n_days = ev.selectExpr("count(DISTINCT date_format(ts, 'yyyy-MM-dd'))").first()[0]
+    assert len(rows) == n_days - 1  # first day has no predecessor
+    days = [r.day for r in rows]
+    assert days == sorted(days)
+    for r in rows:
+        # L1 over two ppm share vectors is bounded by 2e6 and is at
+        # least |top mover|; share vectors each sum to ~1e6
+        assert 0 <= r.l1_ppm <= 2_000_000
+        assert abs(r.top_delta_ppm) <= r.l1_ppm
+        assert r.n_types >= 1 and r.top_type
+
+
 def test_filter_audit_conserves_corpus_and_matches_v2(spark):
     from kafka_flink_streaming_pipeline_spark.operators.curation import (
         curation_filter_audit,
