@@ -153,6 +153,7 @@ HEADLINE = [
     "curation_filter_audit",
     "curation_adaptive_quality_gate",
     "profile_category_drift",
+    "hybrid_retrieval_rrf",
 ]
 
 

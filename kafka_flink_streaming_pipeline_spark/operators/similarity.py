@@ -33,7 +33,7 @@ import math
 import pandas as pd  # module-global so stringified pandas_udf type
                      # hints ('pd.Series') resolve under PEP 563
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_flink_streaming_pipeline_spark.functions.core import det_round
@@ -1300,6 +1300,116 @@ LIMIT {_HYBRID_K}
 """
 
 
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion — the OTHER standard hybrid-search
+    combiner (vs `hybrid_retrieval_rerank`'s cascade): BM25 top-50 and
+    exact-cosine top-50 are retrieved INDEPENDENTLY, then fused by
+    score = Σ 1/(60+rank) over the lists each doc appears in (the
+    Cormack/Clarke/Buettcher k=60 constant). RRF needs no score
+    calibration between retrievers — only ranks — which is why it wins
+    when lexical and vector scores live on incomparable scales.
+
+    Hash contract: the OUTPUT is all-integer (fused_rank, doc_id,
+    r_bm25, r_cosine; absent-from-list ranks are NULL). The float RRF
+    score exists only as an ordering key and is computed as the same
+    two-term IEEE sum in fixed written order in both engines, with
+    doc_id breaking exact ties — deterministic without ever hashing a
+    double. Scale shape: each list is TakeOrdered (distributed top-50)
+    and only the two 50-row lists meet in the fusion join; the final
+    window runs over ≤100 rows."""
+    from kafka_flink_streaming_pipeline_spark.operators.text import bm25_scores
+
+    bm = (
+        bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_HYBRID_RECALL)
+    )
+    r_b = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .cast("bigint")
+        .alias("r_bm25"),
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = _with_norm(e.filter(F.col("vec_id") == 0), "query_id", "qv").select(
+        "qv", "query_id_nrm"
+    )
+    cos = (
+        _with_norm(e, "cand_id", "cv")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("cand_id").alias("doc_id"),
+            _pair_cosine(
+                F.col("qv"), F.col("cv"), F.col("query_id_nrm"), F.col("cand_id_nrm")
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "doc_id")
+        .limit(_HYBRID_RECALL)
+    )
+    r_c = cos.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), "doc_id"))
+        .cast("bigint")
+        .alias("r_cosine"),
+    )
+    score = F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("r_bm25")), F.lit(0.0)) + (
+        F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("r_cosine")), F.lit(0.0))
+    )
+    fused = r_b.join(r_c, "doc_id", "full_outer").select(
+        "doc_id", "r_bm25", "r_cosine", score.alias("rrf")
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), "doc_id")
+        .limit(_HYBRID_K)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("rrf"), "doc_id"))
+            .cast("bigint")
+            .alias("fused_rank"),
+            "doc_id",
+            "r_bm25",
+            "r_cosine",
+        )
+    )
+
+
+def _rrf_oracle() -> str:
+    from kafka_flink_streaming_pipeline_spark.operators.text import BM25_SCORES_SQL
+
+    return f"""
+WITH bm AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+           AS r_bm25
+  FROM (SELECT * FROM ({BM25_SCORES_SQL})
+        ORDER BY bm25 DESC, doc_id LIMIT {_HYBRID_RECALL})
+),
+e AS ({_DUCK_EMB}),
+q AS (SELECT v FROM e WHERE vec_id = 0),
+cosr AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT)
+           AS r_cosine
+  FROM (
+    SELECT c.vec_id AS doc_id, {_DUCK_COS} AS cosine
+    FROM e c CROSS JOIN q
+    ORDER BY cosine DESC, doc_id LIMIT {_HYBRID_RECALL}
+  )
+),
+fused AS (
+  SELECT doc_id, r_bm25, r_cosine,
+         coalesce(1.0 / (60.0 + r_bm25), 0.0)
+           + coalesce(1.0 / (60.0 + r_cosine), 0.0) AS rrf
+  FROM bm FULL JOIN cosr USING (doc_id)
+)
+SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS fused_rank,
+       doc_id, r_bm25, r_cosine
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT {_HYBRID_K}
+"""
+
+
 # --- semantic dedup within coarse-quantizer cells (SemDeDup) --------------
 
 
@@ -1442,6 +1552,12 @@ QUERIES: dict[str, QuerySpec] = {
         hybrid_retrieval_rerank,
         _hybrid_oracle(),
         "two-stage retrieval: BM25 recall top-50 → exact cosine rerank top-10",
+    ),
+    "hybrid_retrieval_rrf": QuerySpec(
+        "hybrid_retrieval_rrf",
+        hybrid_retrieval_rrf,
+        _rrf_oracle(),
+        "reciprocal-rank fusion of independent BM25 and cosine top-50 lists",
     ),
     "sim_topk_cosine": QuerySpec(
         "sim_topk_cosine",

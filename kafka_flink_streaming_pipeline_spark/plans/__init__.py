@@ -94,13 +94,12 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "curation_stratified_cap",
     "dedup_components_lsh",
     "sample_docs_weighted_stratified",
-    "zscore_order_totals",
-    # round-5 additions displace the eight newest-witnessed fillers
+    # round-5 additions displace the nine newest-witnessed fillers
     # (sim_topk_cosine_pandas, dedup_word_jaccard,
     # split_leakage_check_lsh, dedup_semantic_clusters,
     # split_leakage_check, dedup_keep_best_per_component,
-    # dedup_containment, dedup_span_exact — all r4-green with
-    # byte-identical values under the sweep)
+    # dedup_containment, dedup_span_exact, zscore_order_totals — all
+    # r4-green with byte-identical values under the sweep)
     "embedding_pq_codes",
     "sim_topk_cosine_pq",
     "dedup_span_scrub",
@@ -109,6 +108,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "curation_filter_audit",
     "curation_adaptive_quality_gate",
     "profile_category_drift",
+    "hybrid_retrieval_rrf",
 )
 
 

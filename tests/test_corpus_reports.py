@@ -84,6 +84,33 @@ def test_adaptive_gate_invariants(spark):
         assert r.pass_ppm == r.n_pass * 1_000_000 // r.n_docs
 
 
+def test_rrf_fusion_invariants(spark):
+    from kafka_flink_streaming_pipeline_spark.operators.similarity import (
+        _HYBRID_K,
+        _HYBRID_RECALL,
+        hybrid_retrieval_rrf,
+    )
+
+    rows = hybrid_retrieval_rrf(spark, SF_CORRECT).collect()
+    assert len(rows) == _HYBRID_K
+    assert [r.fused_rank for r in rows] == list(range(1, _HYBRID_K + 1))
+    assert len({r.doc_id for r in rows}) == _HYBRID_K
+    for r in rows:
+        assert r.r_bm25 is not None or r.r_cosine is not None
+        for rank in (r.r_bm25, r.r_cosine):
+            assert rank is None or 1 <= rank <= _HYBRID_RECALL
+    # a doc on BOTH lists must outrank a doc appearing on one list at
+    # a worse position in that list: verify monotonicity of the score
+    # the ordering used (recompute it here from the integer ranks)
+    def score(r):
+        return (1.0 / (60.0 + r.r_bm25) if r.r_bm25 else 0.0) + (
+            1.0 / (60.0 + r.r_cosine) if r.r_cosine else 0.0
+        )
+
+    scores = [score(r) for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
 def test_category_drift_invariants(spark):
     from kafka_flink_streaming_pipeline_spark.plans.profiling import _category_drift
     from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
