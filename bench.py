@@ -154,6 +154,7 @@ HEADLINE = [
     "curation_adaptive_quality_gate",
     "profile_category_drift",
     "hybrid_retrieval_rrf",
+    "sim_ann_recall_report",
 ]
 
 

@@ -1410,6 +1410,84 @@ LIMIT {_HYBRID_K}
 """
 
 
+def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality monitoring as a registered query: micro-averaged
+    recall@{_TOP_K} of every approximate vector-search method against
+    the exact cosine top-k, on the same queries — the number a
+    production retrieval stack tracks per index rebuild (the vector
+    sibling of `dedup_lsh_calibration`). Per method: queries covered,
+    truth rows, hits, and integer-ppm micro-recall
+    (Σhits·10⁶ DIV Σtruth).
+
+    The per-method recall FLOORS are already pinned by the pytest
+    recall suites; this entry makes the measurement itself a
+    driver-hashable artifact. Each method subtree is the registered
+    query's own plan (PQ reuses the session-shared code table), the
+    truth side is computed once, and each comparison is a
+    (query_id, cand_id) left join onto ≤ N_QUERIES×{_TOP_K} truth
+    rows — report cost is dominated by the methods themselves."""
+    exact = topk_cosine(spark, sf_dir).select("query_id", "cand_id")
+    methods = [
+        ("ivf_nprobe1", ann_ivf),
+        ("ivf_nprobe2", ann_ivf_nprobe2),
+        ("lsh_multiprobe", ann_lsh_multiprobe),
+        ("pq_adc_refine", topk_cosine_pq),
+    ]
+    parts = []
+    for name, fn in methods:
+        m = fn(spark, sf_dir).select(
+            "query_id", "cand_id", F.lit(1).alias("hit")
+        )
+        parts.append(
+            exact.join(m, ["query_id", "cand_id"], "left")
+            .agg(
+                F.countDistinct("query_id").alias("n_queries"),
+                F.count("*").alias("total_truth"),
+                F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("total_hits"),
+            )
+            .select(
+                F.lit(name).alias("method"),
+                "n_queries",
+                "total_truth",
+                "total_hits",
+                F.expr(
+                    "CAST(total_hits * 1000000 DIV total_truth AS BIGINT)"
+                ).alias("recall_ppm"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("method")
+
+
+def _recall_report_oracle() -> str:
+    blocks = []
+    for name, oracle in [
+        ("ivf_nprobe1", ANN_IVF_ORACLE),
+        ("ivf_nprobe2", ANN_IVF_NPROBE2_ORACLE),
+        ("lsh_multiprobe", ANN_LSH_MULTIPROBE_ORACLE),
+        ("pq_adc_refine", TOPK_PQ_ORACLE),
+    ]:
+        blocks.append(f"""
+SELECT '{name}' AS method,
+       CAST(count(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+       CAST(count(*) AS BIGINT) AS total_truth,
+       CAST(sum(CASE WHEN m.hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS total_hits,
+       CAST(sum(CASE WHEN m.hit IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS recall_ppm
+FROM exact e
+LEFT JOIN (SELECT query_id, cand_id, 1 AS hit FROM ({oracle})) m
+  USING (query_id, cand_id)""")
+    union = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH exact AS (SELECT query_id, cand_id FROM ({TOPK_ORACLE}))
+SELECT * FROM ({union})
+ORDER BY method
+"""
+
+
 # --- semantic dedup within coarse-quantizer cells (SemDeDup) --------------
 
 
@@ -1558,6 +1636,12 @@ QUERIES: dict[str, QuerySpec] = {
         hybrid_retrieval_rrf,
         _rrf_oracle(),
         "reciprocal-rank fusion of independent BM25 and cosine top-50 lists",
+    ),
+    "sim_ann_recall_report": QuerySpec(
+        "sim_ann_recall_report",
+        sim_ann_recall_report,
+        _recall_report_oracle(),
+        "micro-recall@k of every ANN method vs the exact top-k (index QA)",
     ),
     "sim_topk_cosine": QuerySpec(
         "sim_topk_cosine",

@@ -93,13 +93,13 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "skew_salted_counts",
     "curation_stratified_cap",
     "dedup_components_lsh",
-    "sample_docs_weighted_stratified",
-    # round-5 additions displace the nine newest-witnessed fillers
+    # round-5 additions displace the ten newest-witnessed fillers
     # (sim_topk_cosine_pandas, dedup_word_jaccard,
     # split_leakage_check_lsh, dedup_semantic_clusters,
     # split_leakage_check, dedup_keep_best_per_component,
-    # dedup_containment, dedup_span_exact, zscore_order_totals — all
-    # r4-green with byte-identical values under the sweep)
+    # dedup_containment, dedup_span_exact, zscore_order_totals,
+    # sample_docs_weighted_stratified — all r4-green with
+    # byte-identical values under the sweep)
     "embedding_pq_codes",
     "sim_topk_cosine_pq",
     "dedup_span_scrub",
@@ -109,6 +109,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "curation_adaptive_quality_gate",
     "profile_category_drift",
     "hybrid_retrieval_rrf",
+    "sim_ann_recall_report",
 )
 
 

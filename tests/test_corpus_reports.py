@@ -84,6 +84,30 @@ def test_adaptive_gate_invariants(spark):
         assert r.pass_ppm == r.n_pass * 1_000_000 // r.n_docs
 
 
+def test_ann_recall_report_invariants(spark):
+    from kafka_flink_streaming_pipeline_spark.operators.similarity import (
+        sim_ann_recall_report,
+    )
+
+    rows = {r.method: r for r in sim_ann_recall_report(spark, SF_CORRECT).collect()}
+    assert set(rows) == {
+        "ivf_nprobe1",
+        "ivf_nprobe2",
+        "lsh_multiprobe",
+        "pq_adc_refine",
+    }
+    for r in rows.values():
+        assert 0 <= r.total_hits <= r.total_truth
+        assert r.recall_ppm == r.total_hits * 1_000_000 // r.total_truth
+        assert r.n_queries >= 1
+    # widening the probe can only add candidates: nprobe2 ⊇ nprobe1
+    assert rows["ivf_nprobe2"].total_hits >= rows["ivf_nprobe1"].total_hits
+    # the registered PQ shape (ADC shortlist + exact refine) must beat
+    # single-cell IVF on the isotropic driver embeddings — the measured
+    # finding PERF.md documents; guard it here as a floor
+    assert rows["pq_adc_refine"].recall_ppm >= rows["ivf_nprobe1"].recall_ppm
+
+
 def test_rrf_fusion_invariants(spark):
     from kafka_flink_streaming_pipeline_spark.operators.similarity import (
         _HYBRID_K,
