@@ -153,13 +153,24 @@ def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     `curation_pipeline_v2` (shared LSH labeling → keeper → quality
     gate → split) with the token counts; the rollup is one broadcast-
     joined aggregation over the survivor rows. The share column is an
-    integer parts-per-million (``token_share_ppm``) computed with exact
-    DECIMAL(38,0) floor-division — never a rounded double — so the
-    value hash is identical across engines and environments (the r4
-    driver proved ``round(int/int, 6)`` doubles can diverge; this is
-    the repo's micro-unit discipline). DECIMAL(38,0) keeps the
-    ``n_tokens * 1e6`` product exact even at 100-TB token counts where
-    BIGINT would overflow."""
+    integer parts-per-million (``token_share_ppm``) computed with
+    pure-BIGINT two-step floor division — never a rounded double and
+    never a DECIMAL/HUGEINT expression — so the value hash is
+    identical across engines and environments. History of this
+    contract: the r4 driver proved ``round(int/int, 6)`` doubles
+    diverge; the r5 driver then proved ``DECIMAL(38,0) ... DIV``
+    diverges too (Spark's IntegralDivide over DECIMAL is version- and
+    ANSI-flag-sensitive), even though both passed locally. The only
+    formulation with no engine-defined rounding anywhere is integer
+    quotient + integer remainder scaling::
+
+        (n DIV t) * 1_000_000 + ((n % t) * 1_000_000) DIV t
+
+    The remainder is < t, so ``(n % t) * 1e6`` stays within BIGINT
+    for any corpus below ~9.2e12 total tokens; beyond that (a 100-TB
+    note, not a testdata concern) split the scale factor into two
+    1000× steps — documented here rather than coded, to keep the
+    hashed contract DECIMAL-free."""
     from kafka_flink_streaming_pipeline_spark.operators.text import quality_scores
 
     survivors = curation_pipeline_v2(spark, sf_dir).select("doc_id", "split")
@@ -177,8 +188,8 @@ def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_tokens",
             F.expr(
-                "CAST((CAST(n_tokens AS DECIMAL(38,0)) * 1000000) DIV t_total"
-                " AS BIGINT)"
+                "(n_tokens DIV t_total) * 1000000"
+                " + ((n_tokens % t_total) * 1000000) DIV t_total"
             ).alias("token_share_ppm"),
         )
         .orderBy("split")
@@ -199,9 +210,45 @@ per_split AS (
 ),
 tot AS (SELECT sum(n_tokens) AS t_total FROM per_split)
 SELECT split, n_docs, n_tokens,
-       CAST((CAST(n_tokens AS HUGEINT) * 1000000) // t_total AS BIGINT)
+       CAST((n_tokens // t_total) * 1000000
+            + ((n_tokens % t_total) * 1000000) // t_total AS BIGINT)
          AS token_share_ppm
 FROM per_split, tot
+ORDER BY split
+"""
+
+
+def curation_token_budget_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic twin of `curation_token_budget` with NO division at
+    all: only (split, n_docs, n_tokens) — pure COUNT/SUM integers over
+    the identical survivor lineage. Registered so that if the full
+    entry ever hash-fails again in the driver, this row bisects the
+    divergence: parts green + budget red ⇒ the ppm expression; parts
+    red ⇒ the survivor set / token sums upstream (which
+    `curation_filter_audit` then narrows further). Costs one shared-
+    subtree reuse — the v2 labeling is session-cached."""
+    from kafka_flink_streaming_pipeline_spark.operators.text import quality_scores
+
+    survivors = curation_pipeline_v2(spark, sf_dir).select("doc_id", "split")
+    toks = quality_scores(spark, sf_dir).select("doc_id", "n_tokens")
+    return (
+        survivors.join(toks, "doc_id")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+        .orderBy("split")
+    )
+
+
+def _token_budget_parts_oracle() -> str:
+    v2 = _curation_v2_oracle()
+    from kafka_flink_streaming_pipeline_spark.operators.text import QUALITY_ORACLE
+
+    return f"""
+WITH v2 AS ({v2}),
+toks AS (SELECT doc_id, n_tokens FROM ({QUALITY_ORACLE}))
+SELECT split, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+FROM v2 JOIN toks USING (doc_id)
+GROUP BY split
 ORDER BY split
 """
 
@@ -406,6 +453,12 @@ QUERIES: dict[str, QuerySpec] = {
         curation_token_budget,
         _token_budget_oracle(),
         "surviving docs/tokens per split after v2 curation (planner handoff)",
+    ),
+    "curation_token_budget_parts": QuerySpec(
+        "curation_token_budget_parts",
+        curation_token_budget_parts,
+        _token_budget_parts_oracle(),
+        "division-free diagnostic twin of curation_token_budget (bisects a red row)",
     ),
     "curation_pipeline": QuerySpec(
         "curation_pipeline",

@@ -1232,6 +1232,12 @@ FROM d LEFT JOIN clean c ON c.doc_id = d.doc_id
 # --- LSH-vs-exact calibration report ---------------------------------------
 
 
+# calibration runs the EXACT pair graph; above this many docs it
+# self-caps to a deterministic md5-bucket sample (see docstring)
+_CAL_MAX_DOCS = 20_000
+_CAL_BUCKETS = 10_000
+
+
 def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured calibration of the banded-LSH estimator against its
     exact anchor — the report that justifies running the LSH family at
@@ -1250,8 +1256,45 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from floating-point floor(jaccard*10). False-positive candidates
     (LSH pairs below the exact threshold) are out of scope — recall
     and error against TRUTH is the contract; the est-side threshold
-    behavior is already pinned by `dedup_minhash_lsh`'s own oracle."""
-    true_pairs = exact_ngram_pairs(spark, sf_dir)
+    behavior is already pinned by `dedup_minhash_lsh`'s own oracle.
+
+    SAMPLE-SCALE ENFORCEMENT (the 100-TB contract): calibration
+    requires the exact pair graph — quadratic, and deliberately
+    excluded from the repo's scaling claims. Production therefore runs
+    it on a SAMPLE, and as of round 6 the operator enforces that
+    itself instead of trusting the caller: when the corpus exceeds
+    ``_CAL_MAX_DOCS`` documents, the exact side is built over a
+    deterministic md5-bucket document sample sized to ~_CAL_MAX_DOCS
+    (bucket = first 4 md5 hex chars of doc_id mod 10 000 — a pure
+    function of the key, identical across engines/partitionings/
+    retries; the same device as `curation_stratified_cap`). The LSH
+    side stays FULL-corpus — that is the thing being calibrated. The
+    applied fraction is emitted as ``sample_ppm`` (1 000 000 = no
+    sampling) so a report consumer can never mistake a sampled recall
+    for an exhaustive one. At testdata scale the cap is inactive and
+    the exact side reuses the session-shared `exact_ngram_pairs`
+    subtree. The corpus count that sizes the sample is a 1-row scalar
+    aggregate (the repo's allowed collect class)."""
+    n_docs = _docs_parallel(spark, sf_dir).count()
+    keep = (
+        _CAL_BUCKETS
+        if n_docs <= _CAL_MAX_DOCS
+        else _CAL_MAX_DOCS * _CAL_BUCKETS // n_docs
+    )
+    if keep >= _CAL_BUCKETS:
+        true_pairs = exact_ngram_pairs(spark, sf_dir)
+    else:
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+            ).cast("int")
+            % _CAL_BUCKETS
+        )
+        true_pairs = _jaccard_pairs(
+            _doc_shingles(spark, sf_dir).filter(bucket < F.lit(keep)),
+            "shingle",
+            _NGRAM_JACCARD_T,
+        )
     est = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2", "est_jaccard")
     tppm = F.floor(F.col("jaccard") * 1000000.0 + F.lit(0.5)).cast("bigint")
     eppm = F.floor(F.col("est_jaccard") * 1000000.0 + F.lit(0.5)).cast("bigint")
@@ -1284,14 +1327,27 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "CAST(CASE WHEN n_found > 0 THEN err_sum DIV n_found END AS BIGINT)"
             ).alias("mean_abs_err_ppm"),
+            F.lit(keep * (1_000_000 // _CAL_BUCKETS))
+            .cast("bigint")
+            .alias("sample_ppm"),
         )
         .orderBy("bucket")
     )
 
 
+# the deterministic doc-sample cap, mirrored from the Spark side:
+# keep-bucket width from the corpus count, md5-bucket membership test
+_CAL_KEEP_SQL = f"""(SELECT CASE WHEN count(*) <= {_CAL_MAX_DOCS} THEN {_CAL_BUCKETS}
+         ELSE {_CAL_MAX_DOCS} * {_CAL_BUCKETS} // count(*) END FROM documents)"""
+_CAL_SAMPLED_SHINGLES_SQL = f"""
+  SELECT doc_id, shingle FROM ({_DOC_SHINGLES_SQL})
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+          % {_CAL_BUCKETS} < {_CAL_KEEP_SQL}
+"""
+
 DEDUP_LSH_CALIBRATION_ORACLE = f"""
 WITH {LSH_EST_SQL},
-truep AS (SELECT * FROM ({_jaccard_oracle(_DOC_SHINGLES_SQL, "shingle", _NGRAM_JACCARD_T)})),
+truep AS (SELECT * FROM ({_jaccard_oracle(_CAL_SAMPLED_SHINGLES_SQL, "shingle", _NGRAM_JACCARD_T)})),
 b AS (
   SELECT least(CAST(floor(t.jaccard * 1000000.0 + 0.5) AS BIGINT) // 100000, 9)
            AS bucket,
@@ -1309,7 +1365,8 @@ SELECT CAST(bucket AS BIGINT) AS bucket,
             // count(*) AS BIGINT) AS recall_ppm,
        CAST(CASE WHEN sum(CASE WHEN found THEN 1 ELSE 0 END) > 0
                  THEN sum(err_ppm) // sum(CASE WHEN found THEN 1 ELSE 0 END)
-            END AS BIGINT) AS mean_abs_err_ppm
+            END AS BIGINT) AS mean_abs_err_ppm,
+       CAST({_CAL_KEEP_SQL} * {1_000_000 // _CAL_BUCKETS} AS BIGINT) AS sample_ppm
 FROM b
 GROUP BY bucket
 ORDER BY bucket

@@ -1410,6 +1410,155 @@ LIMIT {_HYBRID_K}
 """
 
 
+def hybrid_retrieval_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`hybrid_retrieval_rrf` with the vector arm swapped from the
+    linear cosine scan to the PQ-ADC shortlist + exact refine — the
+    swap the RRF docstring promises at corpus scale, now a checked
+    contract of its own. The BM25 arm is unchanged (a distributed
+    TakeOrdered top-{_HYBRID_RECALL}); the vector arm scans only the
+    M-byte-per-vector PQ code table (integer ADC over the broadcast
+    query LUT), takes the width-{_PQ_SHORTLIST} shortlist, decodes
+    JUST those rows for an exact-cosine rank — so at 100 TB neither
+    arm touches the full-precision embedding store beyond a
+    {_PQ_SHORTLIST}-row key lookup. Fusion, hash contract (all-integer
+    output, float RRF score only as an ordering key, doc_id
+    tiebreak), and k=60 constant are identical to
+    `hybrid_retrieval_rrf`; ranks differ from it exactly where the PQ
+    shortlist disagrees with the exact top-{_HYBRID_RECALL} (the PQ
+    pipeline also excludes the query's own vector, as
+    `sim_topk_cosine_pq` does — fused output documents the ANN arm,
+    not the anchor)."""
+    from kafka_flink_streaming_pipeline_spark.operators.text import bm25_scores
+
+    bm = (
+        bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_HYBRID_RECALL)
+    )
+    r_b = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .cast("bigint")
+        .alias("r_bm25"),
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    codes = _pq_codes(spark, sf_dir)
+    qsub = _pq_subvecs(_pq_normalized(e).filter(F.col("vec_id") == 0)).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qv")
+    )
+    lut = qsub.join(_pq_anchors(spark, sf_dir), "m").select(
+        "query_id",
+        "m",
+        "anchor_id",
+        F.floor(_dot(F.col("qv"), F.col("av")) * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("dot_micro"),
+    )
+    shortlist = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["m"] == lut["m"]) & (codes["code"] == lut["anchor_id"]),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy(F.col("vec_id").alias("doc_id"))
+        .agg(F.sum("dot_micro").alias("adc_micro"))
+        .orderBy(F.desc("adc_micro"), "doc_id")
+        .limit(_PQ_SHORTLIST)
+        .select("doc_id")
+    )
+    qv = _with_norm(e.filter(F.col("vec_id") == 0), "query_id", "qv").select(
+        "qv", "query_id_nrm"
+    )
+    cv = _with_norm(e, "cand_id", "cv")
+    r_c = (
+        shortlist.join(cv, shortlist["doc_id"] == cv["cand_id"])
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            _pair_cosine(
+                F.col("qv"), F.col("cv"), F.col("query_id_nrm"), F.col("cand_id_nrm")
+            ).alias("cosine"),
+        )
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cosine"), "doc_id"))
+            .cast("bigint")
+            .alias("r_cosine"),
+        )
+    )
+    score = F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("r_bm25")), F.lit(0.0)) + (
+        F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("r_cosine")), F.lit(0.0))
+    )
+    fused = r_b.join(r_c, "doc_id", "full_outer").select(
+        "doc_id", "r_bm25", "r_cosine", score.alias("rrf")
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), "doc_id")
+        .limit(_HYBRID_K)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("rrf"), "doc_id"))
+            .cast("bigint")
+            .alias("fused_rank"),
+            "doc_id",
+            "r_bm25",
+            "r_cosine",
+        )
+    )
+
+
+def _rrf_ann_oracle() -> str:
+    from kafka_flink_streaming_pipeline_spark.operators.text import BM25_SCORES_SQL
+
+    return f"""
+WITH
+{_PQ_SUB_SQL},
+bm AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+           AS r_bm25
+  FROM (SELECT * FROM ({BM25_SCORES_SQL})
+        ORDER BY bm25 DESC, doc_id LIMIT {_HYBRID_RECALL})
+),
+lut AS (
+  SELECT s.vec_id AS query_id, s.m, a.anchor_id,
+         CAST(floor(list_dot_product(s.sv, a.av) * 1000000.0 + 0.5) AS BIGINT)
+           AS dot_micro
+  FROM sub s JOIN anch a USING (m)
+  WHERE s.vec_id = 0
+),
+shortlist AS (
+  SELECT c.vec_id AS doc_id, CAST(sum(l.dot_micro) AS BIGINT) AS adc_micro
+  FROM codes c JOIN lut l ON l.m = c.m AND l.anchor_id = c.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY c.vec_id
+  ORDER BY adc_micro DESC, doc_id LIMIT {_PQ_SHORTLIST}
+),
+e AS ({_DUCK_EMB}),
+q AS (SELECT v FROM e WHERE vec_id = 0),
+cosr AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT)
+           AS r_cosine
+  FROM (
+    SELECT s.doc_id, {_DUCK_COS} AS cosine
+    FROM shortlist s JOIN e c ON c.vec_id = s.doc_id CROSS JOIN q
+  )
+),
+fused AS (
+  SELECT doc_id, r_bm25, r_cosine,
+         coalesce(1.0 / (60.0 + r_bm25), 0.0)
+           + coalesce(1.0 / (60.0 + r_cosine), 0.0) AS rrf
+  FROM bm FULL JOIN cosr USING (doc_id)
+)
+SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS fused_rank,
+       doc_id, r_bm25, r_cosine
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT {_HYBRID_K}
+"""
+
+
 def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-quality monitoring as a registered query: micro-averaged
     recall@{_TOP_K} of every approximate vector-search method against
@@ -1636,6 +1785,13 @@ QUERIES: dict[str, QuerySpec] = {
         hybrid_retrieval_rrf,
         _rrf_oracle(),
         "reciprocal-rank fusion of independent BM25 and cosine top-50 lists",
+    ),
+    "hybrid_retrieval_rrf_ann": QuerySpec(
+        "hybrid_retrieval_rrf_ann",
+        hybrid_retrieval_rrf_ann,
+        _rrf_ann_oracle(),
+        "RRF with the vector arm on the PQ-ADC shortlist + refine "
+        "(the corpus-scale fusion: no linear scan of the embedding store)",
     ),
     "sim_ann_recall_report": QuerySpec(
         "sim_ann_recall_report",

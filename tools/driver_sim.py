@@ -3,8 +3,7 @@ process, PLAIN SparkSession (not the package's get_spark — any config
 the engine needs must be set at runtime inside the package), DuckDB
 side-by-side, order-insensitive value-hash compare at sf0.01.
 
-This is the repo-local twin of the .claude/skills/verify recipe; run it
-before claiming any queries() entry is done. pytest (cwd=/root/repo)
+Run it before claiming any queries() entry is done. pytest (cwd=/root/repo)
 cannot catch cloudpickle by-reference serialization of distributed
 Python — only this out-of-repo-style run does.
 
