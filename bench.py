@@ -155,6 +155,11 @@ HEADLINE = [
     "profile_category_drift",
     "hybrid_retrieval_rrf",
     "sim_ann_recall_report",
+    # round-6 additions (the writeStream-materialized artifacts stay
+    # out of the battery, as fp2/dedup-gate always have: they time
+    # tempdir replay machinery, not a query plan)
+    "curation_token_budget_parts",
+    "hybrid_retrieval_rrf_ann",
 ]
 
 

@@ -83,6 +83,19 @@ def det_round(col: Column, digits: int = 6) -> Column:
     Spark plan and the DuckDB oracle provably agree. Semantics are
     round-half-up for positive values (half-toward-+inf for negatives).
 
+    VALID MAGNITUDE DOMAIN: the agreement proof needs |x·10^digits| <
+    2^53 (≈9.0e15) — above that, (a) Spark's BIGINT ``floor`` result is
+    no longer exactly representable when converted back to DOUBLE while
+    DuckDB floors in DOUBLE throughout, and past 2^63 Spark's LONG
+    overflows outright (ANSI error / wraparound) where DuckDB stays
+    finite. At the default digits=6 that bounds |x| < ~9.0e9; at
+    digits=10, |x| < ~9.0e5. Every current call site rounds ratios,
+    cosines, z-scores or per-group means — all orders of magnitude
+    inside the domain; a new call site rounding raw token/revenue SUMS
+    must scale into micro-units (integer arithmetic) instead, per the
+    repo's micro-unit discipline. The boundary behavior is pinned by
+    ``tests/test_det_round.py::test_det_round_domain_boundary``.
+
     The SQL-side twin is :func:`det_round_sql`; every hashed double
     column must use the pair in lockstep.
     """

@@ -27,13 +27,20 @@ from pyspark.sql import functions as F
 
 
 def rollup_frame(events: DataFrame) -> DataFrame:
-    """The rollup definition: daily per-type activity. DECIMAL(18,2)
-    sums keep partial aggregation exact and engine-independent."""
+    """The rollup definition: daily per-type activity. The value sum is
+    integer CENTS (per-row floor(value·100 + 0.5), summed as BIGINT) —
+    the repo's micro-unit discipline: IEEE floor/multiply are primitive-
+    identical across engines, whereas double→DECIMAL casts round on
+    engine-specific decimal expansions (Spark HALF_UP on the shortest
+    repr vs DuckDB on the exact binary), which a value hash would
+    catch."""
     return events.groupBy(
         F.to_date("ts").alias("d"), "event_type"
     ).agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        F.sum(
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+        ).alias("value_cents"),
         F.count_distinct("user_id").alias("users"),
     )
 
@@ -45,7 +52,12 @@ def update_rollup(
     fact scan to those dates, recompute their rollup rows, overwrite
     exactly those partitions (dynamic partition overwrite — history is
     neither read nor rewritten). Idempotent per date set."""
-    affected = events.filter(F.to_date("ts").isin([str(d) for d in dates]))
+    # prefer a physical `d` partition column when the fact table has
+    # one: the filter then prunes PARTITIONS at the scan (the whole
+    # point of incremental maintenance at 100 TB); otherwise derive
+    # the date from ts (still a pushed-down predicate, full scan)
+    key = F.col("d") if "d" in events.columns else F.to_date("ts")
+    affected = events.filter(key.isin([str(d) for d in dates]))
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

@@ -34,82 +34,78 @@ class QuerySpec:
 #: r4 window: the last 12 never-driver-checked entries + the 13
 #: round-4 additions + 25 parity regression re-checks (49/50 green;
 #: the one red — curation_token_budget — is fixed and fronted below).
-#: r5 window (this one): the round-5 floor-based-rounding sweep
-#: changed 56 entries' lineage (values identical except
-#: curation_token_budget and profile_anomalous_hours — verified by
-#: running old vs new oracles side-by-side in DuckDB), so this window
-#: fronts (a) the r4 red row's fix, (b) the two value-changed entries,
-#: (c) the 3 post-r4-rotation entries with no driver row yet, (d) the
-#: 4 round-5 additions incl. the second writeStream-materialized
-#: artifact, (e) the reworked dedup_containment_lsh and the
-#: reformulated dq_expectations, then fills with sweep-touched entries
-#: ordered oldest-driver-witness-first. The 12 sweep-touched entries
-#: that don't fit were all r4-green with byte-identical output values,
-#: so their existing rows still witness current outputs exactly.
+#: r5 window: fronted the r4 red row's fix, the rounding-sweep
+#: value-changed entries, the post-r4-rotation gaps, the r5 additions
+#: and reworks, then sweep-touched entries oldest-witness-first —
+#: 49/50 green (the red: curation_token_budget, again).
+#: r6 window (this one): (a) the token-budget BISECT block — the
+#: pure-BIGINT two-step ppm fix plus its division-free parts twin and
+#: the two lineage companions (v2 pipeline, LSH keeper), so a third
+#: red would finally localize to one stage; (b) the 3 round-6
+#: additions/reworks (sample-capped calibration with the new
+#: sample_ppm column, PQ-armed RRF, the third writeStream artifact);
+#: (c) the 10 fillers the r5 window displaced (r5 verdict ask #2);
+#: (d) all 29 entries whose latest driver witness is still round 1,
+#: plus 4 of the 13 r2-era witnesses (dedup_exact and
+#: decontaminate_against_eval also carry device coverage: exact-dup
+#: lineage and the md5 fingerprint device). The 9 r2-era entries that
+#: don't fit rotate into r7.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # fixed r4 red row (token_share -> integer ppm, both engines)
+    # (a) token-budget bisect block
     "curation_token_budget",
-    # output values changed by the rounding sweep (negative-z ties)
-    "profile_anomalous_hours",
-    # registered after the r4 rotation — no driver row yet
-    "cohort_retention_matrix",
-    "profile_functional_deps",
-    "profile_session_gap_quantiles",
-    # round-5 additions
-    "corpus_chunk_windows",
-    "corpus_pack_sequences",
-    "curation_decontaminate",
-    "dedup_gate_stream_materialized",
-    # materially reworked / reformulated this round
-    "dedup_containment_lsh",
-    "dq_expectations",
-    "fp2_stream_materialized",
-    # rounding-sweep lineage re-checks, oldest driver witness first
-    "nation_revenue_share",
-    "text_bm25_search",
-    "text_gopher_rules",
-    "text_quality_scores",
-    "text_token_stats",
-    "dedup_incoming_vs_corpus",
-    "dedup_ngram_jaccard",
-    "hybrid_retrieval_rerank",
-    "sim_topk_cosine",
-    "sim_ann_lsh_multiprobe",
-    "sim_ann_ivf",
-    "dedup_embedding_cosine",
-    "curation_pipeline",
-    "sample_docs_weighted",
-    "pagerank_event_graph",
-    "event_transition_matrix",
-    "profile_equidepth_histogram",
-    "profile_key_skew",
-    "profile_histogram_order_totals",
-    "profile_orders_one_pass",
-    "text_repetition_stats",
-    "dedup_ngram_jaccard_prefix",
-    "sim_topk_cosine_int8",
-    "sim_ann_ivf_nprobe2",
-    "sim_ann_lsh",
-    "skew_salted_counts",
-    "curation_stratified_cap",
-    "dedup_components_lsh",
-    # round-5 additions displace the ten newest-witnessed fillers
-    # (sim_topk_cosine_pandas, dedup_word_jaccard,
-    # split_leakage_check_lsh, dedup_semantic_clusters,
-    # split_leakage_check, dedup_keep_best_per_component,
-    # dedup_containment, dedup_span_exact, zscore_order_totals,
-    # sample_docs_weighted_stratified — all r4-green with
-    # byte-identical values under the sweep)
-    "embedding_pq_codes",
-    "sim_topk_cosine_pq",
-    "dedup_span_scrub",
+    "curation_token_budget_parts",
+    "curation_pipeline_v2",
+    "dedup_keep_best_lsh",
+    # (b) round-6 additions / value-changing reworks
     "dedup_lsh_calibration",
-    "profile_source_mix",
-    "curation_filter_audit",
-    "curation_adaptive_quality_gate",
-    "profile_category_drift",
-    "hybrid_retrieval_rrf",
-    "sim_ann_recall_report",
+    "hybrid_retrieval_rrf_ann",
+    "rollup_stream_materialized",
+    # (c) the ten fillers displaced from the r5 window
+    "sim_topk_cosine_pandas",
+    "dedup_word_jaccard",
+    "split_leakage_check_lsh",
+    "dedup_semantic_clusters",
+    "split_leakage_check",
+    "dedup_keep_best_per_component",
+    "dedup_containment",
+    "dedup_span_exact",
+    "zscore_order_totals",
+    "sample_docs_weighted_stratified",
+    # (d) oldest driver witnesses: every r1-era entry…
+    "customer_activity_full_outer_join",
+    "tpch_q10_returned_items",
+    "q2_sql_api_variant",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q5_regional_revenue",
+    "top_supplier_per_nation",
+    "order_priority_semi_join",
+    "customers_without_orders_anti_join",
+    "customer_order_counts_left_join",
+    "order_items_right_join",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier_cnt",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_orders",
+    "grouping_sets_revenue",
+    "rolling_revenue_30d",
+    "tpch_q2_max_balance_supplier",
+    "set_ops_customer_cohorts",
+    "rollup_revenue_region_nation",
+    "cube_order_status_priority",
+    "pivot_priority_by_status",
+    "percentiles_order_totals",
+    "window_analytics_suite",
+    # …and the four oldest r2-era witnesses that fit
+    "dedup_exact",
+    "decontaminate_against_eval",
+    "q1_views_per_min",
+    "fp3_features_20m_day",
 )
 
 

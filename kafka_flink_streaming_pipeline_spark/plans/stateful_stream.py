@@ -230,6 +230,73 @@ def _dedup_gate_stream_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _rollup_stream_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THIRD writeStream-produced driver artifact (r5 verdict ask
+    #6 — streaming witnesses for upsert, dedup-gate, AND rollup):
+    events arrive as a 4-file parquet stream (maxFilesPerTrigger=1 →
+    4 micro-batches) and `rollup_stream_job` maintains the daily
+    per-type rollup incrementally in foreachBatch — per-batch staged
+    facts, affected-date recompute, dynamic-partition overwrite. The
+    finished rollup table must equal the one-shot batch rollup over
+    all events, which is exactly the oracle the driver hashes this
+    against (no ordering assumption needed: any date recompute uses
+    all facts accumulated so far, so the final pass is complete)."""
+    from kafka_flink_streaming_pipeline_spark.jobs.incremental_rollup import (
+        read_rollup,
+    )
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+    from kafka_flink_streaming_pipeline_spark.streaming.jobs import rollup_stream_job
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="rollup_stream_")
+    in_dir = os.path.join(work, "incoming")
+    events.repartition(4).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = rollup_stream_job(
+        stream,
+        os.path.join(work, "facts"),
+        os.path.join(work, "rollup"),
+        os.path.join(work, "ckpt"),
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        shutil.rmtree(work, ignore_errors=True)
+        raise TimeoutError("rollup stream did not finish within 600s")
+
+    out = (
+        read_rollup(spark, os.path.join(work, "rollup"))
+        .select(
+            F.col("d").cast("string").alias("d"),
+            "event_type",
+            "n",
+            "value_cents",
+            "users",
+        )
+        .localCheckpoint()  # sever lineage from the temp table before cleanup
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+_ROLLUP_STREAM_ORACLE = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       count(DISTINCT user_id) AS users
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def _dedup_gate_stream_oracle() -> str:
     from kafka_flink_streaming_pipeline_spark.operators.dedup import (
         DEDUP_INCOMING_ORACLE,
@@ -256,5 +323,12 @@ QUERIES: dict[str, QuerySpec] = {
         _fp2_stream_materialized_build,
         _fp2_stream_oracle(),
         "FP2 via the real writeStream job (update-mode upsert sink) read back",
+    ),
+    "rollup_stream_materialized": QuerySpec(
+        "rollup_stream_materialized",
+        _rollup_stream_build,
+        _ROLLUP_STREAM_ORACLE,
+        "daily rollup maintained incrementally by the real foreachBatch "
+        "stream job (dynamic-partition overwrite) read back",
     ),
 }

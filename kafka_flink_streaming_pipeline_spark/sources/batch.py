@@ -132,7 +132,11 @@ def read_jsonl_corpus(
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
         if mode.upper() == "PERMISSIVE" and "_corrupt_record" not in schema.names:
-            schema = schema.add("_corrupt_record", T.StringType())
+            # StructType.add mutates in place; copy first so the
+            # caller's schema object doesn't silently grow a column
+            schema = T.StructType(list(schema.fields)).add(
+                "_corrupt_record", T.StringType()
+            )
         reader = reader.schema(schema)
     return reader.json(path)
 

@@ -32,6 +32,36 @@ def test_lsh_calibration_bounds(spark):
             assert 0 <= r.mean_abs_err_ppm <= 1_000_000
 
 
+def test_lsh_calibration_full_sample_at_testdata_scale(spark):
+    """Below the cap the report must be exhaustive and say so:
+    sample_ppm == 1e6 on the testdata corpus (500 docs < 20k cap)."""
+    from kafka_flink_streaming_pipeline_spark.operators.dedup import (
+        dedup_lsh_calibration,
+    )
+
+    rows = dedup_lsh_calibration(spark, SF_CORRECT).collect()
+    assert all(r.sample_ppm == 1_000_000 for r in rows)
+
+
+def test_lsh_calibration_self_caps_above_threshold(spark, monkeypatch):
+    """Above the doc cap the exact side must shrink to the md5-bucket
+    sample, the emitted sample_ppm must state the applied fraction,
+    and every sampled true pair must exist in the full exact graph
+    (the sample is a restriction, never a distortion)."""
+    import kafka_flink_streaming_pipeline_spark.operators.dedup as D
+
+    monkeypatch.setattr(D, "_CAL_MAX_DOCS", 100)
+    rows = D.dedup_lsh_calibration(spark, SF_CORRECT).collect()
+    # corpus is 500 docs -> keep = 100*10000//500 = 2000 buckets = 20%
+    assert all(r.sample_ppm == 200_000 for r in rows)
+    sampled_true = sum(r.n_true for r in rows)
+    full_true = D.exact_ngram_pairs(spark, SF_CORRECT).count()
+    assert 0 < sampled_true < full_true
+    for r in rows:
+        assert 0 <= r.n_found <= r.n_true
+        assert 0 <= r.recall_ppm <= 1_000_000
+
+
 def test_source_mix_conserves_corpus(spark):
     from kafka_flink_streaming_pipeline_spark.plans.profiling import _source_mix
     from kafka_flink_streaming_pipeline_spark.sources.batch import load_table

@@ -88,3 +88,27 @@ def test_det_round_never_emits_negative_zero(spark):
         ).collect()
     ]
     assert all(str(v) == "0.0" for v in out), out
+
+
+def test_det_round_domain_boundary(spark):
+    """Pin the documented validity domain |x·10^digits| < 2^53: inside
+    it Spark and DuckDB agree bit-for-bit (including just below the
+    boundary); the test also records WHY the domain ends there — at the
+    first double >= 2^53, x*p + 0.5 == x*p (ulp > 1), so floor parity
+    degrades into representability questions rather than rounding."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    # magnitudes straddling interesting powers, all INSIDE the domain
+    # at digits=6: |x| up to ~8.9e9 -> x*1e6 just below 2^53
+    xs = [8.9e9, 1.23456789e9, 9.007e9, -8.9e9, 4.5e15 / 1e6, 2**52 / 1e6]
+    df = spark.createDataFrame([(v,) for v in xs], "a double")
+    got = [
+        r.v for r in df.select(det_round(F.col("a"), 6).alias("v")).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(f"SELECT {det_round_sql('CAST(? AS DOUBLE)', 6)}", [v]).fetchone()[0]
+        for v in xs
+    ]
+    assert [str(g) for g in got] == [str(w) for w in want]

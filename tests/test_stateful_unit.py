@@ -255,11 +255,11 @@ def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
     update_rollup(spark, ev, rollup, dates[half - 1 : half + 1])
 
     got = {
-        (str(r.d), r.event_type, r.n, str(r.sum_value), r.users)
+        (str(r.d), r.event_type, r.n, r.value_cents, r.users)
         for r in read_rollup(spark, rollup).collect()
     }
     want = {
-        (str(r.d), r.event_type, r.n, str(r.sum_value), r.users)
+        (str(r.d), r.event_type, r.n, r.value_cents, r.users)
         for r in rollup_frame(ev).collect()
     }
     assert got == want
