@@ -160,6 +160,7 @@ HEADLINE = [
     # tempdir replay machinery, not a query plan)
     "curation_token_budget_parts",
     "hybrid_retrieval_rrf_ann",
+    "curation_dsir_weights",
 ]
 
 

@@ -435,7 +435,155 @@ ORDER BY p.source
 """
 
 
+# --- DSIR-style hashed n-gram importance weights ---------------------------
+
+_DSIR_B = 512  # hashed feature buckets (Xie et al. use 10k at web scale)
+
+
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    NeurIPS 2023) — the published technique for tilting a raw corpus
+    toward a target domain without a model: hash every word bigram
+    into {_DSIR_B} buckets, fit two bag-of-buckets unigram
+    distributions (target = the held-out eval split, doc_id % 97 == 0,
+    the repo's standing split device; raw = the whole corpus), and
+    score each doc with its log importance weight
+    Σ_f count_f(doc)·[ln p_target(f) − ln p_raw(f)] (add-1 smoothed).
+    High-weight docs look like the target domain; a production run
+    resamples by these weights (`sample_docs_weighted`'s A-ES race
+    composes directly, taking exp(w) as the weight).
+
+    Plan shape at 100 TB: feature extraction is scan-side (split +
+    transform + explode, no Python); per-doc bucket counts are one
+    groupBy; BOTH distributions are {_DSIR_B}-row aggregates →
+    broadcast joined back; the final score is one groupBy(doc).
+    Nothing scales with vocabulary — the hash bound is the design.
+
+    Hash contract: each bucket's log-ratio is rounded ONCE to integer
+    micro-nats (the `text_unigram_logprob`/BM25-idf precedent — a
+    last-ulp ln() disagreement cannot survive 1e-6 rounding), the
+    per-doc combination is an exact integer dot product, and no
+    division follows the rounding."""
+    from kafka_flink_streaming_pipeline_spark.operators.dedup import _docs_parallel
+
+    d = _docs_parallel(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("ws", i), F.element_at("ws", i + 1)
+        ),
+    )
+    feats = d.filter(F.size("ws") >= 2).select(
+        "doc_id", F.explode(bigrams).alias("bg")
+    )
+    bucketed = feats.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("bg"), 1, 4), 16, 10).cast("long")
+            % _DSIR_B
+        ).alias("b"),
+    )
+    per_doc = bucketed.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    raw = bucketed.groupBy("b").agg(F.count("*").alias("rc"))
+    tgt = (
+        bucketed.filter(F.col("doc_id") % 97 == 0)
+        .groupBy("b")
+        .agg(F.count("*").alias("tc"))
+    )
+    # B-row distribution table: raw LEFT JOIN target (absent target
+    # buckets smooth to 1), with corpus-total scalars broadcast in
+    dist = (
+        raw.join(tgt, "b", "left")
+        .na.fill({"tc": 0})
+        .crossJoin(
+            F.broadcast(
+                bucketed.agg(
+                    F.count("*").alias("n_raw"),
+                    F.sum(
+                        F.when(F.col("doc_id") % 97 == 0, 1).otherwise(0)
+                    ).alias("n_tgt"),
+                )
+            )
+        )
+        .select(
+            "b",
+            F.floor(
+                F.log(
+                    ((F.col("tc") + 1) * (F.col("n_raw") + _DSIR_B)).cast(
+                        "double"
+                    )
+                    / ((F.col("rc") + 1) * (F.col("n_tgt") + _DSIR_B)).cast(
+                        "double"
+                    )
+                )
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    return (
+        per_doc.join(F.broadcast(dist), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.sum(F.col("c") * F.col("lr_micro")).alias("log_w_micro"),
+        )
+    )  # unsorted: one row per doc — corpus-sized at scale
+
+
+_DSIR_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i+1])) AS bg
+  FROM d WHERE len(ws) >= 2
+),
+bucketed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(bg), 1, 4)) AS INTEGER) % {_DSIR_B} AS b
+  FROM feats
+),
+per_doc AS (
+  SELECT doc_id, b, count(*) AS c FROM bucketed GROUP BY doc_id, b
+),
+raw AS (SELECT b, count(*) AS rc FROM bucketed GROUP BY b),
+tgt AS (SELECT b, count(*) AS tc FROM bucketed WHERE doc_id % 97 = 0 GROUP BY b),
+tot AS (
+  SELECT count(*) AS n_raw,
+         sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS n_tgt
+  FROM bucketed
+),
+dist AS (
+  SELECT raw.b,
+         CAST(floor(ln(CAST((coalesce(tc, 0) + 1) * (n_raw + {_DSIR_B}) AS DOUBLE)
+                       / CAST((rc + 1) * (n_tgt + {_DSIR_B}) AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS lr_micro
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot
+)
+SELECT p.doc_id,
+       CAST(sum(p.c) AS BIGINT) AS n_feats,
+       CAST(sum(p.c * dist.lr_micro) AS BIGINT) AS log_w_micro
+FROM per_doc p JOIN dist ON p.b = dist.b
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "curation_dsir_weights": QuerySpec(
+        "curation_dsir_weights",
+        curation_dsir_weights,
+        _DSIR_ORACLE,
+        "DSIR hashed-bigram log importance weights vs the eval-split "
+        "target distribution (integer micro-nats)",
+    ),
     "curation_adaptive_quality_gate": QuerySpec(
         "curation_adaptive_quality_gate",
         curation_adaptive_quality_gate,

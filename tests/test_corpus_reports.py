@@ -209,3 +209,38 @@ def test_filter_audit_conserves_corpus_and_matches_v2(spark):
         if "near_dup" not in reasons and "low_quality" not in reasons
     )
     assert survivors == curation_pipeline_v2(spark, SF_CORRECT).count()
+
+
+def test_dsir_weights_tilt_toward_target(spark):
+    """DSIR semantics (Xie et al. 2023): docs IN the target split must
+    score a higher mean log importance weight than the rest — their
+    own bigrams define the target distribution, so the tilt is the
+    technique working. Also: weights exist for every doc with >= 2
+    words, and n_feats == n_words - 1 for single-spaced text."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_streaming_pipeline_spark.operators.curation import (
+        curation_dsir_weights,
+    )
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+    w = curation_dsir_weights(spark, SF_CORRECT)
+    docs = load_table(spark, SF_CORRECT, "documents")
+    n_multi = docs.filter(F.size(F.split("text", " ")) >= 2).count()
+    assert w.count() == n_multi
+
+    joined = w.withColumn("is_tgt", F.col("doc_id") % 97 == 0)
+    means = {
+        r.is_tgt: r.m
+        for r in joined.groupBy("is_tgt")
+        .agg(F.avg("log_w_micro").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]
+
+    chk = (
+        w.join(docs.select("doc_id", F.size(F.split("text", " ")).alias("nw")), "doc_id")
+        .filter(F.col("n_feats") != F.col("nw") - 1)
+        .count()
+    )
+    assert chk == 0
