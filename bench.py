@@ -223,10 +223,12 @@ def main() -> None:
     # show their true steady-state marginals
     from kafka_flink_streaming_pipeline_spark.operators.similarity import (
         _pq_codes,
+        _pq_codes_packed,
     )
 
     t0 = time.time()
     _pq_codes(spark, sf_dir).count()
+    _pq_codes_packed(spark, sf_dir).count()  # r6: the packed ADC layout
     per_query["shared_pq_codes_build"] = round(time.time() - t0, 3)
     # Materialization (round-5 methodology fix): `.count()` is NOT a
     # valid benchmark action for projection- or LEFT-join-shaped

@@ -943,6 +943,81 @@ def _pq_codes_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_codes_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, codes): the PACKED index layout — one row per vector,
+    codes as an M-element array of LOCAL anchor indices (0..K-1) in
+    subspace order. This, not the skinny (vec_id, m, code) long form,
+    is what "M bytes per vector" means physically: the 100× probe
+    showed the skinny ADC join+groupBy scanning M× the rows and losing
+    to the 64-dim linear scan it exists to replace; with the packed
+    layout ADC is one map-side projection (8 array lookups into the
+    broadcast LUT per vector) and the only shuffle left is the top-k.
+    Derived from the session-shared skinny codes (one groupBy,
+    amortized across every ADC consumer) and session-shared itself."""
+    from kafka_flink_streaming_pipeline_spark.operators.dedup import (
+        _session_shared,
+    )
+
+    def build() -> DataFrame:
+        return (
+            _pq_codes(spark, sf_dir)
+            .groupBy("vec_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "code"))),
+                    lambda s: (s.code - _N_QUERIES).cast("int"),
+                ).alias("codes")
+            )
+        )
+
+    return _session_shared(spark, sf_dir, "pq_codes_packed", build)
+
+
+def _pq_query_lut_arrays(lut: DataFrame) -> DataFrame:
+    """Fold a skinny per-query LUT (query_id, m, anchor_id, dot_micro)
+    into one M·K-element array per query, indexed m·K + local_code —
+    the broadcast side of the packed-ADC projection."""
+    return lut.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (F.col("m") * _PQ_K + F.col("anchor_id") - _N_QUERIES)
+                        .cast("int")
+                        .alias("idx"),
+                        F.col("dot_micro").alias("v"),
+                    )
+                )
+            ),
+            lambda s: s.v,
+        ).alias("lut")
+    )
+
+
+def _packed_adc_scores(packed: DataFrame, lut_arrays: DataFrame) -> DataFrame:
+    """(query_id, vec_id, adc_micro) via the packed layout: broadcast
+    the per-query LUT arrays, one exact-integer fold per (vec, query) —
+    identical sums to the skinny join+groupBy formulation (same ints,
+    same adds), so every oracle stays valid."""
+    return (
+        packed.crossJoin(F.broadcast(lut_arrays))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                    lambda c, m: F.element_at(F.col("lut"), m * _PQ_K + c + 1),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("adc_micro"),
+        )
+    )
+
+
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted PQ index artifact, one row per vector: codes
     comma-joined in subspace order (array cells are unhashable in the
@@ -980,11 +1055,16 @@ def topk_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     With the refine stage the decode cost is {_PQ_SHORTLIST} vectors
     per query while the SCAN side stays the M-byte-per-vector code
     table — at 100 TB the full-precision store is touched only by a
-    key-lookup join on the shortlist."""
+    key-lookup join on the shortlist. The ADC stage runs over the
+    PACKED code layout (`_pq_codes_packed`): one map-side fold of 8
+    broadcast-LUT lookups per (vector, query), no join rows, no
+    groupBy — the 100× probe showed the skinny (vec, m) join+groupBy
+    formulation scanning M× the rows and losing to the linear scan it
+    replaces; the packed sums are the identical integers, so the
+    oracle is unchanged."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings")
-    codes = _pq_codes(spark, sf_dir)
     qsub = _pq_subvecs(
         _pq_normalized(e).filter(F.col("vec_id") < _N_QUERIES)
     ).select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qv"))
@@ -999,15 +1079,9 @@ def topk_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dot_micro"),
         )
     )
-    scored = (
-        codes.join(
-            F.broadcast(lut),
-            (codes["m"] == lut["m"]) & (codes["code"] == lut["anchor_id"]),
-        )
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
-        .agg(F.sum("dot_micro").alias("adc_micro"))
-    )
+    scored = _packed_adc_scores(
+        _pq_codes_packed(spark, sf_dir), _pq_query_lut_arrays(lut)
+    ).select("query_id", F.col("vec_id").alias("cand_id"), "adc_micro")
     w_adc = Window.partitionBy("query_id").orderBy(
         F.desc("adc_micro"), F.asc("cand_id")
     )
@@ -1427,7 +1501,16 @@ def hybrid_retrieval_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist disagrees with the exact top-{_HYBRID_RECALL} (the PQ
     pipeline also excludes the query's own vector, as
     `sim_topk_cosine_pq` does — fused output documents the ANN arm,
-    not the anchor)."""
+    not the anchor).
+
+    Measured honestly (PERF.md round 6): at the 100× testbed
+    (200k × 64-dim, in-memory) the two vector arms are at PARITY
+    (~0.55 s each; whole-stage-codegen'd dot products are that cheap
+    at this size, and both RRF totals are dominated by the ~3.7 s
+    BM25 arm). The ADC arm's advantage is structural — 8 bytes/vector
+    scanned vs 512, full-precision store touched only by a 50-row
+    lookup — and materializes when the embedding store stops fitting
+    in memory, not at this testbed's scale."""
     from kafka_flink_streaming_pipeline_spark.operators.text import bm25_scores
 
     bm = (
@@ -1443,7 +1526,6 @@ def hybrid_retrieval_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("r_bm25"),
     )
     e = load_table(spark, sf_dir, "embeddings")
-    codes = _pq_codes(spark, sf_dir)
     qsub = _pq_subvecs(_pq_normalized(e).filter(F.col("vec_id") == 0)).select(
         F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qv")
     )
@@ -1456,13 +1538,10 @@ def hybrid_retrieval_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dot_micro"),
     )
     shortlist = (
-        codes.join(
-            F.broadcast(lut),
-            (codes["m"] == lut["m"]) & (codes["code"] == lut["anchor_id"]),
+        _packed_adc_scores(
+            _pq_codes_packed(spark, sf_dir), _pq_query_lut_arrays(lut)
         )
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy(F.col("vec_id").alias("doc_id"))
-        .agg(F.sum("dot_micro").alias("adc_micro"))
+        .select(F.col("vec_id").alias("doc_id"), "adc_micro")
         .orderBy(F.desc("adc_micro"), "doc_id")
         .limit(_PQ_SHORTLIST)
         .select("doc_id")

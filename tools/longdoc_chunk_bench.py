@@ -79,12 +79,13 @@ def main() -> int:
     # every output column forced through xxhash64
     def run() -> int:
         df = corpus_chunk_windows(spark, str(out))
-        agg = df.agg(
+        agg = df.select(
             F.count("*").alias("n"),
-            *[
-                F.sum(F.xxhash64(c)).alias(f"h_{c}")
-                for c in df.columns
-            ],
+            F.expr(
+                "bit_xor(xxhash64("
+                + ", ".join(f"`{c}`" for c in df.columns)
+                + "))"
+            ).alias("h"),
         )
         return agg.collect()[0]["n"]
 
