@@ -161,6 +161,7 @@ HEADLINE = [
     "curation_token_budget_parts",
     "hybrid_retrieval_rrf_ann",
     "curation_dsir_weights",
+    "curation_dsir_select",
 ]
 
 

@@ -21,7 +21,7 @@ further joins on the same keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_flink_streaming_pipeline_spark.operators.dedup import dedup_exact
@@ -576,7 +576,55 @@ ORDER BY p.doc_id
 """
 
 
+_DSIR_K = 100
+
+
+def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SELECTION step of DSIR: the top-{_DSIR_K} raw-corpus docs by
+    log importance weight (target-split docs excluded — they define the
+    target distribution, they are not candidates). The deterministic
+    rank form of the paper's importance resampling: at 100 TB this is
+    one distributed TakeOrdered over the weights frame — only k rows
+    move — and a probabilistic draw composes the same way through
+    `sample_docs_weighted`'s A-ES race with exp(w) as the weight.
+    Integer weights + doc_id tiebreak keep the frontier exact in both
+    engines."""
+    w = curation_dsir_weights(spark, sf_dir).filter(F.col("doc_id") % 97 != 0)
+    return (
+        w.orderBy(F.desc("log_w_micro"), "doc_id")
+        .limit(_DSIR_K)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("log_w_micro"), "doc_id"))
+            .cast("bigint")
+            .alias("rank"),
+            "doc_id",
+            "n_feats",
+            "log_w_micro",
+        )
+    )
+
+
+_DSIR_SELECT_ORACLE = f"""
+WITH w AS ({_DSIR_ORACLE.replace("ORDER BY p.doc_id", "")})
+SELECT CAST(row_number() OVER (ORDER BY log_w_micro DESC, doc_id) AS BIGINT)
+         AS rank,
+       doc_id, n_feats, log_w_micro
+FROM w
+WHERE doc_id % 97 <> 0
+ORDER BY log_w_micro DESC, doc_id
+LIMIT {_DSIR_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "curation_dsir_select": QuerySpec(
+        "curation_dsir_select",
+        curation_dsir_select,
+        _DSIR_SELECT_ORACLE,
+        "DSIR selection: top-k raw docs by importance weight "
+        "(target split excluded)",
+    ),
     "curation_dsir_weights": QuerySpec(
         "curation_dsir_weights",
         curation_dsir_weights,
