@@ -162,6 +162,7 @@ HEADLINE = [
     "hybrid_retrieval_rrf_ann",
     "curation_dsir_weights",
     "curation_dsir_select",
+    "tokenizer_bpe_pair_counts",
 ]
 
 

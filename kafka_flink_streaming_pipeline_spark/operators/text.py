@@ -13,7 +13,7 @@ across engines regardless of partitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_flink_streaming_pipeline_spark.functions.core import det_round
@@ -568,7 +568,98 @@ FROM scored GROUP BY doc_id
 """
 
 
+_BPE_TOPK = 50
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The core counting step of BPE tokenizer training (Sennrich et
+    al. ACL 2016): frequency of every ADJACENT SYMBOL PAIR over the
+    corpus at the character stage — the pair ranked first is the merge
+    a BPE trainer would perform next. Output: the top {_BPE_TOPK}
+    pairs (rank, a, b, n), ranked with an explicit (a, b) tiebreak so
+    the frontier is exact in both engines; counts are plain BIGINTs.
+
+    Why this is feasible at 100 TB (and why BPE training is): pair
+    counting runs over the WORD-FREQUENCY TABLE, not the corpus — the
+    corpus collapses to its Zipf-bounded vocabulary first (map-side
+    partial agg; the exchange carries |vocab| rows), then pairs
+    explode per DISTINCT word (Σ len(word)−1 over the vocab) with each
+    pair weighted by the word's corpus frequency. A real trainer
+    iterates merge → recount; every iteration is this same
+    vocab-not-corpus-sized job, which is the published reason BPE
+    scales."""
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = F.col("word")
+    pairs = wf.select(
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.struct(
+                    w.substr(i, F.lit(1)).alias("a"),
+                    w.substr(i + 1, F.lit(1)).alias("b"),
+                ),
+            )
+        ).alias("p"),
+    )
+    top = (
+        pairs.groupBy("p.a", "p.b")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), "a", "b")
+        .limit(_BPE_TOPK)
+    )
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), "a", "b"))
+        .cast("bigint")
+        .alias("rank"),
+        "a",
+        "b",
+        "n",
+    )
+
+
+BPE_PAIR_ORACLE = f"""
+WITH wf AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE length(word) >= 2
+  GROUP BY word
+),
+pairs AS (
+  SELECT substr(word, CAST(i AS INTEGER), 1) AS a,
+         substr(word, CAST(i AS INTEGER) + 1, 1) AS b,
+         freq
+  FROM wf, unnest(range(1, length(word))) AS t(i)
+),
+top AS (
+  SELECT a, b, CAST(sum(freq) AS BIGINT) AS n
+  FROM pairs
+  GROUP BY a, b
+  ORDER BY n DESC, a, b
+  LIMIT {_BPE_TOPK}
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, a, b) AS BIGINT) AS rank,
+       a, b, n
+FROM top
+ORDER BY rank
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "tokenizer_bpe_pair_counts": QuerySpec(
+        "tokenizer_bpe_pair_counts",
+        bpe_pair_counts,
+        BPE_PAIR_ORACLE,
+        "BPE training's merge-pair count over the Zipf-bounded vocab "
+        "(top adjacent symbol pairs, corpus-frequency weighted)",
+    ),
     "text_unigram_logprob": QuerySpec(
         "text_unigram_logprob",
         unigram_logprob,

@@ -41,14 +41,13 @@ class QuerySpec:
 #: r6 window (this one): (a) the token-budget BISECT block — the
 #: pure-BIGINT two-step ppm fix plus its division-free parts twin and
 #: the two lineage companions (v2 pipeline, LSH keeper), so a third
-#: red would finally localize to one stage; (b) the 5 round-6
+#: red would finally localize to one stage; (b) the 6 round-6
 #: additions/reworks (sample-capped calibration with the new
 #: sample_ppm column, PQ-armed RRF, the third writeStream artifact);
 #: (c) the 10 fillers the r5 window displaced (r5 verdict ask #2);
 #: (d) all 29 entries whose latest driver witness is still round 1,
-#: plus 2 of the 13 r2-era witnesses (dedup_exact and
-#: decontaminate_against_eval also carry device coverage: exact-dup
-#: lineage and the md5 fingerprint device). The 11 r2-era entries that
+#: plus the oldest r2-era witness that fits (dedup_exact, which
+#: also carries the exact-dup lineage device). The 12 r2-era entries that
 #: don't fit rotate into r7.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # (a) token-budget bisect block
@@ -62,6 +61,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "rollup_stream_materialized",
     "curation_dsir_weights",
     "curation_dsir_select",
+    "tokenizer_bpe_pair_counts",
     # (c) the ten fillers displaced from the r5 window
     "sim_topk_cosine_pandas",
     "dedup_word_jaccard",
@@ -103,9 +103,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "pivot_priority_by_status",
     "percentiles_order_totals",
     "window_analytics_suite",
-    # …and the two oldest r2-era witnesses that fit
+    # …and the oldest r2-era witness that fits
     "dedup_exact",
-    "decontaminate_against_eval",
 )
 
 
