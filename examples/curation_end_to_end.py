@@ -131,8 +131,27 @@ def main() -> None:
     for r in calib.collect():
         print(
             f"  lsh bucket {r.bucket}: recall_ppm={r.recall_ppm} "
-            f"mean_abs_err_ppm={r.mean_abs_err_ppm}"
+            f"mean_abs_err_ppm={r.mean_abs_err_ppm} "
+            f"sample_ppm={r.sample_ppm}"
         )
+
+    # domain tilt (round 6): DSIR importance weights against the eval
+    # split's distribution, and the top-k selection a targeted
+    # fine-tuning mix would take
+    from kafka_flink_streaming_pipeline_spark.operators.curation import (
+        curation_dsir_select,
+        curation_dsir_weights,
+    )
+
+    weights = curation_dsir_weights(spark, args.sf_dir)
+    weights.write.mode("overwrite").parquet(str(out / "dsir_weights.parquet"))
+    sel = curation_dsir_select(spark, args.sf_dir)
+    sel.write.mode("overwrite").parquet(str(out / "dsir_selected.parquet"))
+    top = sel.orderBy("rank").limit(3).collect()
+    print(
+        "dsir: top target-domain docs "
+        + ", ".join(f"#{r.rank} doc {r.doc_id} (w={r.log_w_micro}µ)" for r in top)
+    )
     print("done")
 
 
