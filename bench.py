@@ -163,6 +163,7 @@ HEADLINE = [
     "curation_dsir_weights",
     "curation_dsir_select",
     "tokenizer_bpe_pair_counts",
+    "sim_ann_ivfpq",
 ]
 
 
