@@ -41,11 +41,12 @@ class QuerySpec:
 #: r6 window (this one): (a) the token-budget BISECT block — the
 #: pure-BIGINT two-step ppm fix plus its division-free parts twin and
 #: the two lineage companions (v2 pipeline, LSH keeper), so a third
-#: red would finally localize to one stage; (b) the 6 round-6
+#: red would finally localize to one stage; (b) the 7 round-6
 #: additions/reworks (sample-capped calibration with the new
 #: sample_ppm column, PQ-armed RRF, the third writeStream artifact);
 #: (c) the 10 fillers the r5 window displaced (r5 verdict ask #2);
-#: (d) all 29 entries whose latest driver witness is still round 1,
+#: (d) 28 of the 29 entries whose latest driver witness is still
+#: round 1 (window_analytics_suite rotates to r7),
 #: plus the oldest r2-era witness that fits (dedup_exact, which
 #: also carries the exact-dup lineage device). The 12 r2-era entries that
 #: don't fit rotate into r7.
@@ -62,6 +63,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "curation_dsir_weights",
     "curation_dsir_select",
     "tokenizer_bpe_pair_counts",
+    "sim_ann_ivfpq",
     # (c) the ten fillers displaced from the r5 window
     "sim_topk_cosine_pandas",
     "dedup_word_jaccard",
@@ -102,7 +104,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "cube_order_status_priority",
     "pivot_priority_by_status",
     "percentiles_order_totals",
-    "window_analytics_suite",
     # …and the oldest r2-era witness that fits
     "dedup_exact",
 )
