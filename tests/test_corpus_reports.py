@@ -282,3 +282,46 @@ def test_bpe_pair_counts_conservation(spark):
     )
     vocab_mass = wf.agg(F.sum((F.length("word") - 1) * F.col("freq"))).first()[0]
     assert vocab_mass == total_mass
+
+
+def test_packed_adc_equals_skinny_adc(spark):
+    """The round-6 packed-layout rewrite claims the ADC sums are the
+    IDENTICAL integers the skinny (vec_id, m, code) join+groupBy
+    produced — that equivalence is what lets every PQ oracle survive
+    the rewrite unchanged. Pin it: recompute ADC the skinny way here
+    and compare to `_packed_adc_scores` exactly, all queries, all
+    candidates."""
+    from pyspark.sql import functions as F
+
+    import kafka_flink_streaming_pipeline_spark.operators.similarity as S
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+    e = load_table(spark, SF_CORRECT, "embeddings")
+    qsub = S._pq_subvecs(
+        S._pq_normalized(e).filter(F.col("vec_id") < S._N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qv"))
+    lut = qsub.join(S._pq_anchors(spark, SF_CORRECT), "m").select(
+        "query_id",
+        "m",
+        "anchor_id",
+        F.floor(S._dot(F.col("qv"), F.col("av")) * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("dot_micro"),
+    )
+    codes = S._pq_codes(spark, SF_CORRECT)
+    skinny = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["m"] == lut["m"]) & (codes["code"] == lut["anchor_id"]),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dot_micro").alias("adc_micro"))
+    )
+    packed = S._packed_adc_scores(
+        S._pq_codes_packed(spark, SF_CORRECT), S._pq_query_lut_arrays(lut)
+    )
+    s_rows = {(r.query_id, r.vec_id): r.adc_micro for r in skinny.collect()}
+    p_rows = {(r.query_id, r.vec_id): r.adc_micro for r in packed.collect()}
+    assert s_rows == p_rows
+    assert len(s_rows) > 0
