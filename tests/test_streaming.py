@@ -1164,3 +1164,67 @@ def test_index_extension_closes_the_loop(spark, tmp_path):
     )
     flagged = retry.filter(F.col("is_dup") & (F.col("est_jaccard") == 1.0))
     assert flagged.count() == n_admitted
+
+
+def test_rollup_stream_restart_converges_to_batch(spark, tmp_path):
+    """The incremental-rollup stream job (r6) across a mid-input
+    restart: run on half the files, stop, drop in the rest, restart
+    from the SAME checkpoint — the maintained rollup must equal the
+    one-shot batch rollup over all events (no double-counted dates,
+    no gaps), and a third run with no new input must be a no-op."""
+    import glob
+    import os
+    import shutil
+
+    from kafka_flink_streaming_pipeline_spark.jobs.incremental_rollup import (
+        read_rollup,
+        rollup_frame,
+    )
+    from kafka_flink_streaming_pipeline_spark.streaming.jobs import (
+        rollup_stream_job,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    events.repartition(4).write.parquet(src)
+    files = sorted(glob.glob(f"{src}/part-*.parquet"))
+    assert len(files) == 4
+
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    facts = str(tmp_path / "facts")
+    rollup = str(tmp_path / "rollup")
+    ck = str(tmp_path / "ck")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(live)
+        )
+        q = rollup_stream_job(stream, facts, rollup, ck)
+        assert q.awaitTermination(300)
+
+    for f in files[:2]:
+        shutil.copy(f, live)
+    run_once()
+    partial = read_rollup(spark, rollup)
+    assert 0 < partial.agg(F.sum("n")).first()[0] < events.count()
+
+    for f in files[2:]:
+        shutil.copy(f, live)
+    run_once()
+
+    def canon(df):
+        return {
+            (str(r.d), r.event_type, r.n, r.value_cents, r.users)
+            for r in df.collect()
+        }
+
+    want = canon(rollup_frame(events))
+    assert canon(read_rollup(spark, rollup)) == want
+
+    run_once()  # no new files: must converge, not duplicate
+    assert canon(read_rollup(spark, rollup)) == want
