@@ -617,7 +617,127 @@ LIMIT {_DSIR_K}
 """
 
 
+# --- CCNet-style perplexity buckets (head / middle / tail) -----------------
+
+
+def curation_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al., LREC 2020): per
+    language, sort documents by language-model perplexity and cut the
+    corpus into head / middle / tail at 1/3 and 2/3 of the CUMULATIVE
+    TOKEN MASS — downstream pipelines then train on head(+middle) or
+    re-weight by bucket. Two stand-ins, both documented: the LM score
+    is the corpus's own unigram cross-entropy in integer micro-nats
+    (the model-free proxy `text_unigram_logprob` witnesses; KenLM is
+    not in this container), and `lang` plays CCNet's per-language
+    sharding role.
+
+    Output per (lang, bucket): docs, token mass, and the score range
+    [min, max] in micro-nats — every column VARCHAR/BIGINT, the cut
+    itself pure-BIGINT arithmetic ((3 * cum_tokens_before) DIV
+    total_tokens), ties broken by doc_id, so both engines cut
+    identically.
+
+    Plan shape at 100 TB: unigram table + join as in
+    text_unigram_logprob (vocab-bounded exchange); then ONE shuffle on
+    lang with a sort-within-group for the running token sum — the sort
+    CCNet's published implementation also performs per shard. Langs
+    are few → the per-lang partitions are the parallelism unit; a
+    skewed mega-language would use the two-level prefix-sum device
+    corpus_pack_sequences demonstrates (same operator pair, bucketed)."""
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
+    uni = words.groupBy("word").agg(F.count("*").alias("c"))
+    total = uni.agg(F.sum("c").alias("n_total"))
+    nll_micro = F.floor(
+        F.log(F.col("n_total").cast("double") / F.col("c")) * 1_000_000 + F.lit(0.5)
+    ).cast("long")
+    per_doc = (
+        words.join(uni, "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_words"), F.sum(nll_micro).alias("s"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_words",
+            F.expr("s DIV n_words").alias("nll_avg_micro"),
+        )
+    )
+    order = Window.partitionBy("lang").orderBy("nll_avg_micro", "doc_id")
+    cum_before = F.coalesce(
+        F.sum("n_words").over(order.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    lang_total = F.sum("n_words").over(Window.partitionBy("lang"))
+    bucketed = per_doc.select(
+        "lang",
+        "n_words",
+        "nll_avg_micro",
+        (cum_before * 3).cast("long").alias("cb3"),
+        lang_total.alias("lt"),
+    ).select(
+        "lang",
+        "n_words",
+        "nll_avg_micro",
+        F.element_at(
+            F.lit(["head", "middle", "tail"]), (F.expr("cb3 DIV lt") + 1).cast("int")
+        ).alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_tokens"),
+            F.min("nll_avg_micro").alias("nll_min_micro"),
+            F.max("nll_avg_micro").alias("nll_max_micro"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+_CCNET_ORACLE = """
+WITH words AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
+),
+uni AS (SELECT word, count(*) AS c FROM words GROUP BY word),
+tot AS (SELECT sum(c) AS n_total FROM uni),
+per_doc AS (
+  SELECT w.doc_id, w.lang, count(*) AS n_words,
+         sum(CAST(floor(ln(CAST(t.n_total AS DOUBLE) / u.c) * 1000000 + 0.5)
+                  AS BIGINT)) // count(*) AS nll_avg_micro
+  FROM words w JOIN uni u USING (word) CROSS JOIN tot t
+  GROUP BY w.doc_id, w.lang
+),
+bucketed AS (
+  SELECT lang, n_words, nll_avg_micro,
+         (3 * coalesce(sum(n_words) OVER (
+            PARTITION BY lang ORDER BY nll_avg_micro, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+         // (sum(n_words) OVER (PARTITION BY lang)) AS b
+  FROM per_doc
+)
+SELECT lang,
+       CASE b WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_tokens,
+       CAST(min(nll_avg_micro) AS BIGINT) AS nll_min_micro,
+       CAST(max(nll_avg_micro) AS BIGINT) AS nll_max_micro
+FROM bucketed
+GROUP BY lang, bucket
+ORDER BY lang, bucket
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "curation_ccnet_buckets": QuerySpec(
+        "curation_ccnet_buckets",
+        curation_ccnet_buckets,
+        _CCNET_ORACLE,
+        "CCNet head/middle/tail perplexity buckets per language "
+        "(token-mass terciles of unigram cross-entropy)",
+    ),
     "curation_dsir_select": QuerySpec(
         "curation_dsir_select",
         curation_dsir_select,

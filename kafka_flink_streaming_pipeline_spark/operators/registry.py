@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from kafka_flink_streaming_pipeline_spark.operators import (
     asof,
+    bpe,
     corpus,
     curation,
     datasets,
@@ -21,6 +22,7 @@ from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
 QUERIES: dict[str, QuerySpec] = {}
 for _mod in (
     text,
+    bpe,
     dedup,
     similarity,
     multimodal,

@@ -325,3 +325,102 @@ def test_packed_adc_equals_skinny_adc(spark):
     p_rows = {(r.query_id, r.vec_id): r.adc_micro for r in packed.collect()}
     assert s_rows == p_rows
     assert len(s_rows) > 0
+
+
+def test_bpe_train_fold_and_round1(spark):
+    """BPE trainer invariants. (a) The greedy merge fold reproduces
+    exact BPE semantics on the cases plain string-replace gets wrong:
+    consecutive overlapping runs merge greedily ("a a a a" under (a,a)
+    -> "aa aa") and a pair never merges into the PREFIX of a longer
+    symbol ("q ab abc" under (a,b) unchanged). (b) Round 1 of the
+    trainer equals rank 1 of tokenizer_bpe_pair_counts — the two
+    operators share the counting semantics by construction. (c) The
+    merge table is one row per round, counts positive, and every
+    later-round merge symbol is buildable from earlier merges (symbol
+    length > 1 implies it appeared as some earlier round's a||b or is
+    a single char)."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_streaming_pipeline_spark.operators.bpe import (
+        _TRAIN_ROUNDS,
+        _merge_fold,
+        bpe_train,
+    )
+    from kafka_flink_streaming_pipeline_spark.operators.text import bpe_pair_counts
+
+    cases = spark.createDataFrame(
+        [("a a a a",), ("a b a b x",), ("q ab abc",), ("b a b",)], ["sym"]
+    )
+    got = {
+        r.sym: r.m
+        for r in cases.select(
+            "sym",
+            F.ltrim(_merge_fold(F.col("sym"), F.lit("a"), F.lit("b"))).alias("m"),
+        ).collect()
+    }
+    assert got["a b a b x"] == "ab ab x"
+    assert got["q ab abc"] == "q ab abc"
+    assert got["b a b"] == "b ab"
+    got_aa = {
+        r.sym: r.m
+        for r in cases.select(
+            "sym",
+            F.ltrim(_merge_fold(F.col("sym"), F.lit("a"), F.lit("a"))).alias("m"),
+        ).collect()
+    }
+    assert got_aa["a a a a"] == "aa aa"
+
+    merges = bpe_train(spark, SF_CORRECT).collect()
+    assert [r.round for r in merges] == list(range(1, _TRAIN_ROUNDS + 1))
+    assert all(r.n > 0 for r in merges)
+
+    top1 = bpe_pair_counts(spark, SF_CORRECT).filter("rank = 1").first()
+    assert (merges[0].a, merges[0].b, merges[0].n) == (top1.a, top1.b, top1.n)
+
+    known = {r.a + r.b for r in merges}
+    for r in merges:
+        for s in (r.a, r.b):
+            assert len(s) == 1 or s in known, s
+
+
+def test_ccnet_buckets_invariants(spark):
+    """CCNet bucketing invariants at sf0.01: (a) token mass and doc
+    count conserve per language; (b) the buckets are ordered — every
+    head doc scores <= every middle doc <= every tail doc (ranges
+    don't interleave); (c) the cut is by token mass: each of head and
+    middle holds at least a third of the language's tokens minus one
+    boundary document's worth."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_streaming_pipeline_spark.operators.curation import (
+        curation_ccnet_buckets,
+    )
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+    rows = curation_ccnet_buckets(spark, SF_CORRECT).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    truth = {
+        r.lang: (r.nd, r.nt)
+        for r in docs.select(
+            "lang", "doc_id", F.size(F.split("text", " ")).alias("nw")
+        )
+        .groupBy("lang")
+        .agg(F.count("*").alias("nd"), F.sum("nw").alias("nt"))
+        .collect()
+    }
+    max_doc = docs.select(F.max(F.size(F.split("text", " ")))).first()[0]
+
+    for lang, bs in by_lang.items():
+        nd, nt = truth[lang]
+        assert sum(b.n_docs for b in bs.values()) == nd
+        assert sum(b.n_tokens for b in bs.values()) == nt
+        order = [bs[k] for k in ("head", "middle", "tail") if k in bs]
+        for lo, hi in zip(order, order[1:]):
+            assert lo.nll_max_micro <= hi.nll_min_micro
+        for k in ("head", "middle"):
+            if k in bs:
+                assert bs[k].n_tokens >= nt // 3 - max_doc
