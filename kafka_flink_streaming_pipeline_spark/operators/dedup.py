@@ -1373,7 +1373,185 @@ ORDER BY bucket
 """
 
 
+# --- Bloom-filter exact-span admission gate --------------------------------
+
+_BLOOM_M_BITS = 1 << 18  # filter size (bits); size ~= 14 bits/key for <1% FPR
+_BLOOM_K = 4  # hash functions (md5 hex slices)
+_BLOOM_WORD = 32  # bits per filter word (shifts stay INT-safe in BIGINT)
+
+
+def dedup_bloom_gate_impl(
+    spark: SparkSession, sf_dir: str, m_bits: int = _BLOOM_M_BITS, k: int = _BLOOM_K
+) -> DataFrame:
+    """Bloom-filter ingest gate for EXACT-SUBSTRING contamination: does
+    an incoming document repeat any {_SPAN_W}-word span already in the
+    corpus (the Lee et al. ACL 2022 memorization window, same span
+    device as `dedup_span_exact`)? The corpus side (doc_id % 3 != 0,
+    the corpus-so-far split `dedup_incoming_vs_corpus` uses) collapses
+    to an m-bit Bloom filter stored as m/{_BLOOM_WORD} (word, bits)
+    BIGINT rows; every incoming span probes its k md5-derived bit
+    positions against the broadcast filter; only BLOOM-HIT spans reach
+    the exact verify join. Output per incoming doc: span totals, bloom
+    hits, verified true hits, and the contamination verdict — with
+    n_true_hits <= n_bloom_hits structurally (no false negatives;
+    pinned in tests with a deliberately undersized filter that
+    exhibits false positives while still admitting every true hit).
+
+    Scale shape (100 TB): the corpus span stream feeds a bit_or
+    aggregate that is map-side combinable and whose exchange carries
+    at most m/{_BLOOM_WORD} rows REGARDLESS of corpus size; the filter
+    broadcasts (m=2^18 → 32 KiB); incoming spans probe it without
+    shuffling the corpus. Only the hit sliver (true hits + ~FPR of
+    probes) pays the verify join against the real span set — the
+    published reason ingest dedup fronts the span join with a Bloom
+    filter. At production span cardinality m scales with the corpus
+    (~14 bits per distinct span for sub-1% FPR at k=4) and the filter
+    table stays broadcastable to ~10^10 spans (40 GB would not — at
+    that point the same plan shards the filter by pos range and the
+    probe co-partitions, one extra exchange on the INCOMING side
+    only)."""
+    d = _docs_parallel(spark, sf_dir).select("doc_id", F.split("text", " ").alias("ws"))
+    n = F.size("ws")
+    idx = F.when(n >= _SPAN_W, F.sequence(F.lit(1), n - (_SPAN_W - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    spans = F.transform(
+        idx,
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", *[F.element_at(F.col("ws"), i + j) for j in range(_SPAN_W)]
+            )
+        ),
+    )
+    doc_spans = (
+        d.select("doc_id", F.explode(spans).alias("key")).distinct()
+    )  # set semantics per doc, as in span_dup_fractions
+    corpus_keys = (
+        doc_spans.filter(F.col("doc_id") % 3 != 0).select("key").distinct()
+    )
+    incoming_spans = doc_spans.filter(F.col("doc_id") % 3 == 0)
+    incoming_docs = incoming_spans.select("doc_id").distinct()
+
+    def pos_rows(frame: DataFrame, cols: list) -> DataFrame:
+        hexpos = [
+            F.conv(F.substring("key", 1 + 7 * j, 7), 16, 10).cast("bigint") % m_bits
+            for j in range(k)
+        ]
+        return frame.select(*cols, F.explode(F.array(*hexpos)).alias("pos")).select(
+            *cols,
+            F.expr(f"pos DIV {_BLOOM_WORD}").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD} AS INT))"
+            ).alias("mask"),
+        )
+
+    bloom = (
+        pos_rows(corpus_keys, [])
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    probe = (
+        pos_rows(incoming_spans, ["doc_id", "key"])
+        .join(F.broadcast(bloom), "word", "left")
+        .groupBy("doc_id", "key")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("bits").isNotNull()
+                        & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask")),
+                        1,
+                    ).otherwise(0)
+                )
+                == k
+            ).alias("bloom_hit")
+        )
+    )
+    true_hits = (
+        probe.filter("bloom_hit")
+        .join(corpus_keys, "key", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_true_hits"))
+    )
+    per_doc = probe.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bloom_hits"),
+    )
+    return (
+        incoming_docs.join(per_doc, "doc_id", "left")
+        .join(true_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("n_bloom_hits", F.lit(0)).cast("bigint").alias("n_bloom_hits"),
+            F.coalesce("n_true_hits", F.lit(0)).cast("bigint").alias("n_true_hits"),
+            (F.coalesce("n_true_hits", F.lit(0)) >= 1).alias("contaminated"),
+        )
+    )  # one row per incoming doc — unsorted
+
+
+def dedup_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_bloom_gate_impl(spark, sf_dir)
+
+
+def _bloom_gate_oracle(m_bits: int = _BLOOM_M_BITS, k: int = _BLOOM_K) -> str:
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+doc_spans AS (
+  SELECT DISTINCT doc_id,
+         md5(list_aggregate(ws[CAST(u.i AS INTEGER):CAST(u.i AS INTEGER) + {_SPAN_W - 1}],
+                            'string_agg', ' ')) AS key
+  FROM w, unnest(range(1, len(ws) - {_SPAN_W - 2})) AS u(i)
+),
+corpus_keys AS (SELECT DISTINCT key FROM doc_spans WHERE doc_id % 3 != 0),
+bloom AS (
+  SELECT pos // {_BLOOM_WORD} AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_WORD} AS INTEGER)) AS bits
+  FROM (
+    SELECT DISTINCT
+           CAST(('0x' || substr(key, 1 + 7 * u.j, 7)) AS BIGINT) % {m_bits} AS pos
+    FROM corpus_keys, unnest(range(0, {k})) AS u(j)
+  ) GROUP BY 1
+),
+ipos AS (
+  SELECT doc_id, key,
+         CAST(('0x' || substr(key, 1 + 7 * u.j, 7)) AS BIGINT) % {m_bits} AS pos
+  FROM doc_spans, unnest(range(0, {k})) AS u(j)
+  WHERE doc_id % 3 = 0
+),
+probe AS (
+  SELECT i.doc_id, i.key,
+         (sum(CASE WHEN b.bits IS NOT NULL
+                    AND (b.bits & (CAST(1 AS BIGINT) << CAST(i.pos % {_BLOOM_WORD} AS INTEGER)))
+                        = (CAST(1 AS BIGINT) << CAST(i.pos % {_BLOOM_WORD} AS INTEGER))
+               THEN 1 ELSE 0 END) = {k}) AS bloom_hit
+  FROM ipos i
+  LEFT JOIN bloom b ON b.word = i.pos // {_BLOOM_WORD}
+  GROUP BY i.doc_id, i.key
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+       CAST(sum(CASE WHEN bloom_hit AND key IN (SELECT key FROM corpus_keys)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_true_hits,
+       sum(CASE WHEN bloom_hit AND key IN (SELECT key FROM corpus_keys)
+           THEN 1 ELSE 0 END) >= 1 AS contaminated
+FROM probe
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_bloom_gate": QuerySpec(
+        "dedup_bloom_gate",
+        dedup_bloom_gate,
+        _bloom_gate_oracle(),
+        "Bloom-filter span-contamination ingest gate: corpus 8-word "
+        "spans as a broadcast bit table, probe-then-verify (no false "
+        "negatives; verify join pays only for bloom hits)",
+    ),
     "dedup_lsh_calibration": QuerySpec(
         "dedup_lsh_calibration",
         dedup_lsh_calibration,

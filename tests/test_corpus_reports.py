@@ -424,3 +424,60 @@ def test_ccnet_buckets_invariants(spark):
         for k in ("head", "middle"):
             if k in bs:
                 assert bs[k].n_tokens >= nt // 3 - max_doc
+
+
+def test_bloom_gate_no_false_negatives(spark):
+    """Bloom-gate invariants. At the registered filter size:
+    n_true_hits <= n_bloom_hits <= n_spans per doc, and the set of
+    contaminated docs (plus their exact true-hit counts) agrees with
+    the ground-truth span join — and is non-empty, so the witness has
+    real signal. With a deliberately undersized 1024-bit filter the
+    gate must EXHIBIT false positives (n_bloom_hits > n_true_hits
+    somewhere) yet still report the identical true hits — the
+    no-false-negative property is structural, not a sizing
+    accident."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_streaming_pipeline_spark.operators.dedup import (
+        _SPAN_W,
+        _docs_parallel,
+        dedup_bloom_gate,
+        dedup_bloom_gate_impl,
+    )
+
+    rows = dedup_bloom_gate(spark, SF_CORRECT).collect()
+    assert all(0 <= r.n_true_hits <= r.n_bloom_hits <= r.n_spans for r in rows)
+    assert all(r.contaminated == (r.n_true_hits >= 1) for r in rows)
+
+    d = _docs_parallel(spark, SF_CORRECT).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    nn = F.size("ws")
+    idx = F.when(nn >= _SPAN_W, F.sequence(F.lit(1), nn - (_SPAN_W - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    spans = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("ws"), i + j) for j in range(_SPAN_W)]
+        ),
+    )
+    doc_spans = d.select("doc_id", F.explode(spans).alias("s")).distinct()
+    truth = {
+        (r.doc_id, r.n)
+        for r in doc_spans.filter(F.col("doc_id") % 3 == 0)
+        .join(
+            doc_spans.filter(F.col("doc_id") % 3 != 0).select("s").distinct(),
+            "s",
+            "left_semi",
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {(r.doc_id, r.n_true_hits) for r in rows if r.n_true_hits > 0} == truth
+    assert len(truth) > 0  # real contamination signal at test scale
+
+    tiny = dedup_bloom_gate_impl(spark, SF_CORRECT, m_bits=1024, k=2).collect()
+    assert {(r.doc_id, r.n_true_hits) for r in tiny if r.n_true_hits > 0} == truth
+    assert any(r.n_bloom_hits > r.n_true_hits for r in tiny)  # FPs exhibited
