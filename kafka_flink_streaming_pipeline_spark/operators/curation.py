@@ -705,17 +705,17 @@ uni AS (SELECT word, count(*) AS c FROM words GROUP BY word),
 tot AS (SELECT sum(c) AS n_total FROM uni),
 per_doc AS (
   SELECT w.doc_id, w.lang, count(*) AS n_words,
-         sum(CAST(floor(ln(CAST(t.n_total AS DOUBLE) / u.c) * 1000000 + 0.5)
-                  AS BIGINT)) // count(*) AS nll_avg_micro
+         CAST(sum(CAST(floor(ln(CAST(t.n_total AS DOUBLE) / u.c) * 1000000 + 0.5)
+                  AS BIGINT)) AS BIGINT) // count(*) AS nll_avg_micro
   FROM words w JOIN uni u USING (word) CROSS JOIN tot t
   GROUP BY w.doc_id, w.lang
 ),
 bucketed AS (
   SELECT lang, n_words, nll_avg_micro,
-         (3 * coalesce(sum(n_words) OVER (
+         (3 * CAST(coalesce(sum(n_words) OVER (
             PARTITION BY lang ORDER BY nll_avg_micro, doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
-         // (sum(n_words) OVER (PARTITION BY lang)) AS b
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT))
+         // CAST(sum(n_words) OVER (PARTITION BY lang) AS BIGINT) AS b
   FROM per_doc
 )
 SELECT lang,

@@ -568,6 +568,103 @@ FROM scored GROUP BY doc_id
 """
 
 
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under an add-one-smoothed BIGRAM
+    language model estimated on the corpus itself — one modeling step
+    past `text_unigram_logprob` toward the KenLM n-gram scorers CCNet
+    runs (KenLM is not in this container; a 2-gram model with Laplace
+    smoothing is the standard in-engine formulation).
+    Per bigram occurrence: nll = ln((c(w1) + V) / (c(w1,w2) + 1)),
+    V = unigram vocabulary size — rounded ONCE to integer micro-nats
+    (the transcendental-rounding discipline), per-doc sum exact
+    integer, one floor division at the end. Docs shorter than 2 words
+    would drop out (none in testdata).
+
+    Plan shape at 100 TB: bigram extraction is map-side (adjacent
+    pairs from the pre-split words array — no self-join on position);
+    the bigram-TYPE table is Zipf-bounded like the vocab, so the
+    expensive exchanges carry |bigram vocab| rows; V is a broadcast
+    1-row aggregate; the corpus-sized stream pays one hash join
+    against the scored type table and one per-doc aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    doc_bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(ws) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - 1),
+                    lambda i: F.struct(
+                        F.element_at(ws, i).alias("w1"),
+                        F.element_at(ws, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    uni = (
+        d.select(F.explode(ws).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = uni.agg(F.count("*").alias("v"))
+    btypes = (
+        doc_bigrams.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                F.log((F.col("c1") + F.col("v")).cast("double") / (F.col("c12") + 1))
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("nll_u"),
+        )
+    )
+    return (
+        doc_bigrams.join(btypes, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("nll_u").alias("s"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("s DIV n_bigrams").alias("nll_avg_micro"),
+        )
+    )  # corpus-sized per-doc output, unsorted
+
+
+BIGRAM_LOGPROB_ORACLE = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+doc_bigrams AS (
+  SELECT doc_id, ws[CAST(i AS INTEGER)] AS w1, ws[CAST(i AS INTEGER) + 1] AS w2
+  FROM d, unnest(range(1, len(ws))) AS u(i)
+),
+uni AS (
+  SELECT w1, count(*) AS c1
+  FROM (SELECT unnest(ws) AS w1 FROM d)
+  GROUP BY w1
+),
+vocab AS (SELECT count(*) AS v FROM uni),
+btypes AS (
+  SELECT b.w1, b.w2,
+         CAST(floor(ln(CAST(u.c1 + t.v AS DOUBLE) / (count(*) + 1)) * 1000000 + 0.5)
+              AS BIGINT) AS nll_u
+  FROM doc_bigrams b JOIN uni u USING (w1) CROSS JOIN vocab t
+  GROUP BY b.w1, b.w2, u.c1, t.v
+)
+SELECT db.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(s.nll_u) AS BIGINT) // count(*) AS nll_avg_micro
+FROM doc_bigrams db JOIN btypes s ON db.w1 = s.w1 AND db.w2 = s.w2
+GROUP BY db.doc_id
+"""
+
+
 _BPE_TOPK = 50
 
 
@@ -659,6 +756,13 @@ QUERIES: dict[str, QuerySpec] = {
         BPE_PAIR_ORACLE,
         "BPE training's merge-pair count over the Zipf-bounded vocab "
         "(top adjacent symbol pairs, corpus-frequency weighted)",
+    ),
+    "text_bigram_logprob": QuerySpec(
+        "text_bigram_logprob",
+        bigram_logprob,
+        BIGRAM_LOGPROB_ORACLE,
+        "per-doc cross-entropy under an add-one-smoothed corpus bigram LM "
+        "(KenLM-style scorer, integer micro-nats)",
     ),
     "text_unigram_logprob": QuerySpec(
         "text_unigram_logprob",

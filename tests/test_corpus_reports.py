@@ -481,3 +481,28 @@ def test_bloom_gate_no_false_negatives(spark):
     tiny = dedup_bloom_gate_impl(spark, SF_CORRECT, m_bits=1024, k=2).collect()
     assert {(r.doc_id, r.n_true_hits) for r in tiny if r.n_true_hits > 0} == truth
     assert any(r.n_bloom_hits > r.n_true_hits for r in tiny)  # FPs exhibited
+
+
+def test_bigram_logprob_invariants(spark):
+    """Bigram-LM scorer invariants: one row per doc, n_bigrams equals
+    word count minus one, and every score is a non-negative integer
+    (add-one smoothing guarantees c1 + V > c12 + 1, so each term's ln
+    is positive)."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_streaming_pipeline_spark.operators.text import bigram_logprob
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+    out = bigram_logprob(spark, SF_CORRECT)
+    docs = load_table(spark, SF_CORRECT, "documents")
+    assert out.count() == docs.count()
+    bad = (
+        out.join(
+            docs.select("doc_id", F.size(F.split("text", " ")).alias("nw")), "doc_id"
+        )
+        .filter(
+            (F.col("n_bigrams") != F.col("nw") - 1) | (F.col("nll_avg_micro") < 0)
+        )
+        .count()
+    )
+    assert bad == 0
