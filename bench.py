@@ -164,6 +164,11 @@ HEADLINE = [
     "curation_dsir_select",
     "tokenizer_bpe_pair_counts",
     "sim_ann_ivfpq",
+    # late round-6 additions
+    "tokenizer_bpe_train",
+    "curation_ccnet_buckets",
+    "dedup_bloom_gate",
+    "text_bigram_logprob",
 ]
 
 

@@ -41,15 +41,19 @@ class QuerySpec:
 #: r6 window (this one): (a) the token-budget BISECT block — the
 #: pure-BIGINT two-step ppm fix plus its division-free parts twin and
 #: the two lineage companions (v2 pipeline, LSH keeper), so a third
-#: red would finally localize to one stage; (b) the 7 round-6
+#: red would finally localize to one stage; (b) the 11 round-6
 #: additions/reworks (sample-capped calibration with the new
-#: sample_ppm column, PQ-armed RRF, the third writeStream artifact);
-#: (c) the 10 fillers the r5 window displaced (r5 verdict ask #2);
-#: (d) 28 of the 29 entries whose latest driver witness is still
-#: round 1 (window_analytics_suite rotates to r7),
-#: plus the oldest r2-era witness that fits (dedup_exact, which
-#: also carries the exact-dup lineage device). The 12 r2-era entries that
-#: don't fit rotate into r7.
+#: sample_ppm column, PQ-armed RRF, the third writeStream artifact,
+#: and the late-round BPE trainer / CCNet buckets / Bloom span gate /
+#: bigram LM scorer); (c) the 10 fillers the r5 window displaced
+#: (r5 verdict ask #2); (d) 24 of the 29 entries whose latest driver
+#: witness is still round 1 (window_analytics_suite,
+#: rollup_revenue_region_nation, cube_order_status_priority,
+#: pivot_priority_by_status and percentiles_order_totals rotate to
+#: r7 — displaced by the four never-checked late additions, which
+#: outrank stale-green re-checks), plus the oldest r2-era witness
+#: that fits (dedup_exact, which also carries the exact-dup lineage
+#: device). The 12 r2-era entries that don't fit rotate into r7.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # (a) token-budget bisect block
     "curation_token_budget",
@@ -64,6 +68,10 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "curation_dsir_select",
     "tokenizer_bpe_pair_counts",
     "sim_ann_ivfpq",
+    "tokenizer_bpe_train",
+    "curation_ccnet_buckets",
+    "dedup_bloom_gate",
+    "text_bigram_logprob",
     # (c) the ten fillers displaced from the r5 window
     "sim_topk_cosine_pandas",
     "dedup_word_jaccard",
@@ -100,10 +108,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "rolling_revenue_30d",
     "tpch_q2_max_balance_supplier",
     "set_ops_customer_cohorts",
-    "rollup_revenue_region_nation",
-    "cube_order_status_priority",
-    "pivot_priority_by_status",
-    "percentiles_order_totals",
     # …and the oldest r2-era witness that fits
     "dedup_exact",
 )
