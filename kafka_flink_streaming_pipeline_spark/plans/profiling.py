@@ -1014,7 +1014,98 @@ ORDER BY l1.day
 """
 
 
+# --- privacy: k-anonymity profile -----------------------------------------
+
+_KANON_RISK = 5  # classes smaller than this are "at risk" (Sweeney's k)
+
+
+def _k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity profile (Sweeney 2002) of the events table under
+    the quasi-identifier (event_type, hour-of-day, props.k): how big
+    are the equivalence classes a re-identification attack would
+    intersect? Output per class-size bucket: classes, rows, row share
+    (integer ppm), and the distinct-user floor (the l-diversity
+    signal: a bucket whose min_users is 1 contains classes that pin a
+    single user). The release gate a training-data pipeline runs
+    before shipping event-derived features.
+
+    Plan shape at 100 TB: one groupBy over the QI triple (map-side
+    combinable; class table ≪ corpus), then a ~4-row rollup —
+    aggregation-shaped, no joins, no Python. The total for the ppm
+    share is a broadcast 1-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    classes = (
+        ev.select(
+            "event_type",
+            F.date_format("ts", "HH").alias("hh"),
+            F.variant_get(F.parse_json("props"), "$.k", "int").alias("pk"),
+            "user_id",
+        )
+        .groupBy("event_type", "hh", "pk")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    bucket = (
+        F.when(F.col("n") == 1, "1")
+        .when(F.col("n") < _KANON_RISK, f"2-{_KANON_RISK - 1}")
+        .when(F.col("n") < 2 * _KANON_RISK, f"{_KANON_RISK}-{2 * _KANON_RISK - 1}")
+        .otherwise(f"{2 * _KANON_RISK}+")
+    )
+    total = ev.groupBy().agg(F.count("*").alias("t"))
+    return (
+        classes.select(bucket.alias("class_size"), "n", "n_users")
+        .groupBy("class_size")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.min("n_users").cast("bigint").alias("min_users"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "class_size",
+            "n_classes",
+            "n_rows",
+            F.expr("n_rows * 1000000 DIV t").alias("row_share_ppm"),
+            "min_users",
+        )
+        .orderBy("class_size")
+    )
+
+
+_K_ANONYMITY_ORACLE = f"""
+WITH classes AS (
+  SELECT event_type, strftime(ts, '%H') AS hh,
+         CAST(json_extract(props, '$.k') AS INT) AS pk,
+         count(*) AS n, count(DISTINCT user_id) AS n_users
+  FROM events
+  GROUP BY 1, 2, 3
+),
+tot AS (SELECT count(*) AS t FROM events)
+SELECT CASE WHEN n = 1 THEN '1'
+            WHEN n < {_KANON_RISK} THEN '2-{_KANON_RISK - 1}'
+            WHEN n < {2 * _KANON_RISK} THEN '{_KANON_RISK}-{2 * _KANON_RISK - 1}'
+            ELSE '{2 * _KANON_RISK}+' END AS class_size,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(sum(n) AS BIGINT) * 1000000 // t AS row_share_ppm,
+       CAST(min(n_users) AS BIGINT) AS min_users
+FROM classes CROSS JOIN tot
+GROUP BY class_size, t
+ORDER BY class_size
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "privacy_k_anonymity": QuerySpec(
+        "privacy_k_anonymity",
+        _k_anonymity,
+        _K_ANONYMITY_ORACLE,
+        "k-anonymity equivalence-class profile of events under the "
+        "(event_type, hour, props.k) quasi-identifier, with "
+        "distinct-user floor per size bucket",
+    ),
     "profile_category_drift": QuerySpec(
         "profile_category_drift",
         _category_drift,

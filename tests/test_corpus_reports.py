@@ -506,3 +506,23 @@ def test_bigram_logprob_invariants(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_k_anonymity_conserves_rows(spark):
+    """K-anonymity profile invariants: row mass conserves to the
+    events table, ppm shares sum to ~1e6 (floor rounding loses at
+    most one ppm per bucket), every bucket's min_users >= 1, and the
+    singleton bucket (if present) has min_users == 1."""
+    from kafka_flink_streaming_pipeline_spark.plans.profiling import _k_anonymity
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+    rows = _k_anonymity(spark, SF_CORRECT).collect()
+    n_events = load_table(spark, SF_CORRECT, "events").count()
+    assert sum(r.n_rows for r in rows) == n_events
+    share = sum(r.row_share_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= share <= 1_000_000
+    for r in rows:
+        assert r.min_users >= 1
+        assert r.n_classes >= 1
+        if r.class_size == "1":
+            assert r.min_users == 1

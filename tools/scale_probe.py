@@ -43,10 +43,14 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     plans = merged()
 
-    def materialize(df) -> tuple[int, float]:
-        # bench.py's exact expression: bit_xor (never sum — summing
+    def materialize(build) -> tuple[int, float]:
+        # bench.py's exact discipline: the timer starts BEFORE build()
+        # so eager-at-build operators (localCheckpoint loops, persisted
+        # index builds) are inside the measurement, and the expression
+        # is bit_xor of xxhash64 over every column (never sum — summing
         # uniform 64-bit hashes overflows LONG under ANSI)
         t0 = time.time()
+        df = build()
         row = df.select(
             F.count("*").alias("n"),
             F.expr(
@@ -64,9 +68,9 @@ def main() -> int:
             print(json.dumps({"name": name, "error": "not in registry"}))
             continue
         try:
-            materialize(spec.build(spark, sf_dir))  # warm: codegen + shared subtrees
+            materialize(lambda: spec.build(spark, sf_dir))  # warm: codegen + shared subtrees
             spark.catalog.clearCache()
-            n, dt = materialize(spec.build(spark, sf_dir))
+            n, dt = materialize(lambda: spec.build(spark, sf_dir))
             out[name] = round(dt, 2)
             print(json.dumps({"name": name, "rows": n, "sec": round(dt, 2)}), flush=True)
         except Exception as e:  # noqa: BLE001 — probe reports, never dies
