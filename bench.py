@@ -166,9 +166,11 @@ HEADLINE = [
     "sim_ann_ivfpq",
     # late round-6 additions
     "tokenizer_bpe_train",
+    "tokenizer_bpe_apply",
     "curation_ccnet_buckets",
     "dedup_bloom_gate",
     "text_bigram_logprob",
+    "privacy_k_anonymity",
 ]
 
 

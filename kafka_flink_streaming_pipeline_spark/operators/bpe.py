@@ -1,12 +1,15 @@
-"""BPE tokenizer TRAINING (Sennrich et al., ACL 2016): the iterative
-merge loop, not just one pair-count pass.
+"""BPE tokenizer TRAINING and APPLICATION (Sennrich et al., ACL 2016):
+the iterative merge loop and the tokenizer it produces — not just one
+pair-count pass.
 
 `tokenizer_bpe_pair_counts` (operators/text.py) witnesses the counting
 step; this module runs the actual training iteration N times over the
 corpus vocabulary and emits the learned merge table — the `merges.txt`
-a BPE trainer ships:
+a BPE trainer ships — plus the corpus compression curve, and then
+TOKENIZES the corpus with the learned merges:
 
-    round | a | b | n        (merge round, merged pair, its count)
+    tokenizer_bpe_train: round | a | b | n | corpus_tokens_after
+    tokenizer_bpe_apply: doc_id | n_words | n_char_tokens | n_bpe_tokens
 
 Algorithm, identical text in both engines:
 
@@ -18,7 +21,13 @@ Algorithm, identical text in both engines:
 3. Per round: count adjacent symbol pairs weighted by word frequency;
    pick argmax with an explicit (n DESC, a, b) tiebreak so both
    engines choose the same pair; rewrite every word's symbol string by
-   the standard greedy left-to-right merge.
+   the standard greedy left-to-right merge; report the corpus token
+   count after the rewrite (Σ freq · |symbols|, the compression curve
+   a tokenizer-training run plots).
+4. Apply: each document's token count under the trained tokenizer is
+   one join of its word stream against the final word → symbol-count
+   table (1-char words, excluded from training by the length filter,
+   are single tokens by definition).
 
 The merge rewrite is a LEFT FOLD over the token list with a string
 accumulator (Spark `F.aggregate`, DuckDB `list_reduce` with a
@@ -34,14 +43,16 @@ Determinism contract: every output column is VARCHAR or BIGINT; the
 only ordering device is the (n DESC, a, b) tiebreak on ASCII-lowercase
 symbols — no floats, no rounding, no hash functions.
 
-Scale notes (100 TB): the corpus is touched once (step 1); each of the
-N rounds is explode + hash-agg + a 1-row TakeOrdered over the
-Zipf-bounded vocab, with the 1-row best pair broadcast back. The
-per-round `localCheckpoint` truncates the lineage so the plan stays
-O(1) per round instead of doubling (best_r and syms_r would otherwise
-each re-embed syms_{r-1}). The fold is an interpreted higher-order
-function, but it runs over |vocab| rows x ~word-length tokens — far
-off the corpus-sized hot path.
+Scale notes (100 TB): the corpus is touched once per query (the vocab
+collapse; the apply join streams it a second time against the
+Zipf-bounded vocab map — broadcast when the vocab fits, shuffle-on-word
+otherwise). Each of the N rounds is explode + hash-agg + a 1-row
+TakeOrdered over the vocab, with the 1-row best pair broadcast back.
+The per-round `localCheckpoint` truncates the lineage so the plan
+stays O(1) per round instead of doubling (best_r and syms_r would
+otherwise each re-embed syms_{r-1}). The fold is an interpreted
+higher-order function, but it runs over |vocab| rows x ~word-length
+tokens — far off the corpus-sized hot path.
 
 Reference scope: the reference pipeline (flink-jobs/*.sql) has no
 tokenizer trainer; this is part of the training-data-pipeline
@@ -100,10 +111,12 @@ def _pair_counts(syms: DataFrame) -> DataFrame:
     return pairs.groupBy("p.a", "p.b").agg(F.sum("freq").alias("n"))
 
 
-def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run {_TRAIN_ROUNDS} BPE merge rounds; return the merge table
-    (round, a, b, n) — the head of the trained tokenizer's merge
-    list."""
+def _train_state(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[DataFrame], DataFrame]:
+    """Run the merge loop. Returns ([per-round 1-row merge DataFrames
+    with the post-rewrite corpus token count], final (word, freq, sym)
+    state). Everything localCheckpointed — vocab-sized frames."""
     d = load_table(spark, sf_dir, "documents")
     wf = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -112,6 +125,7 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("freq"))
     )
     syms = wf.select(
+        "word",
         "freq",
         F.rtrim(F.regexp_replace("word", "(.)", "$1 ")).alias("sym"),
     ).localCheckpoint()
@@ -124,30 +138,78 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .localCheckpoint()
         )
-        bests.append(best.select(F.lit(r).cast("bigint").alias("round"), "a", "b", "n"))
-        if r < _TRAIN_ROUNDS:
-            syms = (
-                syms.crossJoin(F.broadcast(best.select("a", "b")))
-                .select(
-                    "freq",
-                    F.ltrim(
-                        _merge_fold(F.col("sym"), F.col("a"), F.col("b"))
-                    ).alias("sym"),
-                )
-                .localCheckpoint()
+        syms = (
+            syms.crossJoin(F.broadcast(best.select("a", "b")))
+            .select(
+                "word",
+                "freq",
+                F.ltrim(_merge_fold(F.col("sym"), F.col("a"), F.col("b"))).alias(
+                    "sym"
+                ),
             )
+            .localCheckpoint()
+        )
+        tokens_after = syms.agg(
+            F.sum(F.col("freq") * F.size(F.split("sym", " ")))
+            .cast("bigint")
+            .alias("corpus_tokens_after")
+        )
+        bests.append(
+            best.select(
+                F.lit(r).cast("bigint").alias("round"), "a", "b", "n"
+            ).crossJoin(F.broadcast(tokens_after))
+        )
+    return bests, syms
 
+
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run {_TRAIN_ROUNDS} BPE merge rounds; return the merge table
+    (round, a, b, n, corpus_tokens_after) — the head of the trained
+    tokenizer's merge list plus the compression curve."""
+    bests, _ = _train_state(spark, sf_dir)
     out = bests[0]
     for b in bests[1:]:
         out = out.unionAll(b)
     return out.orderBy("round")
 
 
-def _bpe_train_oracle(rounds: int = _TRAIN_ROUNDS) -> str:
-    """Stage-unrolled DuckDB twin: same vocab collapse, same guarded
-    pair extraction, same (n DESC, a, b) argmax, same list_reduce
-    greedy fold (sentinel-prepended so the accumulator is the
-    space-prefixed joined string from the first real token on)."""
+def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize every document with the trained merges: per doc, the
+    word count, the character-stage token count (Σ len(word) over
+    trainable words + 1 per short word), and the BPE token count under
+    the final symbol state. The per-word symbol counts come from ONE
+    join of the corpus word stream against the (word → |symbols|)
+    map; 1-char words (below the trainer's length filter) count one
+    token each in both columns."""
+    _, syms = _train_state(spark, sf_dir)
+    vocab = syms.select(
+        "word", F.size(F.split("sym", " ")).alias("n_syms")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    return (
+        words.join(vocab, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(
+                F.when(F.length("word") >= 2, F.length("word")).otherwise(1)
+            )
+            .cast("bigint")
+            .alias("n_char_tokens"),
+            F.sum(F.coalesce("n_syms", F.lit(1))).cast("bigint").alias(
+                "n_bpe_tokens"
+            ),
+        )
+    )  # corpus-sized per-doc output, unsorted
+
+
+def _syms_ctes(rounds: int) -> str:
+    """The shared stage-unrolled DuckDB training pipeline: wf → syms_0
+    → (pc_r, best_r, syms_r, tok_r) per round. Same vocab collapse,
+    same guarded pair extraction, same (n DESC, a, b) argmax, same
+    list_reduce greedy fold (sentinel-prepended so the accumulator is
+    the space-prefixed joined string from the first real token on)."""
     parts = [
         r"""WITH wf AS (
   SELECT word, count(*) AS freq
@@ -156,7 +218,7 @@ def _bpe_train_oracle(rounds: int = _TRAIN_ROUNDS) -> str:
   GROUP BY word
 ),
 syms_0 AS (
-  SELECT freq, rtrim(regexp_replace(word, '(.)', '\1 ', 'g')) AS sym FROM wf
+  SELECT word, freq, rtrim(regexp_replace(word, '(.)', '\1 ', 'g')) AS sym FROM wf
 )"""
     ]
     for r in range(1, rounds + 1):
@@ -172,7 +234,7 @@ pc_{r} AS (
 ),
 best_{r} AS (SELECT a, b, n FROM pc_{r} ORDER BY n DESC, a, b LIMIT 1),
 syms_{r} AS (
-  SELECT s.freq,
+  SELECT s.word, s.freq,
          ltrim(list_reduce(
            list_prepend('', string_split(s.sym, ' ')),
            (acc, x) -> CASE
@@ -181,14 +243,44 @@ syms_{r} AS (
              ELSE acc || ' ' || x END
          )) AS sym
   FROM syms_{r - 1} s CROSS JOIN best_{r} b
+),
+tok_{r} AS (
+  SELECT CAST(sum(freq * len(string_split(sym, ' '))) AS BIGINT)
+           AS corpus_tokens_after
+  FROM syms_{r}
 )"""
         )
+    return "".join(parts)
+
+
+def _bpe_train_oracle(rounds: int = _TRAIN_ROUNDS) -> str:
     union = "\nUNION ALL\n".join(
-        f"SELECT CAST({r} AS BIGINT) AS round, a, b, n FROM best_{r}"
+        f"SELECT CAST({r} AS BIGINT) AS round, a, b, n, corpus_tokens_after "
+        f"FROM best_{r} CROSS JOIN tok_{r}"
         for r in range(1, rounds + 1)
     )
-    parts.append("\n" + union + "\nORDER BY round")
-    return "".join(parts)
+    return _syms_ctes(rounds) + "\n" + union + "\nORDER BY round"
+
+
+def _bpe_apply_oracle(rounds: int = _TRAIN_ROUNDS) -> str:
+    return (
+        _syms_ctes(rounds)
+        + f""",
+vocab AS (
+  SELECT word, len(string_split(sym, ' ')) AS n_syms FROM syms_{rounds}
+),
+dw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT dw.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(CASE WHEN length(dw.word) >= 2 THEN length(dw.word) ELSE 1 END)
+            AS BIGINT) AS n_char_tokens,
+       CAST(sum(coalesce(v.n_syms, 1)) AS BIGINT) AS n_bpe_tokens
+FROM dw LEFT JOIN vocab v USING (word)
+GROUP BY dw.doc_id
+"""
+    )
 
 
 QUERIES: dict[str, QuerySpec] = {
@@ -198,6 +290,14 @@ QUERIES: dict[str, QuerySpec] = {
         _bpe_train_oracle(),
         f"BPE tokenizer training: {_TRAIN_ROUNDS} merge rounds over the "
         "Zipf-bounded vocab (argmax pair + greedy left-to-right fold "
-        "per round); emits the learned merge table",
+        "per round); emits the learned merge table and compression curve",
+    ),
+    "tokenizer_bpe_apply": QuerySpec(
+        "tokenizer_bpe_apply",
+        bpe_apply,
+        _bpe_apply_oracle(),
+        "tokenize the corpus with the trained BPE merges: per-doc word, "
+        "character-stage and BPE token counts via one join against the "
+        "final word→symbol-count map",
     ),
 }

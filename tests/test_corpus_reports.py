@@ -382,6 +382,32 @@ def test_bpe_train_fold_and_round1(spark):
         for s in (r.a, r.b):
             assert len(s) == 1 or s in known, s
 
+    # compression curve: each round strictly shrinks the corpus, and a
+    # merge of pair-count n performs at most n merges (overlapping
+    # occurrences in a run merge greedily, so possibly fewer)
+    toks = [r.corpus_tokens_after for r in merges]
+    for prev, cur, r in zip(toks, toks[1:], merges[1:]):
+        assert 0 < prev - cur <= r.n
+
+    # train <-> apply conservation: summing per-doc BPE tokens equals
+    # the final corpus token count plus one token per short
+    # (sub-length-filter) word occurrence
+    from pyspark.sql import functions as F2
+
+    from kafka_flink_streaming_pipeline_spark.operators.bpe import bpe_apply
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+    total_bpe = bpe_apply(spark, SF_CORRECT).agg(
+        F2.sum("n_bpe_tokens")
+    ).first()[0]
+    short = (
+        load_table(spark, SF_CORRECT, "documents")
+        .select(F2.explode(F2.split("text", " ")).alias("w"))
+        .filter(F2.length("w") < 2)
+        .count()
+    )
+    assert total_bpe == toks[-1] + short
+
 
 def test_ccnet_buckets_invariants(spark):
     """CCNet bucketing invariants at sf0.01: (a) token mass and doc
