@@ -171,6 +171,7 @@ HEADLINE = [
     "dedup_bloom_gate",
     "text_bigram_logprob",
     "privacy_k_anonymity",
+    "sim_matryoshka_recall",
 ]
 
 

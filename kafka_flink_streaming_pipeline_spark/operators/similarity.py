@@ -1881,6 +1881,118 @@ ORDER BY method
 """
 
 
+# --- Matryoshka truncation-dimension recall -------------------------------
+
+_MRL_DIMS = (8, 16, 32, 64)  # prefix dims evaluated (64 = full = sanity row)
+
+
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka evaluation (Kusupati et al., NeurIPS 2022): how much
+    recall@{_TOP_K} survives when vectors are TRUNCATED to their first
+    d dimensions? MRL-trained embeddings keep most of it at d ≪ full —
+    the published basis for shortlist-with-8-dims / refine-with-full
+    retrieval stacks. Per prefix dim: exact cosine top-k over the
+    sliced vectors on the same {_N_QUERIES} queries, scored against
+    the full-dimension truth; output is all-integer (dim, n_queries,
+    total_truth, total_hits, recall_ppm), with the d=64 row a built-in
+    sanity anchor (recall ≡ 1e6 — truncation to full width IS the
+    truth).
+
+    These driver embeddings are NOT MRL-trained, so the measured curve
+    is the cautionary baseline (prefix dims of an isotropic embedding
+    carry d/64 of the energy); the operator contract is the
+    measurement, which is what a pipeline runs BEFORE deciding to
+    truncate its store. Like `sim_ann_recall_report`, a per-rebuild QA
+    report: exact scans at sample scale, each dim one broadcast
+    crossJoin + rank — 4 slims of the same plan the brute-force anchor
+    already documents."""
+    truth = topk_cosine(spark, sf_dir).select("query_id", "cand_id")
+    e = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window
+
+    parts = []
+    for d in _MRL_DIMS:
+        t = e.select("vec_id", F.slice("embedding", 1, d).alias("v"))
+        q = F.broadcast(
+            t.filter(F.col("vec_id") < _N_QUERIES).select(
+                F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+            )
+        )
+        c = t.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+        scored = (
+            q.crossJoin(c)
+            .filter(F.col("query_id") != F.col("cand_id"))
+            .select(
+                "query_id",
+                "cand_id",
+                _cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+        topd = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _TOP_K)
+            .select("query_id", "cand_id", F.lit(1).alias("hit"))
+        )
+        parts.append(
+            truth.join(topd, ["query_id", "cand_id"], "left")
+            .agg(
+                F.countDistinct("query_id").alias("n_queries"),
+                F.count("*").alias("total_truth"),
+                F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("total_hits"),
+            )
+            .select(
+                F.lit(d).cast("bigint").alias("dim"),
+                "n_queries",
+                "total_truth",
+                "total_hits",
+                F.expr("CAST(total_hits * 1000000 DIV total_truth AS BIGINT)").alias(
+                    "recall_ppm"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("dim")
+
+
+def _matryoshka_oracle() -> str:
+    blocks = []
+    for d in _MRL_DIMS:
+        blocks.append(f"""
+SELECT CAST({d} AS BIGINT) AS dim,
+       CAST(count(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+       CAST(count(*) AS BIGINT) AS total_truth,
+       CAST(sum(CASE WHEN m.hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS total_hits,
+       CAST(sum(CASE WHEN m.hit IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS recall_ppm
+FROM exact e
+LEFT JOIN (
+  SELECT query_id, cand_id, 1 AS hit FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id ASC) AS rank
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_DUCK_COS} AS cosine
+      FROM sliced_{d} q CROSS JOIN sliced_{d} c
+      WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id
+    )
+  ) WHERE rank <= {_TOP_K}
+) m USING (query_id, cand_id)""")
+    slices = ",\n".join(
+        f"sliced_{d} AS (SELECT vec_id, v[1:{d}] AS v FROM e)" for d in _MRL_DIMS
+    )
+    union = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH e AS ({_DUCK_EMB}),
+{slices},
+exact AS (SELECT query_id, cand_id FROM ({TOPK_ORACLE}))
+SELECT * FROM ({union})
+ORDER BY dim
+"""
+
+
 # --- semantic dedup within coarse-quantizer cells (SemDeDup) --------------
 
 
@@ -2042,6 +2154,13 @@ QUERIES: dict[str, QuerySpec] = {
         sim_ann_recall_report,
         _recall_report_oracle(),
         "micro-recall@k of every ANN method vs the exact top-k (index QA)",
+    ),
+    "sim_matryoshka_recall": QuerySpec(
+        "sim_matryoshka_recall",
+        matryoshka_recall,
+        _matryoshka_oracle(),
+        "recall@k of prefix-truncated (Matryoshka) vectors at dims "
+        "8/16/32/64 vs full-dimension truth (truncate-the-store QA)",
     ),
     "sim_topk_cosine": QuerySpec(
         "sim_topk_cosine",

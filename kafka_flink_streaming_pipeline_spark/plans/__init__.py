@@ -45,17 +45,17 @@ class QuerySpec:
 #: additions/reworks (sample-capped calibration with the new
 #: sample_ppm column, PQ-armed RRF, the third writeStream artifact,
 #: and the late-round BPE trainer+apply / CCNet buckets / Bloom span
-#: gate / bigram LM scorer / k-anonymity profile); (c) the 10 fillers
-#: the r5 window displaced (r5 verdict ask #2); (d) 22 of the 29
-#: entries whose latest driver witness is still round 1
-#: (window_analytics_suite, rollup_revenue_region_nation,
+#: gate / bigram LM scorer / k-anonymity profile / Matryoshka recall
+#: report); (c) the 10 fillers the r5 window displaced (r5 verdict
+#: ask #2); (d) 21 of the 29 entries whose latest driver witness is
+#: still round 1 (window_analytics_suite, rollup_revenue_region_nation,
 #: cube_order_status_priority, pivot_priority_by_status,
-#: percentiles_order_totals, tpch_q2_max_balance_supplier and
-#: set_ops_customer_cohorts rotate to r7 — displaced by the six
-#: never-checked late additions, which outrank stale-green
-#: re-checks), plus the oldest r2-era witness that fits (dedup_exact,
-#: which also carries the exact-dup lineage device). The 12 r2-era
-#: entries that don't fit rotate into r7.
+#: percentiles_order_totals, tpch_q2_max_balance_supplier,
+#: set_ops_customer_cohorts and grouping_sets_revenue rotate to r7 —
+#: displaced by the seven never-checked late additions, which outrank
+#: stale-green re-checks), plus the oldest r2-era witness that fits
+#: (dedup_exact, which also carries the exact-dup lineage device).
+#: The 12 r2-era entries that don't fit rotate into r7.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # (a) token-budget bisect block
     "curation_token_budget",
@@ -76,6 +76,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_bloom_gate",
     "text_bigram_logprob",
     "privacy_k_anonymity",
+    "sim_matryoshka_recall",
     # (c) the ten fillers displaced from the r5 window
     "sim_topk_cosine_pandas",
     "dedup_word_jaccard",
@@ -108,7 +109,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "tpch_q17_small_qty_revenue",
     "tpch_q20_part_promotion",
     "tpch_q21_waiting_orders",
-    "grouping_sets_revenue",
     "rolling_revenue_30d",
     # …and the oldest r2-era witness that fits
     "dedup_exact",

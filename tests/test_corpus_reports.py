@@ -552,3 +552,21 @@ def test_k_anonymity_conserves_rows(spark):
         assert r.n_classes >= 1
         if r.class_size == "1":
             assert r.min_users == 1
+
+
+def test_matryoshka_recall_invariants(spark):
+    """Matryoshka report invariants: one row per evaluated dim; hits
+    bounded by truth; the full-width row is structurally perfect
+    (truncation to 64 of 64 dims IS the truth ranking, same tiebreak);
+    and ppm arithmetic is the exact integer division."""
+    from kafka_flink_streaming_pipeline_spark.operators.similarity import (
+        _MRL_DIMS,
+        matryoshka_recall,
+    )
+
+    rows = {r.dim: r for r in matryoshka_recall(spark, SF_CORRECT).collect()}
+    assert set(rows) == set(_MRL_DIMS)
+    for r in rows.values():
+        assert 0 <= r.total_hits <= r.total_truth
+        assert r.recall_ppm == r.total_hits * 1_000_000 // r.total_truth
+    assert rows[64].total_hits == rows[64].total_truth
