@@ -172,6 +172,7 @@ HEADLINE = [
     "text_bigram_logprob",
     "privacy_k_anonymity",
     "sim_matryoshka_recall",
+    "curation_quality_classifier",
 ]
 
 

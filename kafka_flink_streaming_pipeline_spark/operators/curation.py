@@ -617,6 +617,269 @@ LIMIT {_DSIR_K}
 """
 
 
+# --- in-engine trained quality classifier (fastText scheme) ----------------
+
+_CLF_STEPS = 4
+_CLF_LR = 2.0  # per-step learning rate on [0,1]-scaled features
+# signed-division shift: (a + SHIFT) DIV 1e6 - SHIFT/1e6 == floor(a/1e6)
+# in BOTH engines (Spark DIV truncates toward zero, DuckDB // floors —
+# they only agree on non-negative operands, so shift first)
+_CLF_SHIFT = 1_000_000_000_000
+
+
+def _clf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc feature vector in integer ppm of [0,1]: bias, clipped
+    token count, stopword ratio, punctuation ratio — plus the fastText
+    label (y=1: the held-out eval split doc_id % 97 == 0, the standing
+    target-domain device DSIR uses)."""
+    from kafka_flink_streaming_pipeline_spark.operators.text import _STOPWORDS
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.regexp_count("text", F.lit(r"[a-z0-9]+"))
+    n_stops = F.regexp_count("text", F.lit(_STOPWORDS))
+    n_punct = F.regexp_count("text", F.lit(r"[^a-z0-9 ]"))
+    counted = d.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("nt"),
+        n_stops.cast("bigint").alias("ns"),
+        n_punct.cast("bigint").alias("np"),
+        F.length("text").cast("bigint").alias("nc"),
+    )
+    return counted.select(
+        "doc_id",
+        F.lit(1_000_000).cast("bigint").alias("x0"),
+        F.expr("least(nt, 200) * 5000").cast("bigint").alias("x1"),
+        F.expr("CASE WHEN nt > 0 THEN ns * 1000000 DIV nt ELSE 0 END")
+        .cast("bigint")
+        .alias("x2"),
+        F.expr("CASE WHEN nc > 0 THEN np * 1000000 DIV nc ELSE 0 END")
+        .cast("bigint")
+        .alias("x3"),
+        F.when(F.col("doc_id") % 97 == 0, 1_000_000)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("y"),
+    )
+
+
+def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality classifier TRAINED IN-ENGINE: logistic regression by
+    {_CLF_STEPS} unrolled full-batch gradient steps, implementing the
+    fastText-classifier curation scheme (GPT-3 / LLaMA lineage: label
+    the reference corpus positive, the crawl negative, train a linear
+    model, keep crawl docs the model scores reference-like). The
+    reference corpus stand-in is the held-out eval split (doc_id %
+    97 == 0 — the same target DSIR tilts toward); features are the
+    interpretable quality signals (clipped length, stopword ratio,
+    punctuation ratio) plus bias, in integer ppm.
+
+    Output per step: the POST-update weight vector (integer
+    micro-units) and the confusion counts of the PRE-update model at
+    the standard 0.5 threshold — the training trajectory as a
+    driver-hashable artifact.
+
+    Cross-engine float discipline (every past divergence class
+    avoided): feature ppm and label are exact integers; the per-doc
+    logit is an exact BIGINT dot product divided ONCE as a double;
+    sigma is the step's single transcendental, rounded immediately to
+    integer ppm (ln/exp precedent); gradient terms use the
+    SHIFT-then-DIV device because Spark DIV truncates toward zero
+    while DuckDB // floors — they agree only on non-negative operands
+    — giving exact floor((y−p)·x / 1e6) in both engines; the gradient
+    sum is exact integer; the weight update rounds once
+    (floor(mean·lr + 0.5)).
+
+    Plan shape at 100 TB: the feature scan is one pass (regexp counts,
+    no Python); each step is a map-side score against the BROADCAST
+    1-row weight vector plus one 1-row aggregation — S passes over the
+    feature frame total, the textbook distributed-GD layout.
+    localCheckpoint truncates lineage per step (the BPE-loop device).
+    Gradient-term magnitude is bounded by 1e6, so the exact integer
+    sum holds to ~9e12 docs."""
+    feats = _clf_features(spark, sf_dir).localCheckpoint()
+    stats = feats.agg(
+        F.count("*").alias("n"),
+        F.expr("CAST(sum(y DIV 1000000) * 1000000 DIV count(*) AS BIGINT)").alias(
+            "prior_ppm"
+        ),
+    ).localCheckpoint()
+
+    w = spark.range(1).select(
+        *[F.lit(0).cast("bigint").alias(f"w{i}") for i in range(4)]
+    ).localCheckpoint()
+
+    def p_ppm() -> F.Column:
+        # x is ppm (1e6) and w is micro (1e6), so the exact integer dot
+        # product is on the 1e12 scale — one double division recovers
+        # the real-unit logit
+        s_int = sum(F.col(f"x{i}") * F.col(f"w{i}") for i in range(4))
+        return F.floor(
+            F.lit(1_000_000.0) / (F.lit(1.0) + F.exp(-(s_int.cast("double") / 1e12)))
+            + F.lit(0.5)
+        ).cast("bigint")
+
+    rows = []
+    for step in range(1, _CLF_STEPS + 1):
+        scored = (
+            feats.crossJoin(F.broadcast(w))
+            .crossJoin(F.broadcast(stats))
+            .select(
+                *[f"x{i}" for i in range(4)],
+                "y",
+                "n",
+                "prior_ppm",
+                p_ppm().alias("p"),
+            )
+        )
+        terms = [
+            F.expr(
+                f"((y - p) * x{i} + {_CLF_SHIFT}) DIV 1000000"
+                f" - {_CLF_SHIFT // 1_000_000}"
+            ).alias(f"t{i}")
+            for i in range(4)
+        ]
+        agg = (
+            scored.select(
+                "n", "prior_ppm", "y", "p", *terms
+            )
+            .groupBy("n", "prior_ppm")
+            .agg(
+                *[F.sum(f"t{i}").alias(f"g{i}") for i in range(4)],
+                F.sum(
+                    F.when((F.col("p") >= 500_000) & (F.col("y") > 0), 1)
+                    .otherwise(0)
+                ).alias("tp"),
+                F.sum(
+                    F.when((F.col("p") >= 500_000) & (F.col("y") == 0), 1)
+                    .otherwise(0)
+                ).alias("fp"),
+                F.sum(
+                    F.when((F.col("p") < 500_000) & (F.col("y") > 0), 1)
+                    .otherwise(0)
+                ).alias("fn"),
+                F.sum(
+                    F.when((F.col("p") < 500_000) & (F.col("y") == 0), 1)
+                    .otherwise(0)
+                ).alias("tn"),
+            )
+            .localCheckpoint()
+        )
+        w = agg.crossJoin(F.broadcast(w)).select(
+            *[
+                (
+                    F.col(f"w{i}")
+                    + F.floor(
+                        F.col(f"g{i}").cast("double") / F.col("n") * _CLF_LR
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                ).alias(f"w{i}")
+                for i in range(4)
+            ]
+        ).localCheckpoint()
+        rows.append(
+            agg.crossJoin(F.broadcast(w)).select(
+                F.lit(step).cast("bigint").alias("step"),
+                F.col("w0").alias("w_bias_micro"),
+                F.col("w1").alias("w_len_micro"),
+                F.col("w2").alias("w_stop_micro"),
+                F.col("w3").alias("w_punct_micro"),
+                F.col("tp").cast("bigint").alias("tp"),
+                F.col("fp").cast("bigint").alias("fp"),
+                F.col("fn").cast("bigint").alias("fn"),
+                F.col("tn").cast("bigint").alias("tn"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("step")
+
+
+def _clf_oracle(steps: int = _CLF_STEPS) -> str:
+    from kafka_flink_streaming_pipeline_spark.operators.text import _STOPWORDS
+
+    shift_div = _CLF_SHIFT // 1_000_000
+    parts = [
+        f"""WITH feat AS (
+  SELECT doc_id,
+         CAST(1000000 AS BIGINT) AS x0,
+         CAST(least(length(regexp_extract_all(text, '[a-z0-9]+')), 200) * 5000
+              AS BIGINT) AS x1,
+         CAST(CASE WHEN length(regexp_extract_all(text, '[a-z0-9]+')) > 0
+              THEN length(regexp_extract_all(text, '{_STOPWORDS}')) * 1000000
+                   // length(regexp_extract_all(text, '[a-z0-9]+'))
+              ELSE 0 END AS BIGINT) AS x2,
+         CAST(CASE WHEN length(text) > 0
+              THEN length(regexp_extract_all(text, '[^a-z0-9 ]')) * 1000000
+                   // length(text)
+              ELSE 0 END AS BIGINT) AS x3,
+         CAST(CASE WHEN doc_id % 97 = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS y
+  FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(CAST(sum(y // 1000000) AS BIGINT) * 1000000 // count(*) AS BIGINT)
+           AS prior_ppm
+  FROM feat
+),
+w_0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+               CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)"""
+    ]
+    for s in range(1, steps + 1):
+        parts.append(
+            f""",
+p_{s} AS (
+  SELECT f.*, t.n, t.prior_ppm,
+         CAST(floor(1000000.0 / (1.0 + exp(-(CAST(f.x0*w.w0 + f.x1*w.w1
+              + f.x2*w.w2 + f.x3*w.w3 AS DOUBLE) / 1e12))) + 0.5) AS BIGINT) AS p
+  FROM feat f CROSS JOIN w_{s - 1} w CROSS JOIN stats t
+),
+agg_{s} AS (
+  SELECT n, prior_ppm,
+         CAST(sum(((y - p) * x0 + {_CLF_SHIFT}) // 1000000 - {shift_div})
+              AS BIGINT) AS g0,
+         CAST(sum(((y - p) * x1 + {_CLF_SHIFT}) // 1000000 - {shift_div})
+              AS BIGINT) AS g1,
+         CAST(sum(((y - p) * x2 + {_CLF_SHIFT}) // 1000000 - {shift_div})
+              AS BIGINT) AS g2,
+         CAST(sum(((y - p) * x3 + {_CLF_SHIFT}) // 1000000 - {shift_div})
+              AS BIGINT) AS g3,
+         CAST(sum(CASE WHEN p >= 500000 AND y > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN p >= 500000 AND y = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN p < 500000 AND y > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN p < 500000 AND y = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tn
+  FROM p_{s}
+  GROUP BY n, prior_ppm
+),
+w_{s} AS (
+  SELECT CAST(w.w0 + floor(CAST(a.g0 AS DOUBLE) / a.n * {_CLF_LR} + 0.5)
+              AS BIGINT) AS w0,
+         CAST(w.w1 + floor(CAST(a.g1 AS DOUBLE) / a.n * {_CLF_LR} + 0.5)
+              AS BIGINT) AS w1,
+         CAST(w.w2 + floor(CAST(a.g2 AS DOUBLE) / a.n * {_CLF_LR} + 0.5)
+              AS BIGINT) AS w2,
+         CAST(w.w3 + floor(CAST(a.g3 AS DOUBLE) / a.n * {_CLF_LR} + 0.5)
+              AS BIGINT) AS w3
+  FROM agg_{s} a CROSS JOIN w_{s - 1} w
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"""SELECT CAST({s} AS BIGINT) AS step,
+       w.w0 AS w_bias_micro, w.w1 AS w_len_micro,
+       w.w2 AS w_stop_micro, w.w3 AS w_punct_micro,
+       a.tp, a.fp, a.fn, a.tn
+FROM agg_{s} a CROSS JOIN w_{s} w"""
+        for s in range(1, steps + 1)
+    )
+    parts.append("\n" + union + "\nORDER BY step")
+    return "".join(parts)
+
+
 # --- CCNet-style perplexity buckets (head / middle / tail) -----------------
 
 
@@ -731,6 +994,15 @@ ORDER BY lang, bucket
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "curation_quality_classifier": QuerySpec(
+        "curation_quality_classifier",
+        curation_quality_classifier,
+        _clf_oracle(),
+        "fastText-scheme quality classifier trained in-engine: "
+        f"{_CLF_STEPS} unrolled logistic-regression GD steps (broadcast "
+        "weights, one aggregation per step); weight trajectory + "
+        "confusion per step",
+    ),
     "curation_ccnet_buckets": QuerySpec(
         "curation_ccnet_buckets",
         curation_ccnet_buckets,

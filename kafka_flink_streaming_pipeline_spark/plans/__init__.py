@@ -51,8 +51,9 @@ class QuerySpec:
 #: still round 1 (window_analytics_suite, rollup_revenue_region_nation,
 #: cube_order_status_priority, pivot_priority_by_status,
 #: percentiles_order_totals, tpch_q2_max_balance_supplier,
-#: set_ops_customer_cohorts and grouping_sets_revenue rotate to r7 —
-#: displaced by the seven never-checked late additions, which outrank
+#: set_ops_customer_cohorts, grouping_sets_revenue and
+#: rolling_revenue_30d rotate to r7 — displaced by the eight
+#: never-checked late additions, which outrank
 #: stale-green re-checks), plus the oldest r2-era witness that fits
 #: (dedup_exact, which also carries the exact-dup lineage device).
 #: The 12 r2-era entries that don't fit rotate into r7.
@@ -77,6 +78,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_bigram_logprob",
     "privacy_k_anonymity",
     "sim_matryoshka_recall",
+    "curation_quality_classifier",
     # (c) the ten fillers displaced from the r5 window
     "sim_topk_cosine_pandas",
     "dedup_word_jaccard",
@@ -109,7 +111,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "tpch_q17_small_qty_revenue",
     "tpch_q20_part_promotion",
     "tpch_q21_waiting_orders",
-    "rolling_revenue_30d",
     # …and the oldest r2-era witness that fits
     "dedup_exact",
 )

@@ -570,3 +570,35 @@ def test_matryoshka_recall_invariants(spark):
         assert 0 <= r.total_hits <= r.total_truth
         assert r.recall_ppm == r.total_hits * 1_000_000 // r.total_truth
     assert rows[64].total_hits == rows[64].total_truth
+
+
+def test_quality_classifier_training_dynamics(spark):
+    """In-engine logistic-regression invariants: one row per GD step;
+    confusion counts partition the corpus at every step; step 1 is
+    structural (w=0 gives p=0.5 for every doc, so at the 0.5 threshold
+    everything is predicted positive: tp = n_pos, fp = n_neg); and
+    with the rare positive class the bias descends monotonically
+    toward the base-rate logit."""
+    from kafka_flink_streaming_pipeline_spark.operators.curation import (
+        _CLF_STEPS,
+        curation_quality_classifier,
+    )
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+    rows = curation_quality_classifier(spark, SF_CORRECT).collect()
+    assert [r.step for r in rows] == list(range(1, _CLF_STEPS + 1))
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    n = docs.count()
+    n_pos = docs.filter("doc_id % 97 = 0").count()
+    for r in rows:
+        assert r.tp + r.fp + r.fn + r.tn == n
+    assert (rows[0].tp, rows[0].fp, rows[0].fn, rows[0].tn) == (
+        n_pos,
+        n - n_pos,
+        0,
+        0,
+    )
+    biases = [r.w_bias_micro for r in rows]
+    assert all(b < 0 for b in biases)
+    assert biases == sorted(biases, reverse=True)
