@@ -1380,37 +1380,11 @@ _BLOOM_K = 4  # hash functions (md5 hex slices)
 _BLOOM_WORD = 32  # bits per filter word (shifts stay INT-safe in BIGINT)
 
 
-def dedup_bloom_gate_impl(
-    spark: SparkSession, sf_dir: str, m_bits: int = _BLOOM_M_BITS, k: int = _BLOOM_K
-) -> DataFrame:
-    """Bloom-filter ingest gate for EXACT-SUBSTRING contamination: does
-    an incoming document repeat any {_SPAN_W}-word span already in the
-    corpus (the Lee et al. ACL 2022 memorization window, same span
-    device as `dedup_span_exact`)? The corpus side (doc_id % 3 != 0,
-    the corpus-so-far split `dedup_incoming_vs_corpus` uses) collapses
-    to an m-bit Bloom filter stored as m/{_BLOOM_WORD} (word, bits)
-    BIGINT rows; every incoming span probes its k md5-derived bit
-    positions against the broadcast filter; only BLOOM-HIT spans reach
-    the exact verify join. Output per incoming doc: span totals, bloom
-    hits, verified true hits, and the contamination verdict — with
-    n_true_hits <= n_bloom_hits structurally (no false negatives;
-    pinned in tests with a deliberately undersized filter that
-    exhibits false positives while still admitting every true hit).
-
-    Scale shape (100 TB): the corpus span stream feeds a bit_or
-    aggregate that is map-side combinable and whose exchange carries
-    at most m/{_BLOOM_WORD} rows REGARDLESS of corpus size; the filter
-    broadcasts (m=2^18 → 32 KiB); incoming spans probe it without
-    shuffling the corpus. Only the hit sliver (true hits + ~FPR of
-    probes) pays the verify join against the real span set — the
-    published reason ingest dedup fronts the span join with a Bloom
-    filter. At production span cardinality m scales with the corpus
-    (~14 bits per distinct span for sub-1% FPR at k=4) and the filter
-    table stays broadcastable to ~10^10 spans (40 GB would not — at
-    that point the same plan shards the filter by pos range and the
-    probe co-partitions, one extra exchange on the INCOMING side
-    only)."""
-    d = _docs_parallel(spark, sf_dir).select("doc_id", F.split("text", " ").alias("ws"))
+def doc_span_keys(docs: DataFrame) -> DataFrame:
+    """(doc_id, key) — md5 of every {_SPAN_W}-word span per doc, set
+    semantics (same span device as `span_dup_fractions`). Docs shorter
+    than the window contribute no rows."""
+    d = docs.select("doc_id", F.split("text", " ").alias("ws"))
     n = F.size("ws")
     idx = F.when(n >= _SPAN_W, F.sequence(F.lit(1), n - (_SPAN_W - 1))).otherwise(
         F.array().cast("array<int>")
@@ -1423,35 +1397,47 @@ def dedup_bloom_gate_impl(
             )
         ),
     )
-    doc_spans = (
-        d.select("doc_id", F.explode(spans).alias("key")).distinct()
-    )  # set semantics per doc, as in span_dup_fractions
-    corpus_keys = (
-        doc_spans.filter(F.col("doc_id") % 3 != 0).select("key").distinct()
+    return d.select("doc_id", F.explode(spans).alias("key")).distinct()
+
+
+def _bloom_pos_rows(frame: DataFrame, cols: list, m_bits: int, k: int) -> DataFrame:
+    hexpos = [
+        F.conv(F.substring("key", 1 + 7 * j, 7), 16, 10).cast("bigint") % m_bits
+        for j in range(k)
+    ]
+    return frame.select(*cols, F.explode(F.array(*hexpos)).alias("pos")).select(
+        *cols,
+        F.expr(f"pos DIV {_BLOOM_WORD}").alias("word"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD} AS INT))"
+        ).alias("mask"),
     )
-    incoming_spans = doc_spans.filter(F.col("doc_id") % 3 == 0)
-    incoming_docs = incoming_spans.select("doc_id").distinct()
 
-    def pos_rows(frame: DataFrame, cols: list) -> DataFrame:
-        hexpos = [
-            F.conv(F.substring("key", 1 + 7 * j, 7), 16, 10).cast("bigint") % m_bits
-            for j in range(k)
-        ]
-        return frame.select(*cols, F.explode(F.array(*hexpos)).alias("pos")).select(
-            *cols,
-            F.expr(f"pos DIV {_BLOOM_WORD}").alias("word"),
-            F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD} AS INT))"
-            ).alias("mask"),
-        )
 
-    bloom = (
-        pos_rows(corpus_keys, [])
+def bloom_bits(keys: DataFrame, m_bits: int = _BLOOM_M_BITS, k: int = _BLOOM_K) -> DataFrame:
+    """The Bloom filter as a (word, bits) relation: map-side-combinable
+    bit_or whose exchange carries at most m_bits/{_BLOOM_WORD} rows
+    regardless of corpus size."""
+    return (
+        _bloom_pos_rows(keys, [], m_bits, k)
         .groupBy("word")
         .agg(F.expr("bit_or(mask)").alias("bits"))
     )
+
+
+def bloom_probe(
+    incoming_spans: DataFrame,
+    bloom: DataFrame,
+    corpus_keys: DataFrame,
+    m_bits: int = _BLOOM_M_BITS,
+    k: int = _BLOOM_K,
+) -> DataFrame:
+    """Probe incoming (doc_id, key) span rows against the broadcast
+    filter; only bloom-hit spans pay the verify join against the real
+    corpus key set. One row per incoming doc."""
+    incoming_docs = incoming_spans.select("doc_id").distinct()
     probe = (
-        pos_rows(incoming_spans, ["doc_id", "key"])
+        _bloom_pos_rows(incoming_spans, ["doc_id", "key"], m_bits, k)
         .join(F.broadcast(bloom), "word", "left")
         .groupBy("doc_id", "key")
         .agg(
@@ -1490,6 +1476,47 @@ def dedup_bloom_gate_impl(
             (F.coalesce("n_true_hits", F.lit(0)) >= 1).alias("contaminated"),
         )
     )  # one row per incoming doc — unsorted
+
+
+def dedup_bloom_gate_impl(
+    spark: SparkSession, sf_dir: str, m_bits: int = _BLOOM_M_BITS, k: int = _BLOOM_K
+) -> DataFrame:
+    """Bloom-filter ingest gate for EXACT-SUBSTRING contamination: does
+    an incoming document repeat any {_SPAN_W}-word span already in the
+    corpus (the Lee et al. ACL 2022 memorization window, same span
+    device as `dedup_span_exact`)? The corpus side (doc_id % 3 != 0,
+    the corpus-so-far split `dedup_incoming_vs_corpus` uses) collapses
+    to an m-bit Bloom filter stored as m/{_BLOOM_WORD} (word, bits)
+    BIGINT rows; every incoming span probes its k md5-derived bit
+    positions against the broadcast filter; only BLOOM-HIT spans reach
+    the exact verify join. Output per incoming doc: span totals, bloom
+    hits, verified true hits, and the contamination verdict — with
+    n_true_hits <= n_bloom_hits structurally (no false negatives;
+    pinned in tests with a deliberately undersized filter that
+    exhibits false positives while still admitting every true hit).
+
+    Scale shape (100 TB): the corpus span stream feeds a bit_or
+    aggregate that is map-side combinable and whose exchange carries
+    at most m/{_BLOOM_WORD} rows REGARDLESS of corpus size; the filter
+    broadcasts (m=2^18 → 32 KiB); incoming spans probe it without
+    shuffling the corpus. Only the hit sliver (true hits + ~FPR of
+    probes) pays the verify join against the real span set — the
+    published reason ingest dedup fronts the span join with a Bloom
+    filter. At production span cardinality m scales with the corpus
+    (~14 bits per distinct span for sub-1% FPR at k=4) and the filter
+    table stays broadcastable to ~10^10 spans (40 GB would not — at
+    that point the same plan shards the filter by pos range and the
+    probe co-partitions, one extra exchange on the INCOMING side
+    only)."""
+    d = _docs_parallel(spark, sf_dir).select("doc_id", "text")
+    all_spans = doc_span_keys(d)
+    corpus_keys = (
+        all_spans.filter(F.col("doc_id") % 3 != 0).select("key").distinct()
+    )
+    incoming_spans = all_spans.filter(F.col("doc_id") % 3 == 0)
+    return bloom_probe(
+        incoming_spans, bloom_bits(corpus_keys, m_bits, k), corpus_keys, m_bits, k
+    )
 
 
 def dedup_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -51,10 +51,11 @@ class QuerySpec:
 #: still round 1 (window_analytics_suite, rollup_revenue_region_nation,
 #: cube_order_status_priority, pivot_priority_by_status,
 #: percentiles_order_totals, tpch_q2_max_balance_supplier,
-#: set_ops_customer_cohorts, grouping_sets_revenue and
-#: rolling_revenue_30d rotate to r7 — displaced by the eight
-#: never-checked late additions, which outrank
-#: stale-green re-checks), plus the oldest r2-era witness that fits
+#: set_ops_customer_cohorts, grouping_sets_revenue,
+#: rolling_revenue_30d and tpch_q21_waiting_orders rotate to r7 —
+#: displaced by the nine never-checked late additions (including the
+#: FOURTH writeStream artifact, the streaming bloom gate), which
+#: outrank stale-green re-checks), plus the oldest r2-era witness that fits
 #: (dedup_exact, which also carries the exact-dup lineage device).
 #: The 12 r2-era entries that don't fit rotate into r7.
 PRIORITY_WINDOW: tuple[str, ...] = (
@@ -79,6 +80,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "privacy_k_anonymity",
     "sim_matryoshka_recall",
     "curation_quality_classifier",
+    "bloom_gate_stream_materialized",
     # (c) the ten fillers displaced from the r5 window
     "sim_topk_cosine_pandas",
     "dedup_word_jaccard",
@@ -110,7 +112,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "tpch_q16_parts_supplier_cnt",
     "tpch_q17_small_qty_revenue",
     "tpch_q20_part_promotion",
-    "tpch_q21_waiting_orders",
     # …and the oldest r2-era witness that fits
     "dedup_exact",
 )

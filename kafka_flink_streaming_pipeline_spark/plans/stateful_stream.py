@@ -230,6 +230,65 @@ def _dedup_gate_stream_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _bloom_gate_stream_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FOURTH writeStream-produced driver artifact (streaming
+    witnesses: upsert, near-dup gate, rollup — and now the exact-span
+    contamination gate): corpus docs (doc_id % 3 != 0) are indexed
+    once with `build_bloom_index` (span key set + derived Bloom
+    filter), the incoming docs arrive as a 4-file parquet stream
+    (maxFilesPerTrigger=1 → 4 micro-batches), and
+    `bloom_gate_stream_job` probes each batch inside foreachBatch,
+    appending per-doc verdicts to a batch-addressed table. The gate is
+    per-doc (stateless across batches), so the streamed union must
+    equal the batch twin `dedup_bloom_gate` — exactly the oracle the
+    driver hashes this against."""
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+    from kafka_flink_streaming_pipeline_spark.streaming.jobs import (
+        bloom_gate_stream_job,
+        build_bloom_index,
+    )
+    from kafka_flink_streaming_pipeline_spark.streaming.txn_sink import (
+        read_append_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="bloom_gate_stream_")
+    index_path = os.path.join(work, "bloom_index")
+    build_bloom_index(docs.filter(F.col("doc_id") % 3 != 0), index_path)
+
+    incoming = docs.filter(F.col("doc_id") % 3 == 0)
+    in_dir = os.path.join(work, "incoming")
+    incoming.repartition(4).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = bloom_gate_stream_job(
+        stream, index_path, os.path.join(work, "verdicts"), os.path.join(work, "ckpt")
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        shutil.rmtree(work, ignore_errors=True)
+        raise TimeoutError("bloom gate stream did not finish within 600s")
+
+    out = (
+        read_append_table(spark, os.path.join(work, "verdicts"))
+        .select("doc_id", "n_spans", "n_bloom_hits", "n_true_hits", "contaminated")
+        .localCheckpoint()  # sever lineage from the temp table before cleanup
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def _bloom_gate_stream_oracle() -> str:
+    from kafka_flink_streaming_pipeline_spark.operators.dedup import (
+        _bloom_gate_oracle,
+    )
+
+    return _bloom_gate_oracle()
+
+
 def _rollup_stream_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The THIRD writeStream-produced driver artifact (r5 verdict ask
     #6 — streaming witnesses for upsert, dedup-gate, AND rollup):
@@ -306,6 +365,13 @@ def _dedup_gate_stream_oracle() -> str:
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "bloom_gate_stream_materialized": QuerySpec(
+        "bloom_gate_stream_materialized",
+        _bloom_gate_stream_build,
+        _bloom_gate_stream_oracle(),
+        "exact-span contamination gate via the real foreachBatch stream "
+        "job read back (persisted bloom + span-set index)",
+    ),
     "dedup_gate_stream_materialized": QuerySpec(
         "dedup_gate_stream_materialized",
         _dedup_gate_stream_build,

@@ -537,6 +537,65 @@ def ann_probe_stream_job(
     )
 
 
+def build_bloom_index(docs: DataFrame, index_path: str) -> None:
+    """Materialize the exact-span contamination index: the corpus span
+    KEY SET (`spans/` — one md5 per distinct 8-word span, the verify
+    side) and its Bloom filter (`bloom/` — the (word, bits) relation,
+    at most m_bits/32 rows ≈ 32 KiB, the probe side). Built once from
+    the corpus-so-far, then probed by every `bloom_gate_stream_job`
+    micro-batch. The filter is derived FROM the key set, so the two
+    artifacts cannot drift."""
+    from kafka_flink_streaming_pipeline_spark.operators.dedup import (
+        bloom_bits,
+        doc_span_keys,
+    )
+
+    keys = doc_span_keys(docs).select("key").distinct()
+    keys.write.mode("overwrite").parquet(f"{index_path}/spans")
+    bloom_bits(keys).write.mode("overwrite").parquet(f"{index_path}/bloom")
+
+
+def bloom_gate_stream_job(
+    stream: DataFrame, index_path: str, out_path: str, checkpoint: str
+) -> StreamingQuery:
+    """Streaming exact-span contamination gate: every micro-batch of
+    incoming documents is span-hashed (the same Catalyst pipeline as
+    the batch `dedup_bloom_gate`, running inside foreachBatch), probed
+    against the persisted Bloom filter (broadcast — 32 KiB), and only
+    bloom-hit spans pay the verify join against the persisted span key
+    set; per-doc verdicts go to a batch-addressed append table,
+    idempotent under redelivery.
+
+    The streaming half of `dedup_bloom_gate` (the oracled batch twin).
+    Stateless across batches — each document arrives whole; the
+    "state" is the index pair itself, re-read per batch so an
+    index-extension job can grow the corpus between triggers (the
+    stream-static contract `dedup_index_stream_job` established)."""
+    from kafka_flink_streaming_pipeline_spark.operators.dedup import (
+        bloom_probe,
+        doc_span_keys,
+    )
+    from kafka_flink_streaming_pipeline_spark.streaming.txn_sink import (
+        txn_append_sink,
+    )
+
+    write_batch = txn_append_sink(out_path)
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bloom = spark.read.parquet(f"{index_path}/bloom")
+        corpus_keys = spark.read.parquet(f"{index_path}/spans")
+        verdicts = bloom_probe(doc_span_keys(batch_df), bloom, corpus_keys)
+        write_batch(verdicts, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dedup_index_stream_job(
     stream: DataFrame, index_path: str, out_path: str, checkpoint: str
 ) -> StreamingQuery:

@@ -1228,3 +1228,52 @@ def test_rollup_stream_restart_converges_to_batch(spark, tmp_path):
 
     run_once()  # no new files: must converge, not duplicate
     assert canon(read_rollup(spark, rollup)) == want
+
+
+def test_streaming_bloom_gate_matches_batch(spark, tmp_path):
+    """The streaming exact-span contamination gate (persisted Bloom +
+    span-set index probed per micro-batch) must produce exactly the
+    batch twin's verdicts with the incoming docs split across several
+    micro-batches — the gate is per-doc, so batch boundaries must not
+    matter. Redelivery safety comes from the batch-addressed sink."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_streaming_pipeline_spark.operators.dedup import (
+        dedup_bloom_gate,
+    )
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+    from kafka_flink_streaming_pipeline_spark.streaming.jobs import (
+        bloom_gate_stream_job,
+        build_bloom_index,
+    )
+    from kafka_flink_streaming_pipeline_spark.streaming.txn_sink import (
+        read_append_table,
+    )
+    from tests.conftest import SF_CORRECT
+
+    docs = load_table(spark, SF_CORRECT, "documents").select("doc_id", "text")
+    index = str(tmp_path / "bloom_index")
+    build_bloom_index(docs.filter(F.col("doc_id") % 3 != 0), index)
+
+    incoming = docs.filter(F.col("doc_id") % 3 == 0)
+    in_dir = str(tmp_path / "incoming")
+    incoming.repartition(4).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = bloom_gate_stream_job(
+        stream, index, str(tmp_path / "verdicts"), str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(600)
+
+    streamed = {
+        tuple(r)
+        for r in read_append_table(spark, str(tmp_path / "verdicts"))
+        .select("doc_id", "n_spans", "n_bloom_hits", "n_true_hits", "contaminated")
+        .collect()
+    }
+    batch = {tuple(r) for r in dedup_bloom_gate(spark, SF_CORRECT).collect()}
+    assert streamed == batch
+    assert any(r[4] for r in batch)  # the equality is over real signal
