@@ -173,6 +173,7 @@ HEADLINE = [
     "privacy_k_anonymity",
     "sim_matryoshka_recall",
     "curation_quality_classifier",
+    "dataset_interleave_shards",
 ]
 
 

@@ -120,6 +120,27 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     a frame {_PACK_BUCKET}x smaller. Every level divides the
     single-window row count by {_PACK_BUCKET} again; two levels cover
     ~10^9 docs, and a third is the same pair of operators."""
+    cum = F.col("cum")
+    return (
+        _pack_cum(spark, sf_dir)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor((cum - F.col("n_tokens")) / _PACK_BUDGET)
+            .cast("long")
+            .alias("seq_first"),
+            F.floor((cum - 1) / _PACK_BUDGET).cast("long").alias("seq_last"),
+        )
+        .withColumn("spans_boundary", F.col("seq_first") != F.col("seq_last"))
+    )  # corpus-sized doc->sequence map, unsorted
+
+
+def _pack_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, cum) — the doc-id-ordered running token sum
+    via the two-level distributed prefix sum (shared by the packer and
+    the shard interleaver; the plan is identical to the inline version
+    corpus_pack_sequences always had, so registered values are
+    unchanged)."""
     toks = _docs_parallel(spark, sf_dir).select(
         "doc_id",
         F.size(F.split("text", " ")).alias("n_tokens"),
@@ -143,19 +164,11 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("btotal").over(w_b), F.lit(0)).alias("offset"),
         )
     )
-    cum = F.col("cum_local") + F.col("offset")
-    return (
-        local.join(F.broadcast(offsets), "bucket")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.floor((cum - F.col("n_tokens")) / _PACK_BUDGET)
-            .cast("long")
-            .alias("seq_first"),
-            F.floor((cum - 1) / _PACK_BUDGET).cast("long").alias("seq_last"),
-        )
-        .withColumn("spans_boundary", F.col("seq_first") != F.col("seq_last"))
-    )  # corpus-sized doc->sequence map, unsorted
+    return local.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("cum_local") + F.col("offset")).alias("cum"),
+    )
 
 
 PACK_SEQUENCES_ORACLE = f"""
@@ -174,6 +187,110 @@ SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
        floor((cum - n_tokens) / {_PACK_BUDGET})
          != floor((cum - 1) / {_PACK_BUDGET}) AS spans_boundary
 FROM c
+"""
+
+
+_N_SHARDS = 8  # training output shards
+
+
+def dataset_interleave_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final 'write the training shards' step: every packed
+    sequence (from `corpus_pack_sequences`'s concat-then-chop layout)
+    is assigned to one of {_N_SHARDS} output shards by a deterministic
+    md5 hash of its sequence id — the interleaved sharding that keeps
+    each shard an unbiased sample of the corpus (sequential sharding
+    would put all early docs in shard 0). Output per shard: sequences,
+    docs touched, EXACT token mass (each doc's contribution to
+    sequence s is min(cum, (s+1)B) − max(cum−n, sB) — the interval
+    intersection, so token mass conserves to the corpus exactly), and
+    the integer-ppm token share.
+
+    Plan shape at 100 TB: the running sum is the shared two-level
+    prefix sum; each doc explodes to its (usually 1-2) overlapping
+    sequences; one hash-agg by shard (8 groups, map-side combinable)
+    plus a broadcast 1-row total. Nothing is sorted globally and the
+    sequence→shard map is a pure hash — adding a shard never reshuffles
+    history by more than 1/{_N_SHARDS} of sequences (the md5-mod
+    device, not round-robin on arrival order)."""
+    B = _PACK_BUDGET
+    iv = _pack_cum(spark, sf_dir)
+    expanded = iv.select(
+        "doc_id",
+        "n_tokens",
+        "cum",
+        F.explode(
+            F.sequence(
+                F.expr(f"(cum - n_tokens) DIV {B}"), F.expr(f"(cum - 1) DIV {B}")
+            )
+        ).alias("s"),
+    )
+    contrib = F.least(F.col("cum"), (F.col("s") + 1) * B) - F.greatest(
+        F.col("cum") - F.col("n_tokens"), F.col("s") * B
+    )
+    shard = (
+        F.conv(F.substring(F.md5(F.col("s").cast("string")), 1, 4), 16, 10).cast(
+            "int"
+        )
+        % _N_SHARDS
+    )
+    total = iv.agg(F.sum("n_tokens").alias("t"))
+    return (
+        expanded.select(
+            shard.cast("bigint").alias("shard"),
+            "doc_id",
+            "s",
+            contrib.cast("bigint").alias("tok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.countDistinct("s").alias("n_seqs"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("tok").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "shard",
+            "n_seqs",
+            "n_docs",
+            "n_tokens",
+            F.expr("n_tokens * 1000000 DIV t").alias("token_share_ppm"),
+        )
+        .orderBy("shard")
+    )
+
+
+INTERLEAVE_SHARDS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM t
+),
+expanded AS (
+  SELECT doc_id, n_tokens, cum, CAST(u.s AS BIGINT) AS s
+  FROM c, unnest(range((cum - n_tokens) // {_PACK_BUDGET},
+                       (cum - 1) // {_PACK_BUDGET} + 1)) AS u(s)
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM t),
+contrib AS (
+  SELECT CAST(CAST(('0x' || substr(md5(CAST(s AS VARCHAR)), 1, 4)) AS INTEGER)
+              % {_N_SHARDS} AS BIGINT) AS shard,
+         doc_id, s,
+         least(cum, (s + 1) * {_PACK_BUDGET})
+           - greatest(cum - n_tokens, s * {_PACK_BUDGET}) AS tok
+  FROM expanded
+)
+SELECT shard,
+       CAST(count(DISTINCT s) AS BIGINT) AS n_seqs,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS n_tokens,
+       CAST(sum(tok) AS BIGINT) * 1000000 // t AS token_share_ppm
+FROM contrib CROSS JOIN tot
+GROUP BY shard, t
+ORDER BY shard
 """
 
 
@@ -222,6 +339,14 @@ FROM per_doc p LEFT JOIN hits h ON p.doc_id = h.doc_id
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "dataset_interleave_shards": QuerySpec(
+        "dataset_interleave_shards",
+        dataset_interleave_shards,
+        INTERLEAVE_SHARDS_ORACLE,
+        f"md5-interleaved assignment of packed sequences to {_N_SHARDS} "
+        "training shards with exact per-shard token mass (interval "
+        "intersection) and integer-ppm shares",
+    ),
     "corpus_chunk_windows": QuerySpec(
         "corpus_chunk_windows",
         corpus_chunk_windows,

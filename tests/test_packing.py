@@ -83,3 +83,37 @@ def test_decontaminate_flags_eval_copy(spark):
     assert flagged.count() == out.filter(
         F.col("n_eval_hits") >= _CONTAM_HITS
     ).count()
+
+
+def test_interleave_shards_conserves_tokens(spark):
+    """Shard interleaving invariants: the per-shard token masses sum
+    EXACTLY to the corpus token count (the interval-intersection math
+    loses nothing at sequence boundaries); every sequence lands in
+    exactly one shard (Σ n_seqs = number of distinct sequences); and
+    the ppm shares close to 1e6 within floor rounding."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_streaming_pipeline_spark.operators.packing import (
+        corpus_pack_sequences,
+        dataset_interleave_shards,
+    )
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+    from tests.conftest import SF_CORRECT
+
+    rows = dataset_interleave_shards(spark, SF_CORRECT).collect()
+    docs = load_table(spark, SF_CORRECT, "documents")
+    total = docs.select(F.sum(F.size(F.split("text", " ")))).first()[0]
+    assert sum(r.n_tokens for r in rows) == total
+
+    packs = corpus_pack_sequences(spark, SF_CORRECT)
+    n_seqs = (
+        packs.select(
+            F.explode(F.sequence("seq_first", "seq_last")).alias("s")
+        )
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_seqs for r in rows) == n_seqs
+
+    share = sum(r.token_share_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= share <= 1_000_000
