@@ -174,6 +174,7 @@ HEADLINE = [
     "sim_matryoshka_recall",
     "curation_quality_classifier",
     "dataset_interleave_shards",
+    "profile_psi_drift",
 ]
 
 

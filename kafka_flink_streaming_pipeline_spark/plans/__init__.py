@@ -52,9 +52,9 @@ class QuerySpec:
 #: cube_order_status_priority, pivot_priority_by_status,
 #: percentiles_order_totals, tpch_q2_max_balance_supplier,
 #: set_ops_customer_cohorts, grouping_sets_revenue,
-#: rolling_revenue_30d, tpch_q21_waiting_orders and
-#: tpch_q20_part_promotion rotate to r7 — displaced by the ten
-#: never-checked late additions (including the
+#: rolling_revenue_30d, tpch_q21_waiting_orders,
+#: tpch_q20_part_promotion and tpch_q17_small_qty_revenue rotate to
+#: r7 — displaced by the eleven never-checked late additions (including the
 #: FOURTH writeStream artifact, the streaming bloom gate), which
 #: outrank stale-green re-checks), plus the oldest r2-era witness that fits
 #: (dedup_exact, which also carries the exact-dup lineage device).
@@ -83,6 +83,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "curation_quality_classifier",
     "bloom_gate_stream_materialized",
     "dataset_interleave_shards",
+    "profile_psi_drift",
     # (c) the ten fillers displaced from the r5 window
     "sim_topk_cosine_pandas",
     "dedup_word_jaccard",
@@ -112,7 +113,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "tpch_q11_important_stock",
     "tpch_q15_top_supplier",
     "tpch_q16_parts_supplier_cnt",
-    "tpch_q17_small_qty_revenue",
     # …and the oldest r2-era witness that fits
     "dedup_exact",
 )

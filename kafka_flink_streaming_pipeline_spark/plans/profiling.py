@@ -1014,6 +1014,137 @@ ORDER BY l1.day
 """
 
 
+# --- numeric drift: population stability index -----------------------------
+
+_PSI_B = 10  # equi-width buckets over the metric's global range
+
+
+def _psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the events `value` metric between
+    the first and second half of the data's time range — THE standard
+    ML-ops numeric-drift gate (PSI < 0.1 stable, 0.1-0.25 drifting,
+    > 0.25 act). Output per equi-width bucket: the two integer-ppm
+    shares and the bucket's PSI term in integer micro-units
+    ((p_cur − p_ref)·ln(p_cur/p_ref), add-one-smoothed on the ppm
+    scale); the report's consumer sums the terms.
+
+    Cross-engine discipline: the period split avoids timestamp
+    midpoint DIVISION entirely (2·ts_us < min_us + max_us is the same
+    comparison with no truncation to disagree on); bucket assignment
+    is one double expression identical in both engines; each ln rounds
+    once to micro-nats; and every PSI term is structurally
+    NON-NEGATIVE ((a−b) and ln((a+1)/(b+1)) always share a sign), so
+    the final integer division needs no signed-floor shift.
+
+    Plan shape at 100 TB: one scan → map-side bucket+period flags →
+    one {_PSI_B}-row aggregation; the range and totals are broadcast
+    1-row aggregates."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "value", F.unix_micros("ts").alias("us")
+    )
+    stats = ev.agg(
+        F.min("us").alias("us_min"),
+        F.max("us").alias("us_max"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
+    j = ev.crossJoin(F.broadcast(stats))
+    is_ref = (F.col("us") * 2) < (F.col("us_min") + F.col("us_max"))
+    b = F.coalesce(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("v_min"))
+                * _PSI_B
+                / F.nullif(F.col("v_max") - F.col("v_min"), F.lit(0))
+            ),
+            F.lit(_PSI_B - 1),
+        ),
+        F.lit(0),
+    ).cast("bigint")
+    counts = (
+        j.select(b.alias("bucket"), is_ref.alias("r"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("r"), 1).otherwise(0)).cast("bigint").alias("c_ref"),
+            F.sum(F.when(F.col("r"), 0).otherwise(1)).cast("bigint").alias("c_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("c_ref").cast("bigint").alias("t_ref"),
+        F.sum("c_cur").cast("bigint").alias("t_cur"),
+    )
+    ln_u = F.floor(
+        F.log(
+            (F.col("cur_ppm") + 1).cast("double") / (F.col("ref_ppm") + 1)
+        )
+        * 1_000_000
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.expr("c_ref * 1000000 DIV t_ref").alias("ref_ppm"),
+            F.expr("c_cur * 1000000 DIV t_cur").alias("cur_ppm"),
+        )
+        .select(
+            "bucket",
+            "ref_ppm",
+            "cur_ppm",
+            ((F.col("cur_ppm") - F.col("ref_ppm")) * ln_u)
+            .cast("bigint")
+            .alias("prod"),
+        )
+        .select(
+            "bucket",
+            "ref_ppm",
+            "cur_ppm",
+            F.expr("prod DIV 1000000").alias("psi_term_micro"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_PSI_ORACLE = f"""
+WITH ev AS (
+  SELECT value, epoch_us(ts) AS us FROM events
+),
+stats AS (
+  SELECT min(us) AS us_min, max(us) AS us_max,
+         min(value) AS v_min, max(value) AS v_max
+  FROM ev
+),
+counts AS (
+  SELECT coalesce(least(CAST(floor((value - v_min) * {_PSI_B}
+                                   / nullif(v_max - v_min, 0)) AS BIGINT),
+                        {_PSI_B - 1}), 0) AS bucket,
+         CAST(sum(CASE WHEN us * 2 < us_min + us_max THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_ref,
+         CAST(sum(CASE WHEN us * 2 < us_min + us_max THEN 0 ELSE 1 END)
+              AS BIGINT) AS c_cur
+  FROM ev CROSS JOIN stats
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(c_ref) AS BIGINT) AS t_ref,
+         CAST(sum(c_cur) AS BIGINT) AS t_cur
+  FROM counts
+),
+shares AS (
+  SELECT bucket,
+         c_ref * 1000000 // t_ref AS ref_ppm,
+         c_cur * 1000000 // t_cur AS cur_ppm
+  FROM counts CROSS JOIN tot
+)
+SELECT bucket, ref_ppm, cur_ppm,
+       ((cur_ppm - ref_ppm)
+        * CAST(floor(ln(CAST(cur_ppm + 1 AS DOUBLE) / (ref_ppm + 1)) * 1000000
+                     + 0.5) AS BIGINT)) // 1000000 AS psi_term_micro
+FROM shares
+ORDER BY bucket
+"""
+
+
 # --- privacy: k-anonymity profile -----------------------------------------
 
 _KANON_RISK = 5  # classes smaller than this are "at risk" (Sweeney's k)
@@ -1098,6 +1229,13 @@ ORDER BY class_size
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "profile_psi_drift": QuerySpec(
+        "profile_psi_drift",
+        _psi_drift,
+        _PSI_ORACLE,
+        "population stability index of the value metric between time "
+        "halves: per-bucket ppm shares + non-negative integer PSI terms",
+    ),
     "privacy_k_anonymity": QuerySpec(
         "privacy_k_anonymity",
         _k_anonymity,

@@ -602,3 +602,22 @@ def test_quality_classifier_training_dynamics(spark):
     biases = [r.w_bias_micro for r in rows]
     assert all(b < 0 for b in biases)
     assert biases == sorted(biases, reverse=True)
+
+
+def test_psi_drift_invariants(spark):
+    """PSI report invariants: every term is non-negative (structural:
+    (a-b) and ln((a+1)/(b+1)) share a sign), each period's ppm shares
+    close to 1e6 within floor rounding, and the total PSI is finite
+    and small on a stationary synthetic stream (the generator draws
+    both halves from the same distribution — PSI < 0.1, the standard
+    'stable' reading)."""
+    from kafka_flink_streaming_pipeline_spark.plans.profiling import _psi_drift
+
+    rows = _psi_drift(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert r.psi_term_micro >= 0
+    for col in ("ref_ppm", "cur_ppm"):
+        share = sum(getattr(r, col) for r in rows)
+        assert 1_000_000 - len(rows) <= share <= 1_000_000
+    assert sum(r.psi_term_micro for r in rows) < 100_000  # PSI < 0.1
