@@ -175,6 +175,7 @@ HEADLINE = [
     "curation_quality_classifier",
     "dataset_interleave_shards",
     "profile_psi_drift",
+    "dedup_minhash_bbit",
 ]
 
 

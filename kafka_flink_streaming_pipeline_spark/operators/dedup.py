@@ -1373,6 +1373,120 @@ ORDER BY bucket
 """
 
 
+# --- b-bit minwise hashing (signature compression) -------------------------
+
+
+def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minwise hashing (Li & König, WWW 2010): store only the
+    LOWEST BIT of each minhash value — a 64× smaller signature — and
+    estimate jaccard from bit agreement with the collision correction
+    Ĵ = 2·(matched/k) − 1 (two unequal minima still agree with
+    probability 1/2 at b=1). The published trade-off that makes
+    billion-doc signature tables fit in memory; this report measures
+    what the compression costs HERE, per true-similarity decile of the
+    full-width estimator over the session-shared LSH candidate pairs:
+
+        decile | n_pairs | mean_abs_err_ppm | n_overestimated
+
+    All-integer contract: bit = parity of the minimum's last hex
+    digit (same md5 device, both engines); matched-bit counts are
+    exact; Ĵ in ppm is 2·(matched·10⁶ DIV {_N_PERM}) − 10⁶ (the only
+    division is on a non-negative count); |Ĵ − J_full| sums exactly.
+
+    Plan shape at 100 TB: candidates come from the shared banded-LSH
+    subtree; the per-pair work is two joins against the |docs|-row
+    signature table and a {_N_PERM}-term bit comparison. The POINT of
+    b-bit in production is that the signature table those joins probe
+    is 1 bit/perm instead of 64 — the report carries the accuracy
+    half of that argument."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    sigs = _minhash_sigs_columnar(_doc_shingles(spark, sf_dir, distinct=False))
+    bits = sigs.select(
+        "doc_id",
+        *[
+            (F.conv(F.substring(F.col(f"h{p}"), 16, 1), 16, 10).cast("int") % 2).alias(
+                f"b{p}"
+            )
+            for p in range(_N_PERM)
+        ],
+    )
+    b1 = bits.select(
+        F.col("doc_id").alias("d1"), *[F.col(f"b{p}").alias(f"x{p}") for p in range(_N_PERM)]
+    )
+    b2 = bits.select(
+        F.col("doc_id").alias("d2"), *[F.col(f"b{p}").alias(f"y{p}") for p in range(_N_PERM)]
+    )
+    matched = sum(
+        F.when(F.col(f"x{p}") == F.col(f"y{p}"), 1).otherwise(0)
+        for p in range(_N_PERM)
+    )
+    full_ppm = F.floor(F.col("est_jaccard") * 1_000_000 + F.lit(0.5)).cast("bigint")
+    scored = (
+        pairs.join(b1, "d1")
+        .join(b2, "d2")
+        .select(
+            full_ppm.alias("full_ppm"),
+            matched.cast("bigint").alias("matched"),
+        )
+        .select(
+            "full_ppm",
+            F.expr(f"2 * (matched * 1000000 DIV {_N_PERM}) - 1000000").alias(
+                "b1_ppm"
+            ),
+        )
+    )
+    return (
+        scored.select(
+            F.least(F.expr("full_ppm DIV 100000"), F.lit(9)).alias("decile"),
+            "full_ppm",
+            "b1_ppm",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.expr("CAST(sum(abs(b1_ppm - full_ppm)) DIV count(*) AS BIGINT)").alias(
+                "mean_abs_err_ppm"
+            ),
+            F.sum(F.when(F.col("b1_ppm") > F.col("full_ppm"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_overestimated"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _bbit_oracle() -> str:
+    bit1 = "CAST(('0x' || substr(s1.h, 16, 1)) AS INTEGER) % 2"
+    bit2 = "CAST(('0x' || substr(s2.h, 16, 1)) AS INTEGER) % 2"
+    return f"""
+WITH {LSH_EST_SQL},
+pairbits AS (
+  SELECT e.d1, e.d2,
+         CAST(floor(e.est_jaccard * 1000000 + 0.5) AS BIGINT) AS full_ppm,
+         CAST(sum(CASE WHEN {bit1} = {bit2} THEN 1 ELSE 0 END) AS BIGINT)
+           AS matched
+  FROM est e
+  JOIN sigs s1 ON s1.doc_id = e.d1
+  JOIN sigs s2 ON s2.doc_id = e.d2 AND s2.perm = s1.perm
+  GROUP BY e.d1, e.d2, e.est_jaccard
+),
+scored AS (
+  SELECT least(full_ppm // 100000, 9) AS decile, full_ppm,
+         2 * (matched * 1000000 // {_N_PERM}) - 1000000 AS b1_ppm
+  FROM pairbits
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(CAST(sum(abs(b1_ppm - full_ppm)) AS BIGINT) // count(*) AS BIGINT)
+         AS mean_abs_err_ppm,
+       CAST(sum(CASE WHEN b1_ppm > full_ppm THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overestimated
+FROM scored
+GROUP BY decile
+ORDER BY decile
+"""
+
+
 # --- Bloom-filter exact-span admission gate --------------------------------
 
 _BLOOM_M_BITS = 1 << 18  # filter size (bits); size ~= 14 bits/key for <1% FPR
@@ -1571,6 +1685,14 @@ GROUP BY doc_id
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_minhash_bbit": QuerySpec(
+        "dedup_minhash_bbit",
+        dedup_minhash_bbit,
+        _bbit_oracle(),
+        "b-bit minwise hashing accuracy report: 1-bit signature "
+        "estimator vs the full-width estimator per similarity decile "
+        "(the 64x signature-compression trade-off, measured)",
+    ),
     "dedup_bloom_gate": QuerySpec(
         "dedup_bloom_gate",
         dedup_bloom_gate,

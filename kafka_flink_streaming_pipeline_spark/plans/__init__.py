@@ -53,8 +53,9 @@ class QuerySpec:
 #: percentiles_order_totals, tpch_q2_max_balance_supplier,
 #: set_ops_customer_cohorts, grouping_sets_revenue,
 #: rolling_revenue_30d, tpch_q21_waiting_orders,
-#: tpch_q20_part_promotion and tpch_q17_small_qty_revenue rotate to
-#: r7 — displaced by the eleven never-checked late additions (including the
+#: tpch_q20_part_promotion, tpch_q17_small_qty_revenue and
+#: tpch_q16_parts_supplier_cnt rotate to r7 — displaced by the
+#: twelve never-checked late additions (including the
 #: FOURTH writeStream artifact, the streaming bloom gate), which
 #: outrank stale-green re-checks), plus the oldest r2-era witness that fits
 #: (dedup_exact, which also carries the exact-dup lineage device).
@@ -84,6 +85,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "bloom_gate_stream_materialized",
     "dataset_interleave_shards",
     "profile_psi_drift",
+    "dedup_minhash_bbit",
     # (c) the ten fillers displaced from the r5 window
     "sim_topk_cosine_pandas",
     "dedup_word_jaccard",
@@ -112,7 +114,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "tpch_q9_product_profit",
     "tpch_q11_important_stock",
     "tpch_q15_top_supplier",
-    "tpch_q16_parts_supplier_cnt",
     # …and the oldest r2-era witness that fits
     "dedup_exact",
 )

