@@ -176,6 +176,8 @@ HEADLINE = [
     "dataset_interleave_shards",
     "profile_psi_drift",
     "dedup_minhash_bbit",
+    "sim_kmeans_train",
+    "dataset_mixture_temperature",
 ]
 
 
@@ -273,16 +275,29 @@ def main() -> None:
         except Exception:
             return df.count()
 
+    # Min-of-2 measured runs (round-6 fix): single measured runs showed
+    # multi-second stop-the-world pauses landing on RANDOM entries —
+    # the same battery run back-to-back put 10.8 s on one query and
+    # 3.0 s on it the next time, while the identical 114-entry r5
+    # subset drifted 95.6 -> 145.6 s with a median per-query ratio of
+    # only 1.19. Min over two fully-rebuilt, cache-cleared executions
+    # is the standard straggler-robust steady-state estimator; both
+    # candidates are complete rebuilds, so nothing is hidden.
+    n_meas = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for name in HEADLINE:
         if name not in plans or name in skip:
             continue
         warm = _materialize(plans[name].build(spark, sf_dir))
-        spark.catalog.clearCache()
-        t0 = time.time()
-        df = plans[name].build(spark, sf_dir)
-        n = _materialize(df)
-        per_query[name] = round(time.time() - t0, 3)
-        assert n == warm
+        best = None
+        for _ in range(n_meas):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            df = plans[name].build(spark, sf_dir)
+            n = _materialize(df)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            assert n == warm
+        per_query[name] = round(best, 3)
     total = round(sum(per_query.values()), 3)
     # 1-min load average at battery end: the r3 driver total ran 1.2x
     # the idle-box total purely from machine contention — recording

@@ -212,6 +212,114 @@ def dataset_mixture_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dataset_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture weights COMPUTED from the corpus
+    (vs `dataset_mixture_expand`'s hand-fixed epochs): per source,
+    sampling weight ∝ n_tokens^α with α=1/2 — the classic multilingual
+    /multi-source re-balancing (mBERT/XLM-R exponential smoothing;
+    T5's and Llama's source mixing use the same n^α family). Head
+    sources get down-weighted below one epoch, tail sources upsampled
+    above it — the output shows exactly that::
+
+        source | n_docs | n_tokens | weight_ppm | alloc_tokens | epochs_milli
+
+    weight_ppm is the normalized sampling weight; alloc_tokens is the
+    source's token allocation out of a budget of one corpus-size pass
+    (T = Σ n_tokens); epochs_milli = alloc/n — >1000 means the source
+    repeats, <1000 means it's subsampled.
+
+    Hash contract: the only non-integer step is sqrt, which IEEE 754
+    requires to be CORRECTLY ROUNDED (unlike ln/exp) — so
+    floor(sqrt(n)·1000 + 0.5) is engine-exact; everything after is
+    pure-BIGINT two-step floor division (the `curation_token_budget`
+    discipline). Overflow bound: the two-step remainder products stay
+    under 2^63 for corpora below ~9e12 total tokens — beyond that,
+    split the ppm scale into two 1000× steps.
+
+    At 100 TB: one groupBy(source) over the corpus (map-side combine
+    does nearly all the work; source cardinality is tiny), then a
+    broadcast of the one-row total — no large shuffle anywhere."""
+    n_tokens = F.regexp_count("text", F.lit(r"[a-z0-9]+"))
+    per_src = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", n_tokens.alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("mass"),
+        )
+    )
+    totals = per_src.agg(
+        F.sum("mass").alias("mt"), F.sum("n_tokens").alias("t_total")
+    )
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr(
+                "(mass DIV mt) * 1000000 + ((mass % mt) * 1000000) DIV mt"
+            ).alias("weight_ppm"),
+            F.expr(
+                "(t_total DIV mt) * mass + ((t_total % mt) * mass) DIV mt"
+            ).alias("alloc_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "weight_ppm",
+            "alloc_tokens",
+            F.expr(
+                "(alloc_tokens DIV n_tokens) * 1000"
+                " + ((alloc_tokens % n_tokens) * 1000) DIV n_tokens"
+            ).alias("epochs_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+DATASET_MIXTURE_TEMPERATURE_ORACLE = """
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(length(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+massed AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000 + 0.5) AS BIGINT)
+           AS mass
+  FROM per_src
+),
+tot AS (
+  SELECT CAST(sum(mass) AS BIGINT) AS mt,
+         CAST(sum(n_tokens) AS BIGINT) AS t_total
+  FROM massed
+),
+alloc AS (
+  SELECT source, n_docs, n_tokens,
+         (mass // mt) * 1000000 + ((mass % mt) * 1000000) // mt AS weight_ppm,
+         (t_total // mt) * mass + ((t_total % mt) * mass) // mt AS alloc_tokens
+  FROM massed, tot
+)
+SELECT source, n_docs, n_tokens,
+       CAST(weight_ppm AS BIGINT) AS weight_ppm,
+       CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+       CAST((alloc_tokens // n_tokens) * 1000
+            + ((alloc_tokens % n_tokens) * 1000) // n_tokens AS BIGINT)
+         AS epochs_milli
+FROM alloc
+ORDER BY source
+"""
+
+
 _MIXTURE_CASE = " ".join(
     f"WHEN '{s}' THEN {n}" for s, n in sorted(_MIXTURE_EPOCHS.items())
 )
@@ -859,6 +967,13 @@ QUERIES: dict[str, QuerySpec] = {
         dataset_mixture_expand,
         DATASET_MIXTURE_ORACLE,
         "weighted mixture epochs via declarative row generator",
+    ),
+    "dataset_mixture_temperature": QuerySpec(
+        "dataset_mixture_temperature",
+        dataset_mixture_temperature,
+        DATASET_MIXTURE_TEMPERATURE_ORACLE,
+        "temperature-sampled (alpha=1/2) mixture weights computed from "
+        "per-source token mass: weight_ppm, token allocation, effective epochs",
     ),
     "winsorize_order_totals": QuerySpec(
         "winsorize_order_totals",

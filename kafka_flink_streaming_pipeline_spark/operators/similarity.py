@@ -2123,7 +2123,247 @@ GROUP BY v2
 """
 
 
+# --- Lloyd's k-means training loop (trains the IVF coarse quantizer) -------
+
+_KM_ROUNDS = 3
+_KM_DIM = 64
+#: positive-domain shift: every micro-unit dim value (|x| < 2.0 in this
+#: embedding family, asserted in tests) becomes non-negative, so the
+#: centroid-update integer division is floor == truncate in BOTH
+#: engines. Spark's `DIV` truncates toward zero while DuckDB's `//`
+#: floors toward -inf — they agree only on non-negative operands, and
+#: L2 distances are shift-invariant, so shifting is free correctness.
+_KM_SHIFT = 2_000_000
+
+
+def _km_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, dim, xm): exploded per-dimension BIGINT micro-units,
+    shifted into the non-negative domain (see `_KM_SHIFT`)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", F.posexplode("embedding").alias("dim", "x")).select(
+        "vec_id",
+        "dim",
+        (
+            F.floor(F.col("x").cast("double") * 1_000_000 + F.lit(0.5)).cast("bigint")
+            + F.lit(_KM_SHIFT)
+        ).alias("xm"),
+    )
+
+
+def _km_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[DataFrame], DataFrame, DataFrame]:
+    """Run {_KM_ROUNDS} Lloyd iterations; return (per-round 1-row
+    report DFs, final centroids, final assignment).
+
+    The driver loop is rounds-only (3 iterations); each round is fully
+    distributed: assignment is a broadcast join of the K×{_KM_DIM}
+    centroid table against the exploded point table + a groupBy argmin,
+    update is a groupBy mean. `localCheckpoint` per round, or the plan
+    re-embeds every prior round and doubles per iteration (the BPE-loop
+    lesson). All arithmetic is BIGINT: squared L2 in shifted micro
+    units, centroid update by non-negative integer floor division —
+    no doubles anywhere, so the hash contract is engine-exact.
+
+    At 100 TB: the point table is the only big side and is never
+    shuffled for assignment (centroids broadcast); the update groupBy
+    shuffles K×{_KM_DIM} = 512 keys of partial sums (map-side combine
+    does the heavy lifting). Inertia is reported as sum(d DIV 1000);
+    at ~1e9+ vectors the sum needs a DECIMAL(38) internal accumulator —
+    an internal (unhashed) representation choice, not a contract one."""
+    pts = _km_points(spark, sf_dir).localCheckpoint()
+    cent = (
+        pts.filter(
+            (F.col("vec_id") >= _N_QUERIES) & (F.col("vec_id") < _N_QUERIES + _IVF_K)
+        )
+        .select(
+            (F.col("vec_id") - _N_QUERIES).cast("int").alias("cid"),
+            "dim",
+            F.col("xm").alias("cm"),
+        )
+        .localCheckpoint()
+    )
+    reports: list[DataFrame] = []
+    prev = None
+    assign = None
+    for r in range(1, _KM_ROUNDS + 1):
+        diff = F.col("xm") - F.col("cm")
+        dists = (
+            pts.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum(diff * diff).cast("bigint").alias("d"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
+        assign = (
+            dists.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "d")
+            .localCheckpoint()
+        )
+        if prev is None:
+            rep = assign.agg(
+                F.count("*").cast("bigint").alias("n_moved"),
+                F.sum(F.expr("d DIV 1000")).cast("bigint").alias("inertia_milli"),
+            )
+        else:
+            rep = (
+                assign.join(prev.select("vec_id", F.col("cid").alias("prev_cid")), "vec_id")
+                .agg(
+                    F.sum(
+                        F.when(F.col("cid") != F.col("prev_cid"), 1).otherwise(0)
+                    )
+                    .cast("bigint")
+                    .alias("n_moved"),
+                    F.sum(F.expr("d DIV 1000")).cast("bigint").alias("inertia_milli"),
+                )
+            )
+        reports.append(rep.select(F.lit(r).alias("iter"), "n_moved", "inertia_milli"))
+        prev = assign
+        cent = (
+            assign.join(pts, "vec_id")
+            .groupBy("cid", "dim")
+            .agg(F.expr("CAST(sum(xm) DIV count(*) AS BIGINT)").alias("cm"))
+            .localCheckpoint()
+        )
+    return reports, cent, assign
+
+
+def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding store — the
+    training loop the IVF docstring defers to ("at 100 TB you'd k-means
+    a sample"). K={_IVF_K} centroids seeded from the same vectors the
+    training-free IVF uses, {_KM_ROUNDS} rounds, squared-L2 in integer
+    micro units. One report row per round::
+
+        iter | n_moved | inertia_milli
+
+    n_moved is the count of vectors whose cell changed vs the previous
+    round (round 1: every vector, by definition); inertia_milli is the
+    clustering objective Σ min-dist, in milli-micro² units. Lloyd's
+    monotonicity (inertia non-increasing) is pinned by a pytest
+    invariant up to the integer-mean rounding slack."""
+    reports, _, _ = _km_train(spark, sf_dir)
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out.orderBy("iter")
+
+
+def sim_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained coarse-quantizer codebook itself — what a production
+    IVF build persists and every ingest probe loads: per final cell,
+    its member count and the centroid as a comma-joined micro-unit
+    vector (the driver canonicalizer hashes strings, not arrays)::
+
+        cid | n_members | centroid_csv
+    """
+    _, cent, assign = _km_train(spark, sf_dir)
+    members = assign.groupBy("cid").agg(F.count("*").cast("bigint").alias("n_members"))
+    vec = cent.groupBy("cid").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("cm")))
+                ),
+                lambda s: s["cm"].cast("string"),
+            ),
+        ).alias("centroid_csv")
+    )
+    return (
+        members.join(vec, "cid")
+        .select(F.col("cid").cast("int").alias("cid"), "n_members", "centroid_csv")
+        .orderBy("cid")
+    )
+
+
+def _km_oracle_ctes() -> str:
+    """Unrolled {_KM_ROUNDS}-round Lloyd CTE chain (DuckDB). The Spark
+    side iterates a driver loop; SQL can't, so the oracle unrolls the
+    same fixed number of rounds — identical integer arithmetic."""
+    parts = [
+        f"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pts AS (
+  SELECT vec_id, dim,
+         CAST(floor(v[dim + 1] * 1000000 + 0.5) AS BIGINT) + {_KM_SHIFT} AS xm
+  FROM e0 CROSS JOIN (SELECT unnest(range(0, {_KM_DIM})) AS dim) dims
+),
+c0 AS (
+  SELECT CAST(vec_id - {_N_QUERIES} AS INTEGER) AS cid, dim, xm AS cm
+  FROM pts WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES + _IVF_K}
+)"""
+    ]
+    for r in range(1, _KM_ROUNDS + 1):
+        parts.append(
+            f"""d{r} AS (
+  SELECT p.vec_id, c.cid, CAST(sum((p.xm - c.cm) * (p.xm - c.cm)) AS BIGINT) AS d
+  FROM pts p JOIN c{r - 1} c USING (dim) GROUP BY p.vec_id, c.cid
+),
+a{r} AS (
+  SELECT vec_id, cid, d FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM d{r}
+  ) WHERE rn = 1
+),
+c{r} AS (
+  SELECT cid, dim, CAST(CAST(sum(p.xm) AS BIGINT) // count(*) AS BIGINT) AS cm
+  FROM a{r} JOIN pts p USING (vec_id) GROUP BY cid, dim
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _kmeans_train_oracle() -> str:
+    rounds = [
+        f"""SELECT 1 AS iter, CAST(count(*) AS BIGINT) AS n_moved,
+       CAST(sum(d // 1000) AS BIGINT) AS inertia_milli
+FROM a1"""
+    ]
+    for r in range(2, _KM_ROUNDS + 1):
+        rounds.append(
+            f"""SELECT {r} AS iter,
+       CAST(sum(CASE WHEN a.cid <> p.cid THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+       CAST(sum(a.d // 1000) AS BIGINT) AS inertia_milli
+FROM a{r} a JOIN a{r - 1} p USING (vec_id)"""
+        )
+    body = "\nUNION ALL\n".join(rounds)
+    return f"""
+WITH {_km_oracle_ctes()}
+SELECT * FROM ({body})
+ORDER BY iter
+"""
+
+
+def _kmeans_centroids_oracle() -> str:
+    last = _KM_ROUNDS
+    return f"""
+WITH {_km_oracle_ctes()},
+members AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members FROM a{last} GROUP BY cid),
+vecs AS (
+  SELECT cid, string_agg(CAST(cm AS VARCHAR), ',' ORDER BY dim) AS centroid_csv
+  FROM c{last} GROUP BY cid
+)
+SELECT cid, n_members, centroid_csv
+FROM members JOIN vecs USING (cid)
+ORDER BY cid
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sim_kmeans_train": QuerySpec(
+        "sim_kmeans_train",
+        sim_kmeans_train,
+        _kmeans_train_oracle(),
+        "distributed Lloyd's k-means training loop: per-round moved-count "
+        "and integer inertia (the IVF coarse-quantizer trainer)",
+    ),
+    "sim_kmeans_centroids": QuerySpec(
+        "sim_kmeans_centroids",
+        sim_kmeans_centroids,
+        _kmeans_centroids_oracle(),
+        "trained coarse-quantizer codebook: final centroids (micro-unit "
+        "csv) + member counts after the Lloyd rounds",
+    ),
     "dedup_semantic_clusters": QuerySpec(
         "dedup_semantic_clusters",
         dedup_semantic_clusters,

@@ -53,10 +53,13 @@ class QuerySpec:
 #: percentiles_order_totals, tpch_q2_max_balance_supplier,
 #: set_ops_customer_cohorts, grouping_sets_revenue,
 #: rolling_revenue_30d, tpch_q21_waiting_orders,
-#: tpch_q20_part_promotion, tpch_q17_small_qty_revenue and
-#: tpch_q16_parts_supplier_cnt rotate to r7 — displaced by the
-#: twelve never-checked late additions (including the
-#: FOURTH writeStream artifact, the streaming bloom gate), which
+#: tpch_q20_part_promotion, tpch_q17_small_qty_revenue,
+#: tpch_q16_parts_supplier_cnt, tpch_q9_product_profit,
+#: tpch_q11_important_stock and tpch_q15_top_supplier rotate to r7 —
+#: displaced by the fifteen never-checked late additions (including
+#: the FOURTH writeStream artifact, the streaming bloom gate, the
+#: b-bit minhash report, the Lloyd's k-means trainer + its codebook,
+#: and the temperature-mixing weights), which
 #: outrank stale-green re-checks), plus the oldest r2-era witness that fits
 #: (dedup_exact, which also carries the exact-dup lineage device).
 #: The 12 r2-era entries that don't fit rotate into r7.
@@ -86,6 +89,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "dataset_interleave_shards",
     "profile_psi_drift",
     "dedup_minhash_bbit",
+    "sim_kmeans_train",
+    "sim_kmeans_centroids",
+    "dataset_mixture_temperature",
     # (c) the ten fillers displaced from the r5 window
     "sim_topk_cosine_pandas",
     "dedup_word_jaccard",
@@ -111,9 +117,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "order_items_right_join",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q15_top_supplier",
     # …and the oldest r2-era witness that fits
     "dedup_exact",
 )

@@ -670,3 +670,69 @@ def test_bbit_report_invariants(spark):
     assert all(
         getattr(s1, f"h{p}") == getattr(s2, f"h{p}") for p in range(_N_PERM)
     )  # identical docs -> identical minima -> identical bits -> b-bit exact
+
+
+def test_kmeans_train_invariants(spark):
+    """Lloyd's monotonicity on the integer contract: round 1 moves
+    every vector; inertia never increases across rounds beyond the
+    integer-mean rounding slack (each centroid dim is floor-rounded by
+    <1 micro unit, which perturbs a squared distance by at most
+    2·|xm−cm|+1 per dim); the shift keeps every xm non-negative so
+    Spark DIV == DuckDB // throughout."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_streaming_pipeline_spark.operators.similarity import (
+        _KM_ROUNDS,
+        _KM_SHIFT,
+        _km_points,
+        sim_kmeans_centroids,
+        sim_kmeans_train,
+    )
+
+    pts = _km_points(spark, SF_CORRECT)
+    lo, hi, n_vec = (
+        pts.agg(
+            F.min("xm"), F.max("xm"), F.countDistinct("vec_id")
+        ).collect()[0]
+    )
+    assert lo >= 0, "shift must land every micro dim in the non-negative domain"
+    assert hi < 2 * _KM_SHIFT
+
+    rows = sim_kmeans_train(spark, SF_CORRECT).collect()
+    assert [r.iter for r in rows] == list(range(1, _KM_ROUNDS + 1))
+    assert rows[0].n_moved == n_vec  # round 1 assigns everything
+    # rounding slack: n_vec points x 64 dims x (2*2*SHIFT + 1) micro^2,
+    # expressed in milli units (the report's scale), conservatively
+    slack = n_vec * 64 * (4 * _KM_SHIFT + 1) // 1000 + n_vec
+    for a, b in zip(rows, rows[1:]):
+        assert b.inertia_milli <= a.inertia_milli + slack
+        assert 0 <= b.n_moved <= n_vec
+
+    cents = sim_kmeans_centroids(spark, SF_CORRECT).collect()
+    assert 1 <= len(cents) <= 8
+    assert sum(c.n_members for c in cents) == n_vec
+    for c in cents:
+        vals = c.centroid_csv.split(",")
+        assert len(vals) == 64
+        assert all(v.lstrip("-").isdigit() for v in vals)
+
+
+def test_mixture_temperature_invariants(spark):
+    """Temperature mixing sanity: weights sum to 1e6 within floor
+    slack, allocations sum to at most the budget (one corpus pass),
+    and the alpha=1/2 tilt points the right way — the biggest source
+    is subsampled relative to the smallest (fewer effective epochs)."""
+    from kafka_flink_streaming_pipeline_spark.operators.datasets import (
+        dataset_mixture_temperature,
+    )
+
+    rows = dataset_mixture_temperature(spark, SF_CORRECT).collect()
+    assert len(rows) >= 2
+    t_total = sum(r.n_tokens for r in rows)
+    assert 1_000_000 - len(rows) <= sum(r.weight_ppm for r in rows) <= 1_000_000
+    assert sum(r.alloc_tokens for r in rows) <= t_total
+    biggest = max(rows, key=lambda r: r.n_tokens)
+    smallest = min(rows, key=lambda r: r.n_tokens)
+    if biggest.n_tokens > smallest.n_tokens:
+        assert biggest.epochs_milli < smallest.epochs_milli
+        assert biggest.epochs_milli < 1000 < smallest.epochs_milli
