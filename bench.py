@@ -178,6 +178,7 @@ HEADLINE = [
     "dedup_minhash_bbit",
     "sim_kmeans_train",
     "dataset_mixture_temperature",
+    "sim_ann_ivf_trained",
 ]
 
 

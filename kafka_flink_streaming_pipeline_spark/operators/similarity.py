@@ -1823,6 +1823,7 @@ def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     methods = [
         ("ivf_nprobe1", ann_ivf),
         ("ivf_nprobe2", ann_ivf_nprobe2),
+        ("ivf_kmeans", ann_ivf_trained),
         ("lsh_multiprobe", ann_lsh_multiprobe),
         ("pq_adc_refine", topk_cosine_pq),
     ]
@@ -1859,6 +1860,7 @@ def _recall_report_oracle() -> str:
     for name, oracle in [
         ("ivf_nprobe1", ANN_IVF_ORACLE),
         ("ivf_nprobe2", ANN_IVF_NPROBE2_ORACLE),
+        ("ivf_kmeans", _ann_ivf_trained_oracle()),
         ("lsh_multiprobe", ANN_LSH_MULTIPROBE_ORACLE),
         ("pq_adc_refine", TOPK_PQ_ORACLE),
     ]:
@@ -2150,9 +2152,27 @@ def _km_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _km_assign(pts: DataFrame, cent: DataFrame) -> DataFrame:
+    """One Lloyd assignment step: (vec_id, cid, d) — nearest centroid
+    by integer squared-L2 with cid tiebreak. Centroids broadcast; the
+    argmin groupBy is the only shuffle."""
+    diff = F.col("xm") - F.col("cm")
+    dists = (
+        pts.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(diff * diff).cast("bigint").alias("d"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "d")
+    )
+
+
 def _km_train(
     spark: SparkSession, sf_dir: str
-) -> tuple[list[DataFrame], DataFrame, DataFrame]:
+) -> tuple[list[DataFrame], DataFrame, DataFrame, DataFrame]:
     """Run {_KM_ROUNDS} Lloyd iterations; return (per-round 1-row
     report DFs, final centroids, final assignment).
 
@@ -2187,19 +2207,7 @@ def _km_train(
     prev = None
     assign = None
     for r in range(1, _KM_ROUNDS + 1):
-        diff = F.col("xm") - F.col("cm")
-        dists = (
-            pts.join(F.broadcast(cent), "dim")
-            .groupBy("vec_id", "cid")
-            .agg(F.sum(diff * diff).cast("bigint").alias("d"))
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
-        assign = (
-            dists.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid", "d")
-            .localCheckpoint()
-        )
+        assign = _km_assign(pts, cent).localCheckpoint()
         if prev is None:
             rep = assign.agg(
                 F.count("*").cast("bigint").alias("n_moved"),
@@ -2225,7 +2233,7 @@ def _km_train(
             .agg(F.expr("CAST(sum(xm) DIV count(*) AS BIGINT)").alias("cm"))
             .localCheckpoint()
         )
-    return reports, cent, assign
+    return reports, cent, assign, pts
 
 
 def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2242,7 +2250,7 @@ def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering objective Σ min-dist, in milli-micro² units. Lloyd's
     monotonicity (inertia non-increasing) is pinned by a pytest
     invariant up to the integer-mean rounding slack."""
-    reports, _, _ = _km_train(spark, sf_dir)
+    reports, _, _, _ = _km_train(spark, sf_dir)
     out = reports[0]
     for rep in reports[1:]:
         out = out.unionByName(rep)
@@ -2257,7 +2265,7 @@ def sim_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         cid | n_members | centroid_csv
     """
-    _, cent, assign = _km_train(spark, sf_dir)
+    _, cent, assign, _ = _km_train(spark, sf_dir)
     members = assign.groupBy("cid").agg(F.count("*").cast("bigint").alias("n_members"))
     vec = cent.groupBy("cid").agg(
         F.concat_ws(
@@ -2349,7 +2357,100 @@ ORDER BY cid
 """
 
 
+def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe over the TRAINED codebook (nprobe=1): the payoff
+    query for `sim_kmeans_train` — index build assigns every vector to
+    its nearest FINAL centroid (one extra Lloyd assignment step under
+    c_final, so corpus cells and query probes use the same codebook),
+    queries score only their own cell, exact cosine rerank to
+    top-{_TOP_K}. Same output shape as `sim_ann_ivf`, so the recall
+    report compares seed-IVF vs trained-IVF on identical truth — the
+    measured answer to "did training the quantizer help?".
+
+    At 100 TB the cell assignment is the index build (written once,
+    like `build_ann_index`); per query the candidate set is one cell,
+    ~|corpus|/K rows."""
+    _, cent, _, pts = _km_train(spark, sf_dir)
+    cells = _km_assign(pts, cent).select("vec_id", "cid")
+    e = load_table(spark, sf_dir, "embeddings")
+    with_norm = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    ).join(cells, "vec_id")
+    q = with_norm.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        "cid",
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = with_norm.select(
+        F.col("vec_id").alias("cand_id"),
+        "cid",
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    scored = (
+        q.join(c, "cid")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            _pair_cosine(
+                F.col("qv"), F.col("cv"), F.col("q_nrm"), F.col("c_nrm")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ann_ivf_trained_oracle() -> str:
+    last = _KM_ROUNDS
+    return f"""
+WITH {_km_oracle_ctes()},
+dfin AS (
+  SELECT p.vec_id, c.cid, CAST(sum((p.xm - c.cm) * (p.xm - c.cm)) AS BIGINT) AS d
+  FROM pts p JOIN c{last} c USING (dim) GROUP BY p.vec_id, c.cid
+),
+cells AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM dfin
+  ) WHERE rn = 1
+),
+e AS ({_DUCK_EMB}),
+scored AS (
+  SELECT cq.vec_id AS query_id, cc.vec_id AS cand_id, {_DUCK_COS} AS cosine
+  FROM cells cq
+  JOIN cells cc ON cc.cid = cq.cid AND cc.vec_id <> cq.vec_id
+  JOIN e q ON q.vec_id = cq.vec_id
+  JOIN e c ON c.vec_id = cc.vec_id
+  WHERE cq.vec_id < {_N_QUERIES}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, rank
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sim_ann_ivf_trained": QuerySpec(
+        "sim_ann_ivf_trained",
+        ann_ivf_trained,
+        _ann_ivf_trained_oracle(),
+        "IVF probe over the k-means-trained codebook (nprobe=1) with "
+        "exact cosine rerank — the trained twin of sim_ann_ivf",
+    ),
     "sim_kmeans_train": QuerySpec(
         "sim_kmeans_train",
         sim_kmeans_train,

@@ -58,8 +58,11 @@ class QuerySpec:
 #: tpch_q11_important_stock and tpch_q15_top_supplier rotate to r7 —
 #: displaced by the fifteen never-checked late additions (including
 #: the FOURTH writeStream artifact, the streaming bloom gate, the
-#: b-bit minhash report, the Lloyd's k-means trainer + its codebook,
-#: and the temperature-mixing weights), which
+#: b-bit minhash report, the Lloyd's k-means trainer + its codebook +
+#: the trained-IVF probe, and the temperature-mixing weights; tpch_q7
+#: and tpch_q8 also rotate to r7 to make room for the trained probe
+#: and the VALUE-CHANGED recall report, which gained the ivf_kmeans
+#: row and so staled its r5 witness), which
 #: outrank stale-green re-checks), plus the oldest r2-era witness that fits
 #: (dedup_exact, which also carries the exact-dup lineage device).
 #: The 12 r2-era entries that don't fit rotate into r7.
@@ -92,6 +95,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "sim_kmeans_train",
     "sim_kmeans_centroids",
     "dataset_mixture_temperature",
+    "sim_ann_ivf_trained",
+    "sim_ann_recall_report",
     # (c) the ten fillers displaced from the r5 window
     "sim_topk_cosine_pandas",
     "dedup_word_jaccard",
@@ -115,8 +120,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "customers_without_orders_anti_join",
     "customer_order_counts_left_join",
     "order_items_right_join",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
     # …and the oldest r2-era witness that fits
     "dedup_exact",
 )

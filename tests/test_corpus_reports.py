@@ -123,6 +123,7 @@ def test_ann_recall_report_invariants(spark):
     assert set(rows) == {
         "ivf_nprobe1",
         "ivf_nprobe2",
+        "ivf_kmeans",
         "lsh_multiprobe",
         "pq_adc_refine",
     }
