@@ -179,6 +179,7 @@ HEADLINE = [
     "sim_kmeans_train",
     "dataset_mixture_temperature",
     "sim_ann_ivf_trained",
+    "curation_classifier_calibration",
 ]
 
 

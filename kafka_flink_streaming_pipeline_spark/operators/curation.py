@@ -663,7 +663,9 @@ def _clf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _clf_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Quality classifier TRAINED IN-ENGINE: logistic regression by
     {_CLF_STEPS} unrolled full-batch gradient steps, implementing the
     fastText-classifier curation scheme (GPT-3 / LLaMA lineage: label
@@ -793,10 +795,91 @@ def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rows[0]
     for r in rows[1:]:
         out = out.unionAll(r)
-    return out.orderBy("step")
+    return out.orderBy("step"), feats, w
 
 
-def _clf_oracle(steps: int = _CLF_STEPS) -> str:
+def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface of `_clf_train`: the per-step weight
+    trajectory + confusion artifact (see `_clf_train` for the full
+    training/discipline story)."""
+    out, _, _ = _clf_train(spark, sf_dir)
+    return out
+
+
+def curation_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the trained quality classifier — the
+    release gate BESIDE the confusion matrix: bucket the final model's
+    scores into deciles and compare mean predicted probability against
+    the ACTUAL positive rate per bucket (the per-bucket |gap| is the
+    term the expected-calibration-error sums). A selection threshold
+    chosen on a badly calibrated classifier silently shifts the kept
+    token mass; this report makes that drift visible per rebuild::
+
+        decile | n_docs | mean_pred_ppm | actual_ppm | abs_gap_ppm
+
+    All integer: p is the classifier's once-rounded ppm score, decile
+    = p DIV 100000 (clamped to 9), means are non-negative BIGINT
+    floor divisions. One map-side score pass against the broadcast
+    final weights + a ≤10-row aggregation — at 100 TB this costs one
+    scan, the same shape as a GD step."""
+    _, feats, w = _clf_train(spark, sf_dir)
+    s_int = sum(F.col(f"x{i}") * F.col(f"w{i}") for i in range(4))
+    p = F.floor(
+        F.lit(1_000_000.0) / (F.lit(1.0) + F.exp(-(s_int.cast("double") / 1e12)))
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = feats.crossJoin(F.broadcast(w)).select(
+        p.alias("p"), F.col("y").alias("y")
+    )
+    return (
+        scored.select(
+            F.least(F.expr("p DIV 100000"), F.lit(9)).cast("int").alias("decile"),
+            "p",
+            "y",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.expr("CAST(sum(p) DIV count(*) AS BIGINT)").alias("mean_pred_ppm"),
+            F.expr(
+                "CAST(sum(y DIV 1000000) * 1000000 DIV count(*) AS BIGINT)"
+            ).alias("actual_ppm"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "mean_pred_ppm",
+            "actual_ppm",
+            F.abs(F.col("mean_pred_ppm") - F.col("actual_ppm")).alias("abs_gap_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _clf_calibration_oracle(steps: int = _CLF_STEPS) -> str:
+    ctes = _clf_oracle_ctes(steps)
+    return f"""{ctes},
+scored AS (
+  SELECT CAST(floor(1000000.0 / (1.0 + exp(-(CAST(f.x0*w.w0 + f.x1*w.w1
+              + f.x2*w.w2 + f.x3*w.w3 AS DOUBLE) / 1e12))) + 0.5) AS BIGINT) AS p,
+         f.y
+  FROM feat f CROSS JOIN w_{steps} w
+)
+SELECT CAST(least(p // 100000, 9) AS INTEGER) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(CAST(sum(p) AS BIGINT) // count(*) AS BIGINT) AS mean_pred_ppm,
+       CAST(CAST(sum(y // 1000000) AS BIGINT) * 1000000 // count(*) AS BIGINT)
+         AS actual_ppm,
+       abs(CAST(CAST(sum(p) AS BIGINT) // count(*) AS BIGINT)
+           - CAST(CAST(sum(y // 1000000) AS BIGINT) * 1000000 // count(*)
+                  AS BIGINT)) AS abs_gap_ppm
+FROM scored
+GROUP BY least(p // 100000, 9)
+ORDER BY decile
+"""
+
+
+def _clf_oracle_chain(steps: int = _CLF_STEPS) -> str:
     from kafka_flink_streaming_pipeline_spark.operators.text import _STOPWORDS
 
     shift_div = _CLF_SHIFT // 1_000_000
@@ -868,6 +951,16 @@ w_{s} AS (
   FROM agg_{s} a CROSS JOIN w_{s - 1} w
 )"""
         )
+    return "".join(parts)
+
+
+def _clf_oracle_ctes(steps: int = _CLF_STEPS) -> str:
+    """The classifier oracle's WITH-chain only (feat … w_{steps}), for
+    composing queries that score under the FINAL trained weights."""
+    return _clf_oracle_chain(steps)
+
+
+def _clf_oracle(steps: int = _CLF_STEPS) -> str:
     union = "\nUNION ALL\n".join(
         f"""SELECT CAST({s} AS BIGINT) AS step,
        w.w0 AS w_bias_micro, w.w1 AS w_len_micro,
@@ -876,8 +969,7 @@ w_{s} AS (
 FROM agg_{s} a CROSS JOIN w_{s} w"""
         for s in range(1, steps + 1)
     )
-    parts.append("\n" + union + "\nORDER BY step")
-    return "".join(parts)
+    return _clf_oracle_chain(steps) + "\n" + union + "\nORDER BY step"
 
 
 # --- CCNet-style perplexity buckets (head / middle / tail) -----------------
@@ -1002,6 +1094,13 @@ QUERIES: dict[str, QuerySpec] = {
         f"{_CLF_STEPS} unrolled logistic-regression GD steps (broadcast "
         "weights, one aggregation per step); weight trajectory + "
         "confusion per step",
+    ),
+    "curation_classifier_calibration": QuerySpec(
+        "curation_classifier_calibration",
+        curation_classifier_calibration,
+        _clf_calibration_oracle(),
+        "reliability diagram of the trained classifier: per score "
+        "decile, mean predicted vs actual positive rate (the ECE terms)",
     ),
     "curation_ccnet_buckets": QuerySpec(
         "curation_ccnet_buckets",

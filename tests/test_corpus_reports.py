@@ -737,3 +737,27 @@ def test_mixture_temperature_invariants(spark):
     if biggest.n_tokens > smallest.n_tokens:
         assert biggest.epochs_milli < smallest.epochs_milli
         assert biggest.epochs_milli < 1000 < smallest.epochs_milli
+
+
+def test_classifier_calibration_invariants(spark):
+    """Calibration report conservation: bucket counts sum to the
+    corpus, every rate is a valid ppm, the gap is exactly
+    |mean_pred - actual|, and mean_pred lies inside its decile's score
+    range (deciles are defined BY the score)."""
+    from kafka_flink_streaming_pipeline_spark.operators.curation import (
+        curation_classifier_calibration,
+    )
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+    rows = curation_classifier_calibration(spark, SF_CORRECT).collect()
+    docs = load_table(spark, SF_CORRECT, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert 0 <= r.decile <= 9
+        assert 0 <= r.mean_pred_ppm <= 1_000_000
+        assert 0 <= r.actual_ppm <= 1_000_000
+        assert r.abs_gap_ppm == abs(r.mean_pred_ppm - r.actual_ppm)
+        lo = r.decile * 100_000
+        hi = 1_000_000 if r.decile == 9 else (r.decile + 1) * 100_000 - 1
+        # integer floor mean of values in [lo, hi] stays in [lo, hi]
+        assert lo <= r.mean_pred_ppm <= hi
