@@ -180,6 +180,8 @@ HEADLINE = [
     "dataset_mixture_temperature",
     "sim_ann_ivf_trained",
     "curation_classifier_calibration",
+    "profile_embedding_drift",
+    "privacy_erasure_audit",
 ]
 
 

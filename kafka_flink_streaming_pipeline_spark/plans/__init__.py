@@ -62,8 +62,9 @@ class QuerySpec:
 #: the trained-IVF probe, and the temperature-mixing weights; tpch_q7
 #: and tpch_q8 also rotate to r7 to make room for the trained probe
 #: and the VALUE-CHANGED recall report, which gained the ivf_kmeans
-#: row and so staled its r5 witness; tpch_q6 likewise rotates for the
-#: classifier-calibration report), which
+#: row and so staled its r5 witness; tpch_q4/q5/q6 likewise rotate
+#: for the classifier-calibration report, the embedding-drift profile
+#: and the erasure audit), which
 #: outrank stale-green re-checks), plus the oldest r2-era witness that fits
 #: (dedup_exact, which also carries the exact-dup lineage device).
 #: The 12 r2-era entries that don't fit rotate into r7.
@@ -99,6 +100,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "sim_ann_ivf_trained",
     "sim_ann_recall_report",
     "curation_classifier_calibration",
+    "profile_embedding_drift",
+    "privacy_erasure_audit",
     # (c) the ten fillers displaced from the r5 window
     "sim_topk_cosine_pandas",
     "dedup_word_jaccard",
@@ -114,8 +117,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "customer_activity_full_outer_join",
     "tpch_q10_returned_items",
     "q2_sql_api_variant",
-    "tpch_q4_order_priority",
-    "tpch_q5_regional_revenue",
     "top_supplier_per_nation",
     "order_priority_semi_join",
     "customers_without_orders_anti_join",

@@ -1228,7 +1228,203 @@ ORDER BY class_size
 """
 
 
+_EMB_SHIFT = 2_000_000  # same positive-domain device as the k-means trainer
+_EMB_DIM = 64
+
+
+def _embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension drift of the embedding store's mean vector
+    between the first and second half of the ingest order (vec_id
+    halves — yesterday's batch vs today's): the vector-store sibling
+    of `profile_psi_drift`. A silently drifting embedding model (or a
+    re-embedding run that changed normalization) shifts per-dim means
+    long before top-k overlap metrics move; this report catches it per
+    rebuild::
+
+        dim | mean_ref_micro | mean_cur_micro | abs_delta_micro
+
+    Integer discipline: dims round once to micro units, the +{_EMB_SHIFT}
+    shift keeps the floor-mean division on non-negative operands
+    (Spark DIV ≡ DuckDB // only there), and the de-shift is a
+    subtraction, sign-safe. The half split is the PSI device —
+    2·vec_id < min+max, no midpoint division.
+
+    At 100 TB: one scan → posexplode → a {_EMB_DIM}×2-key aggregation
+    (map-side combine does the work); the id range is a broadcast
+    1-row aggregate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    stats = e.agg(F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi"))
+    pts = (
+        e.crossJoin(F.broadcast(stats))
+        .select(
+            ((F.col("vec_id") * 2) < (F.col("lo") + F.col("hi"))).alias("is_ref"),
+            F.posexplode("embedding").alias("dim", "x"),
+        )
+        .select(
+            "is_ref",
+            "dim",
+            (
+                F.floor(F.col("x").cast("double") * 1_000_000 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+                + F.lit(_EMB_SHIFT)
+            ).alias("xm"),
+        )
+    )
+    agg = pts.groupBy("dim").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN is_ref THEN xm ELSE 0 END)"
+            " DIV sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("m_ref_sh"),
+        F.expr(
+            "CAST(sum(CASE WHEN is_ref THEN 0 ELSE xm END)"
+            " DIV sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)"
+        ).alias("m_cur_sh"),
+    )
+    return (
+        agg.select(
+            F.col("dim").cast("int").alias("dim"),
+            (F.col("m_ref_sh") - _EMB_SHIFT).alias("mean_ref_micro"),
+            (F.col("m_cur_sh") - _EMB_SHIFT).alias("mean_cur_micro"),
+            F.abs(F.col("m_cur_sh") - F.col("m_ref_sh")).alias("abs_delta_micro"),
+        )
+        .orderBy("dim")
+    )
+
+
+_EMBEDDING_DRIFT_ORACLE = f"""
+WITH e0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+stats AS (SELECT min(vec_id) AS lo, max(vec_id) AS hi FROM e0),
+pts AS (
+  SELECT (e0.vec_id * 2) < (s.lo + s.hi) AS is_ref, d.dim,
+         CAST(floor(v[d.dim + 1] * 1000000 + 0.5) AS BIGINT) + {_EMB_SHIFT} AS xm
+  FROM e0 CROSS JOIN stats s
+  CROSS JOIN (SELECT unnest(range(0, {_EMB_DIM})) AS dim) d
+),
+agg AS (
+  SELECT dim,
+         CAST(CAST(sum(CASE WHEN is_ref THEN xm ELSE 0 END) AS BIGINT)
+              // sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS m_ref_sh,
+         CAST(CAST(sum(CASE WHEN is_ref THEN 0 ELSE xm END) AS BIGINT)
+              // sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS m_cur_sh
+  FROM pts GROUP BY dim
+)
+SELECT CAST(dim AS INTEGER) AS dim,
+       m_ref_sh - {_EMB_SHIFT} AS mean_ref_micro,
+       m_cur_sh - {_EMB_SHIFT} AS mean_cur_micro,
+       abs(m_cur_sh - m_ref_sh) AS abs_delta_micro
+FROM agg
+ORDER BY dim
+"""
+
+
+def _erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten accounting — the report a deletion run
+    files BEFORE it mutates anything: per table, how many rows the
+    erasure set touches, through the referential cascade::
+
+        table | n_rows | n_erased | erased_ppm
+
+    The erasure set is the deterministic id device (key % 97 == 0 —
+    the same family as the eval split): `customer` rows by c_custkey,
+    `orders` by the blocked custkeys (hop 1), `lineitem` by the
+    blocked orderkeys (hop 2), and `events` by its own user_id rule
+    (independent id domain). ppm is the pure-BIGINT two-step division.
+
+    At 100 TB: the blocked customer keys and blocked order keys are
+    the small sides — each hop is one broadcast semi-join flag +
+    count aggregation, one scan per table, no wide exchange. The
+    actual delete is these same predicates as an anti-join rewrite;
+    auditing first is what makes the delete reviewable."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    blocked_c = F.col("c_custkey") % 97 == 0
+    o_flag = orders.select(
+        "o_orderkey", (F.col("o_custkey") % 97 == 0).alias("hit")
+    )
+    li_flag = li.select("l_orderkey").join(
+        o_flag.filter("hit").select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "left_semi",
+    )
+
+    def row(name: str, total_df: DataFrame, erased_df: DataFrame) -> DataFrame:
+        t = total_df.agg(F.count("*").cast("bigint").alias("n_rows"))
+        e = erased_df.agg(F.count("*").cast("bigint").alias("n_erased"))
+        return (
+            t.crossJoin(e)
+            .select(
+                F.lit(name).alias("table_name"),
+                "n_rows",
+                "n_erased",
+                F.expr(
+                    "(n_erased DIV n_rows) * 1000000"
+                    " + ((n_erased % n_rows) * 1000000) DIV n_rows"
+                ).alias("erased_ppm"),
+            )
+        )
+
+    out = row("customer", cust, cust.filter(blocked_c))
+    out = out.unionByName(row("orders", o_flag, o_flag.filter("hit")))
+    out = out.unionByName(row("lineitem", li.select("l_orderkey"), li_flag))
+    out = out.unionByName(
+        row("events", ev.select("user_id"), ev.filter(F.col("user_id") % 97 == 0))
+    )
+    return out.orderBy("table_name")
+
+
+_ERASURE_AUDIT_ORACLE = """
+WITH rows_per AS (
+  SELECT 'customer' AS table_name,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_erased
+  FROM customer
+  UNION ALL
+  SELECT 'orders',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN o_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN o.o_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  UNION ALL
+  SELECT 'events',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+)
+SELECT table_name, n_rows, n_erased,
+       CAST((n_erased // n_rows) * 1000000
+            + ((n_erased % n_rows) * 1000000) // n_rows AS BIGINT)
+         AS erased_ppm
+FROM rows_per
+ORDER BY table_name
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "profile_embedding_drift": QuerySpec(
+        "profile_embedding_drift",
+        _embedding_drift,
+        _EMBEDDING_DRIFT_ORACLE,
+        "per-dimension integer mean drift of the embedding store "
+        "between ingest halves (the vector-store PSI sibling)",
+    ),
+    "privacy_erasure_audit": QuerySpec(
+        "privacy_erasure_audit",
+        _erasure_audit,
+        _ERASURE_AUDIT_ORACLE,
+        "right-to-be-forgotten accounting: rows touched per table "
+        "through the customer->orders->lineitem cascade + events",
+    ),
     "profile_psi_drift": QuerySpec(
         "profile_psi_drift",
         _psi_drift,

@@ -761,3 +761,51 @@ def test_classifier_calibration_invariants(spark):
         hi = 1_000_000 if r.decile == 9 else (r.decile + 1) * 100_000 - 1
         # integer floor mean of values in [lo, hi] stays in [lo, hi]
         assert lo <= r.mean_pred_ppm <= hi
+
+
+def test_embedding_drift_invariants(spark):
+    """Drift profile structure: one row per dimension, means inside
+    the micro-unit range of the actual data, delta consistent with the
+    two means (the report's own arithmetic), and near-zero drift on
+    the synthetic store (both halves are the same distribution)."""
+    from kafka_flink_streaming_pipeline_spark.plans.profiling import (
+        _EMB_DIM,
+        _embedding_drift,
+    )
+
+    rows = _embedding_drift(spark, SF_CORRECT).collect()
+    assert [r.dim for r in rows] == list(range(_EMB_DIM))
+    for r in rows:
+        assert -2_000_000 < r.mean_ref_micro < 2_000_000
+        assert -2_000_000 < r.mean_cur_micro < 2_000_000
+        assert r.abs_delta_micro == abs(r.mean_cur_micro - r.mean_ref_micro)
+    # stationary synthetic store: per-dim mean shift stays small
+    assert max(r.abs_delta_micro for r in rows) < 200_000
+
+
+def test_erasure_audit_cascade_consistency(spark):
+    """The audit's counts must equal what the delete would remove:
+    anti-join survivors + erased == total per table, and the orders
+    and lineitem hops agree with independently computed cascades."""
+    from kafka_flink_streaming_pipeline_spark.plans.profiling import _erasure_audit
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+    from pyspark.sql import functions as F
+
+    rows = {r.table_name: r for r in _erasure_audit(spark, SF_CORRECT).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem", "events"}
+    cust = load_table(spark, SF_CORRECT, "customer")
+    orders = load_table(spark, SF_CORRECT, "orders")
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    assert rows["customer"].n_rows == cust.count()
+    assert rows["customer"].n_erased == cust.filter("c_custkey % 97 = 0").count()
+    blocked_orders = orders.filter("o_custkey % 97 = 0")
+    assert rows["orders"].n_erased == blocked_orders.count()
+    li_erased = li.join(
+        blocked_orders.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "left_semi",
+    ).count()
+    assert rows["lineitem"].n_erased == li_erased
+    for r in rows.values():
+        assert 0 <= r.n_erased <= r.n_rows
+        assert r.erased_ppm == r.n_erased * 1_000_000 // r.n_rows
