@@ -182,6 +182,7 @@ HEADLINE = [
     "curation_classifier_calibration",
     "profile_embedding_drift",
     "privacy_erasure_audit",
+    "tokenizer_fertility",
 ]
 
 

@@ -204,6 +204,60 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # corpus-sized per-doc output, unsorted
 
 
+def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — BPE tokens per whitespace
+    word, THE multilingual tokenizer-QA number (a language whose
+    fertility runs 2-3× the corpus mean pays that multiple in context
+    window and training FLOPs; the metric that motivates per-language
+    vocab allocations)::
+
+        lang | n_docs | n_words | n_bpe_tokens | fertility_milli | vs_char_ppm
+
+    fertility_milli = tokens-per-word ×1000; vs_char_ppm = BPE tokens
+    as a share of the character-stage count (the compression the
+    learned merges bought, per language). Both pure-BIGINT two-step
+    divisions. Same one-join shape as `tokenizer_bpe_apply`, grouped
+    by the document's language instead of doc_id — at 100 TB the wide
+    exchange is still keyed on the Zipf-bounded vocab."""
+    _, syms = _train_state(spark, sf_dir)
+    vocab = syms.select("word", F.size(F.split("sym", " ")).alias("n_syms"))
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    return (
+        words.join(vocab, "word", "left")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum(
+                F.when(F.length("word") >= 2, F.length("word")).otherwise(1)
+            )
+            .cast("bigint")
+            .alias("n_char_tokens"),
+            F.sum(F.coalesce("n_syms", F.lit(1))).cast("bigint").alias(
+                "n_bpe_tokens"
+            ),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_bpe_tokens",
+            F.expr(
+                "(n_bpe_tokens DIV n_words) * 1000"
+                " + ((n_bpe_tokens % n_words) * 1000) DIV n_words"
+            ).alias("fertility_milli"),
+            F.expr(
+                "(n_bpe_tokens DIV n_char_tokens) * 1000000"
+                " + ((n_bpe_tokens % n_char_tokens) * 1000000) DIV n_char_tokens"
+            ).alias("vs_char_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _syms_ctes(rounds: int) -> str:
     """The shared stage-unrolled DuckDB training pipeline: wf → syms_0
     → (pc_r, best_r, syms_r, tok_r) per round. Same vocab collapse,
@@ -283,7 +337,47 @@ GROUP BY dw.doc_id
     )
 
 
+def _bpe_fertility_oracle(rounds: int = _TRAIN_ROUNDS) -> str:
+    return (
+        _syms_ctes(rounds)
+        + f""",
+vocab AS (
+  SELECT word, len(string_split(sym, ' ')) AS n_syms FROM syms_{rounds}
+),
+dw AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
+),
+agg AS (
+  SELECT dw.lang,
+         CAST(count(DISTINCT dw.doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(CASE WHEN length(dw.word) >= 2 THEN length(dw.word) ELSE 1 END)
+              AS BIGINT) AS n_char_tokens,
+         CAST(sum(coalesce(v.n_syms, 1)) AS BIGINT) AS n_bpe_tokens
+  FROM dw LEFT JOIN vocab v USING (word)
+  GROUP BY dw.lang
+)
+SELECT lang, n_docs, n_words, n_bpe_tokens,
+       CAST((n_bpe_tokens // n_words) * 1000
+            + ((n_bpe_tokens % n_words) * 1000) // n_words AS BIGINT)
+         AS fertility_milli,
+       CAST((n_bpe_tokens // n_char_tokens) * 1000000
+            + ((n_bpe_tokens % n_char_tokens) * 1000000) // n_char_tokens
+            AS BIGINT) AS vs_char_ppm
+FROM agg
+ORDER BY lang
+"""
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "tokenizer_fertility": QuerySpec(
+        "tokenizer_fertility",
+        bpe_fertility,
+        _bpe_fertility_oracle(),
+        "per-language tokenizer fertility (BPE tokens per word, x1000) "
+        "+ compression vs the character stage, under the trained merges",
+    ),
     "tokenizer_bpe_train": QuerySpec(
         "tokenizer_bpe_train",
         bpe_train,

@@ -809,3 +809,23 @@ def test_erasure_audit_cascade_consistency(spark):
     for r in rows.values():
         assert 0 <= r.n_erased <= r.n_rows
         assert r.erased_ppm == r.n_erased * 1_000_000 // r.n_rows
+
+
+def test_fertility_conserves_apply_counts(spark):
+    """The per-language fertility rollup must conserve the per-doc
+    apply counts exactly (same vocab join, different GROUP BY), and
+    every fertility must be >= 1000 milli (a word is at least one
+    token)."""
+    from kafka_flink_streaming_pipeline_spark.operators.bpe import (
+        bpe_apply,
+        bpe_fertility,
+    )
+
+    frows = bpe_fertility(spark, SF_CORRECT).collect()
+    arows = bpe_apply(spark, SF_CORRECT).collect()
+    assert sum(r.n_words for r in frows) == sum(r.n_words for r in arows)
+    assert sum(r.n_bpe_tokens for r in frows) == sum(r.n_bpe_tokens for r in arows)
+    for r in frows:
+        assert r.fertility_milli >= 1000
+        assert 0 < r.vs_char_ppm <= 1_000_000
+        assert r.fertility_milli == r.n_bpe_tokens * 1000 // r.n_words
