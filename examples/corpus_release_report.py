@@ -9,6 +9,10 @@ artifact per sign-off question:
              └─► Bloom span-contamination ingest gate         → bloom_gate.parquet
   events    ──► k-anonymity profile of the QI triple          → k_anonymity.parquet
   embeddings ─► Matryoshka truncation-recall curve            → matryoshka.parquet
+  documents ─┬─► per-language tokenizer fertility             → fertility.parquet
+             ├─► quality-classifier calibration (ECE terms)   → calibration.parquet
+             └─► temperature (n^alpha) mixing weights         → mixture.parquet
+  all tables ─► right-to-be-forgotten erasure audit           → erasure.parquet
 
 Every one of these is a registered, driver-oracle-checked query — this
 example only composes and writes them, then prints the one-line
@@ -122,6 +126,49 @@ def main() -> None:
         + " ".join(f"d{r.dim}={r.recall_ppm / 1e4:.0f}%" for r in curve)
         + (f"; {min(keep)} dims keep 90% recall" if keep else "")
     )
+
+    # second-session additions: fertility, calibration, mixing, erasure
+    from kafka_flink_streaming_pipeline_spark.operators.bpe import bpe_fertility
+    from kafka_flink_streaming_pipeline_spark.operators.curation import (
+        curation_classifier_calibration,
+    )
+    from kafka_flink_streaming_pipeline_spark.operators.datasets import (
+        dataset_mixture_temperature,
+    )
+    from kafka_flink_streaming_pipeline_spark.plans.profiling import _erasure_audit
+
+    fert = bpe_fertility(spark, args.sf_dir)
+    fert.write.mode("overwrite").parquet(str(out / "fertility.parquet"))
+    frows = fert.collect()
+    hi = max(frows, key=lambda r: r.fertility_milli)
+    print(
+        "fertility: "
+        + " ".join(f"{r.lang}={r.fertility_milli / 1000:.2f}" for r in frows)
+        + f" tokens/word; {hi.lang} pays the most context per word"
+    )
+
+    cal = curation_classifier_calibration(spark, args.sf_dir)
+    cal.write.mode("overwrite").parquet(str(out / "calibration.parquet"))
+    crows = cal.collect()
+    n_all = sum(r.n_docs for r in crows)
+    ece = sum(r.n_docs * r.abs_gap_ppm for r in crows) // n_all
+    print(f"calibration: classifier ECE {ece / 1e4:.1f}% over "
+          f"{len(crows)} occupied score deciles")
+
+    mix = dataset_mixture_temperature(spark, args.sf_dir)
+    mix.write.mode("overwrite").parquet(str(out / "mixture.parquet"))
+    mrows = mix.collect()
+    up = [r.source for r in mrows if r.epochs_milli > 1000]
+    print(f"mixing: alpha=1/2 upsamples {len(up)}/{len(mrows)} sources "
+          f"(max effective epochs "
+          f"{max(r.epochs_milli for r in mrows) / 1000:.2f})")
+
+    era = _erasure_audit(spark, args.sf_dir)
+    era.write.mode("overwrite").parquet(str(out / "erasure.parquet"))
+    erows = era.collect()
+    print("erasure: "
+          + ", ".join(f"{r.table_name} {r.n_erased}/{r.n_rows}" for r in erows)
+          + " rows touched by the forget-set cascade")
     print("done")
 
 
