@@ -183,6 +183,7 @@ HEADLINE = [
     "profile_embedding_drift",
     "privacy_erasure_audit",
     "tokenizer_fertility",
+    "dataset_mixture_apply",
 ]
 
 

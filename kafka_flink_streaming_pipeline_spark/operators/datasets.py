@@ -285,6 +285,152 @@ def dataset_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dataset_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the COMPUTED temperature mixture — the step between
+    `dataset_mixture_temperature`'s weights and a training run's data
+    loader: every doc repeats floor(epochs) times, plus one more copy
+    admitted by a deterministic md5 draw with probability equal to the
+    FRACTIONAL epoch part (the device every weighted data loader uses:
+    2.4 epochs = 2 full passes + a 40% sample). Per source, the report
+    shows what the loader will actually see::
+
+        source | unique_docs | expanded_docs | expanded_tokens | achieved_epochs_milli
+
+    achieved_epochs_milli is expanded/unique docs ×1000 (two-step
+    BIGINT) — on the md5-uniform draw it lands within sampling noise
+    of the target epochs_milli, which the pytest invariant pins.
+
+    At 100 TB: the repeat is explode(sequence(1, k)) — map-side, no
+    shuffle; the fractional admit is one md5 comparison per doc; the
+    per-source epochs (a ≤|sources|-row frame) broadcast onto the
+    corpus scan. One groupBy(source) rollup closes it."""
+    weights = dataset_mixture_temperature(spark, sf_dir).select(
+        "source", "epochs_milli"
+    )
+    n_tokens = F.regexp_count("text", F.lit(r"[a-z0-9]+"))
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", n_tokens.alias("n_tokens")
+    )
+    # deterministic per-doc draw in [0, 1000): an md5 bucket of the id
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 6
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        % 1000
+    )
+    expanded = (
+        d.join(F.broadcast(weights), "source")
+        .select(
+            "source",
+            "doc_id",
+            "n_tokens",
+            (
+                F.expr("epochs_milli DIV 1000")
+                + F.when(draw < F.col("epochs_milli") % 1000, 1).otherwise(0)
+            ).alias("k"),
+        )
+        .filter(F.col("k") > 0)
+        .select(
+            "source",
+            "doc_id",
+            "n_tokens",
+            F.explode(F.sequence(F.lit(1), F.col("k"))).alias("copy"),
+        )
+    )
+    totals = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    return (
+        expanded.groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("unique_docs"),
+            F.count("*").cast("bigint").alias("expanded_docs"),
+            F.sum("n_tokens").cast("bigint").alias("expanded_tokens"),
+        )
+        .join(F.broadcast(totals), "source")
+        .select(
+            "source",
+            "n_docs",
+            "unique_docs",
+            "expanded_docs",
+            "expanded_tokens",
+            # achieved epochs over the SOURCE total (docs the draw
+            # dropped still count — epochs < 1 must show as < 1000)
+            F.expr(
+                "(expanded_docs DIV n_docs) * 1000"
+                " + ((expanded_docs % n_docs) * 1000) DIV n_docs"
+            ).alias("achieved_epochs_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+DATASET_MIXTURE_APPLY_ORACLE = """
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(length(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+massed AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000 + 0.5) AS BIGINT)
+           AS mass
+  FROM per_src
+),
+tot AS (
+  SELECT CAST(sum(mass) AS BIGINT) AS mt,
+         CAST(sum(n_tokens) AS BIGINT) AS t_total
+  FROM massed
+),
+alloc AS (
+  SELECT source,
+         (t_total // mt) * mass + ((t_total % mt) * mass) // mt AS alloc_tokens,
+         n_tokens
+  FROM massed, tot
+),
+weights AS (
+  SELECT source,
+         CAST((alloc_tokens // n_tokens) * 1000
+              + ((alloc_tokens % n_tokens) * 1000) // n_tokens AS BIGINT)
+           AS epochs_milli
+  FROM alloc
+),
+docs AS (
+  SELECT d.source, d.doc_id,
+         CAST(length(regexp_extract_all(d.text, '[a-z0-9]+')) AS BIGINT)
+           AS n_tokens,
+         w.epochs_milli // 1000
+         + CASE WHEN CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 6))
+                     AS BIGINT) % 1000 < w.epochs_milli % 1000
+                THEN 1 ELSE 0 END AS k
+  FROM documents d JOIN weights w USING (source)
+),
+expanded AS (
+  SELECT source, doc_id, n_tokens, unnest(range(1, 1 + k)) AS copy
+  FROM docs WHERE k > 0
+),
+rolled AS (
+  SELECT source,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS unique_docs,
+         CAST(count(*) AS BIGINT) AS expanded_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS expanded_tokens
+  FROM expanded
+  GROUP BY source
+),
+totals AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source)
+SELECT r.source, t.n_docs, r.unique_docs, r.expanded_docs, r.expanded_tokens,
+       CAST((r.expanded_docs // t.n_docs) * 1000
+            + ((r.expanded_docs % t.n_docs) * 1000) // t.n_docs AS BIGINT)
+         AS achieved_epochs_milli
+FROM rolled r JOIN totals t USING (source)
+ORDER BY source
+"""
+
+
 DATASET_MIXTURE_TEMPERATURE_ORACLE = """
 WITH per_src AS (
   SELECT source, count(*) AS n_docs,
@@ -974,6 +1120,13 @@ QUERIES: dict[str, QuerySpec] = {
         DATASET_MIXTURE_TEMPERATURE_ORACLE,
         "temperature-sampled (alpha=1/2) mixture weights computed from "
         "per-source token mass: weight_ppm, token allocation, effective epochs",
+    ),
+    "dataset_mixture_apply": QuerySpec(
+        "dataset_mixture_apply",
+        dataset_mixture_apply,
+        DATASET_MIXTURE_APPLY_ORACLE,
+        "materialize the computed temperature mixture: floor(epochs) "
+        "repeats + md5-draw fractional admission, per-source rollup",
     ),
     "winsorize_order_totals": QuerySpec(
         "winsorize_order_totals",

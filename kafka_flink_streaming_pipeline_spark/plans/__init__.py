@@ -64,8 +64,9 @@ class QuerySpec:
 #: and the VALUE-CHANGED recall report, which gained the ivf_kmeans
 #: row and so staled its r5 witness; tpch_q4/q5/q6 likewise rotate
 #: for the classifier-calibration report, the embedding-drift profile
-#: and the erasure audit; top_supplier_per_nation rotates for the
-#: tokenizer-fertility report), which
+#: and the erasure audit; top_supplier_per_nation and
+#: order_priority_semi_join rotate for the tokenizer-fertility report
+#: and the mixture materialization), which
 #: outrank stale-green re-checks), plus the oldest r2-era witness that fits
 #: (dedup_exact, which also carries the exact-dup lineage device).
 #: The 12 r2-era entries that don't fit rotate into r7.
@@ -104,6 +105,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "profile_embedding_drift",
     "privacy_erasure_audit",
     "tokenizer_fertility",
+    "dataset_mixture_apply",
     # (c) the ten fillers displaced from the r5 window
     "sim_topk_cosine_pandas",
     "dedup_word_jaccard",
@@ -119,7 +121,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "customer_activity_full_outer_join",
     "tpch_q10_returned_items",
     "q2_sql_api_variant",
-    "order_priority_semi_join",
     "customers_without_orders_anti_join",
     "customer_order_counts_left_join",
     "order_items_right_join",

@@ -829,3 +829,48 @@ def test_fertility_conserves_apply_counts(spark):
         assert r.fertility_milli >= 1000
         assert 0 < r.vs_char_ppm <= 1_000_000
         assert r.fertility_milli == r.n_bpe_tokens * 1000 // r.n_words
+
+
+def test_mixture_apply_achieves_target_epochs(spark):
+    """The materialized mixture must land near the computed target:
+    per source, achieved epochs within the fractional-draw sampling
+    noise of epochs_milli (binomial over n docs — use a generous 4-sigma
+    bound), floor(epochs) repeats guaranteed (achieved >= floor part),
+    and token mass consistent with the doc expansion."""
+    from kafka_flink_streaming_pipeline_spark.operators.datasets import (
+        dataset_mixture_apply,
+        dataset_mixture_temperature,
+    )
+
+    target = {r.source: r for r in dataset_mixture_temperature(spark, SF_CORRECT).collect()}
+    rows = dataset_mixture_apply(spark, SF_CORRECT).collect()
+    assert set(r.source for r in rows) == set(target)
+    for r in rows:
+        t = target[r.source]
+        floor_part = t.epochs_milli // 1000
+        # structural per-source bounds: every doc gets its floor copies
+        # unconditionally, the fractional admit adds at most one more
+        assert (
+            floor_part * r.n_docs
+            <= r.expanded_docs
+            <= (floor_part + 1) * r.n_docs
+        )
+        assert r.unique_docs <= r.n_docs
+        assert r.expanded_docs >= r.unique_docs
+    # the statistical check is corpus-level (a fixed md5 draw can
+    # cluster within one small source; across 500 docs it can't):
+    # total admitted ~ sum of independent Bernoullis
+    exp_admit = sum(
+        target[r.source].epochs_milli % 1000 * r.n_docs / 1000 for r in rows
+    )
+    var = sum(
+        (target[r.source].epochs_milli % 1000 / 1000)
+        * (1 - target[r.source].epochs_milli % 1000 / 1000)
+        * r.n_docs
+        for r in rows
+    )
+    got_admit = sum(
+        r.expanded_docs - (target[r.source].epochs_milli // 1000) * r.n_docs
+        for r in rows
+    )
+    assert abs(got_admit - exp_admit) <= 4 * var**0.5 + 1
