@@ -364,6 +364,79 @@ def _dedup_gate_stream_oracle() -> str:
     return DEDUP_INCOMING_ORACLE
 
 
+def _erasure_stream_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIFTH writeStream-produced driver artifact — the streaming
+    family's DELETE semantics witness (upsert, dedup-gate, rollup,
+    span-gate, now tombstones): the events table is materialized as a
+    user store partitioned by `bucket = user_id % 16`, the forget set
+    (the standing `% 97 == 0` device — the same ids
+    `privacy_erasure_audit` accounts for) arrives as a 4-file forget-
+    request stream (maxFilesPerTrigger=1 → 4 micro-batches), and
+    `erasure_stream_job` applies each batch as a partition-pruned
+    anti-join delete with dynamic-partition overwrite. The finished
+    store must equal the one-shot batch anti-join, which is exactly
+    what the driver hashes this against — per-bucket rollup::
+
+        bucket | n_rows | n_users
+    """
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+    from kafka_flink_streaming_pipeline_spark.streaming.jobs import (
+        _ERASE_BUCKETS,
+        erasure_stream_job,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="erasure_stream_")
+    store = os.path.join(work, "store")
+    events.withColumn(
+        "bucket", F.col("user_id") % _ERASE_BUCKETS
+    ).write.partitionBy("bucket").parquet(store)
+
+    forgets = events.filter(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    in_dir = os.path.join(work, "forgets")
+    forgets.repartition(4).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema("user_id BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = erasure_stream_job(
+        stream, store, os.path.join(work, "ledger"), os.path.join(work, "ckpt")
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        shutil.rmtree(work, ignore_errors=True)
+        raise TimeoutError("erasure stream did not finish within 600s")
+
+    out = (
+        spark.read.option("basePath", store)
+        .parquet(store)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .select(F.col("bucket").cast("bigint").alias("bucket"), "n_rows", "n_users")
+        .orderBy("bucket")
+        .localCheckpoint()  # sever lineage from the temp store before cleanup
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+_ERASURE_STREAM_ORACLE = """
+SELECT CAST(user_id % 16 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE user_id % 97 <> 0
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "bloom_gate_stream_materialized": QuerySpec(
         "bloom_gate_stream_materialized",
@@ -383,6 +456,13 @@ QUERIES: dict[str, QuerySpec] = {
         _stateful_sessions_build,
         _STATEFUL_SESSIONS_ORACLE,
         "applyInPandasWithState 30-min sessionizer vs batch LAG oracle (T9 custom)",
+    ),
+    "erasure_stream_materialized": QuerySpec(
+        "erasure_stream_materialized",
+        _erasure_stream_build,
+        _ERASURE_STREAM_ORACLE,
+        "user store after the streaming forget-request job (partition-"
+        "pruned anti-join deletes in foreachBatch) read back, per-bucket",
     ),
     "fp2_stream_materialized": QuerySpec(
         "fp2_stream_materialized",

@@ -681,3 +681,81 @@ def rollup_stream_job(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- right-to-be-forgotten tombstone propagation ---------------------------
+
+_ERASE_BUCKETS = 16  # store partition fan-out: a delete rewrites 1/16th
+
+
+def erasure_stream_job(
+    forget_stream: DataFrame, store_path: str, ledger_path: str, checkpoint: str
+) -> StreamingQuery:
+    """Streaming right-to-be-forgotten propagation — the DELETE-mode
+    sibling of the upsert/rollup foreachBatch jobs: each micro-batch of
+    forget requests (user_ids) is applied to a materialized user store
+    partitioned by `bucket = user_id % {_ERASE_BUCKETS}`:
+
+    1. the batch's distinct ids and their affected buckets are tiny
+       (bounded by the batch, never the store);
+    2. ONLY the affected bucket partitions are read (partition-pruned
+       scan), anti-joined against the batch's forget set, materialized
+       (`localCheckpoint` — the poor man's snapshot; a lakehouse table
+       format would give this MVCC swap natively), and written back
+       with dynamic partition overwrite — untouched buckets are never
+       read or rewritten;
+    3. a bucket whose every row is erased produces NO survivor
+       partition, which dynamic overwrite would silently leave stale —
+       so vanished buckets are removed explicitly (pinned by
+       `test_erasure_vanished_bucket_is_removed`);
+    4. the batch appends an idempotent tombstone ledger (per-batch
+       directory, mode overwrite) — the audit trail
+       `privacy_erasure_audit` reports against.
+
+    Deleting an already-deleted id is a no-op, so redelivered batches
+    converge — the same idempotency contract as the upsert sink."""
+    import shutil
+
+    def _erase(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        forgets = batch_df.select("user_id").distinct().localCheckpoint()
+        buckets = [
+            r["bucket"]
+            for r in forgets.select(
+                (F.col("user_id") % _ERASE_BUCKETS).alias("bucket")
+            )
+            .distinct()
+            .collect()
+        ]
+        if buckets:
+            store = spark.read.option("basePath", store_path).parquet(store_path)
+            affected = store.filter(F.col("bucket").isin(buckets))
+            survivors = affected.join(
+                forgets, "user_id", "left_anti"
+            ).localCheckpoint()  # materialize BEFORE overwriting the source path
+            kept = {
+                r["bucket"]
+                for r in survivors.select("bucket").distinct().collect()
+            }
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                survivors.write.mode("overwrite").partitionBy("bucket").parquet(
+                    store_path
+                )
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            for b in set(buckets) - kept:  # fully-erased partitions
+                shutil.rmtree(f"{store_path}/bucket={b}", ignore_errors=True)
+        forgets.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(f"{ledger_path}/batch={batch_id}")
+
+    return (
+        forget_stream.writeStream.foreachBatch(_erase)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

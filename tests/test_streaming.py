@@ -1277,3 +1277,100 @@ def test_streaming_bloom_gate_matches_batch(spark, tmp_path):
     batch = {tuple(r) for r in dedup_bloom_gate(spark, SF_CORRECT).collect()}
     assert streamed == batch
     assert any(r[4] for r in batch)  # the equality is over real signal
+
+
+def test_erasure_stream_equals_batch_anti_join(spark, tmp_path):
+    """The streamed forget-request job must leave the store exactly
+    equal to the one-shot batch anti-join, across 4 micro-batches of
+    forget ids, including the per-batch tombstone ledger covering the
+    full forget set."""
+    from kafka_flink_streaming_pipeline_spark.streaming.jobs import (
+        _ERASE_BUCKETS,
+        erasure_stream_job,
+    )
+
+    events = load_table(spark, SF_CORRECT, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    store = str(tmp_path / "store")
+    events.withColumn("bucket", F.col("user_id") % _ERASE_BUCKETS).write.partitionBy(
+        "bucket"
+    ).parquet(store)
+
+    forgets = events.filter(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    assert forgets.count() > 0
+    in_dir = str(tmp_path / "forgets")
+    forgets.repartition(4).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema("user_id BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = erasure_stream_job(
+        stream, store, str(tmp_path / "ledger"), str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(600)
+
+    survivors = {
+        tuple(r)
+        for r in spark.read.option("basePath", store)
+        .parquet(store)
+        .select("event_id", "user_id")
+        .collect()
+    }
+    expected = {
+        tuple(r)
+        for r in events.join(forgets, "user_id", "left_anti")
+        .select("event_id", "user_id")
+        .collect()
+    }
+    assert survivors == expected
+    ledger = spark.read.option("basePath", str(tmp_path / "ledger")).parquet(
+        str(tmp_path / "ledger")
+    )
+    assert {r.user_id for r in ledger.collect()} == {
+        r.user_id for r in forgets.collect()
+    }
+
+
+def test_erasure_vanished_bucket_is_removed(spark, tmp_path):
+    """A bucket whose EVERY row is erased must disappear from the
+    store: dynamic partition overwrite writes no survivor partition
+    there, so the job has to remove it explicitly — this is the case
+    that silently resurrects deleted users if unhandled."""
+    import os
+
+    from kafka_flink_streaming_pipeline_spark.streaming.jobs import (
+        _ERASE_BUCKETS,
+        erasure_stream_job,
+    )
+
+    # bucket 0 holds only user 16*97 (a forgettable id); bucket 1 mixed
+    u_gone = 16 * 97 * _ERASE_BUCKETS  # % 16 == 0 and % 97 == 0
+    rows = [(1, u_gone), (2, u_gone), (3, 1), (4, 97 * 16 + 1)]
+    df = spark.createDataFrame(rows, "event_id BIGINT, user_id BIGINT")
+    store = str(tmp_path / "store")
+    df.withColumn("bucket", F.col("user_id") % _ERASE_BUCKETS).write.partitionBy(
+        "bucket"
+    ).parquet(store)
+    assert os.path.isdir(f"{store}/bucket=0")
+
+    spark.createDataFrame([(u_gone,)], "user_id BIGINT").write.parquet(
+        str(tmp_path / "forgets")
+    )
+    stream = (
+        spark.readStream.schema("user_id BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "forgets"))
+    )
+    q = erasure_stream_job(
+        stream, store, str(tmp_path / "ledger"), str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(600)
+
+    assert not os.path.isdir(f"{store}/bucket=0")
+    left = {
+        r.user_id
+        for r in spark.read.option("basePath", store).parquet(store).collect()
+    }
+    assert left == {1, 97 * 16 + 1}
