@@ -184,6 +184,7 @@ HEADLINE = [
     "privacy_erasure_audit",
     "tokenizer_fertility",
     "dataset_mixture_apply",
+    "text_zipf_head_share",
 ]
 
 

@@ -218,6 +218,84 @@ GROUP BY word
 """
 
 
+_ZIPF_KS = (1, 10, 100, 1000)
+
+
+def zipf_head_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-sizing diagnostic: what share of the corpus token
+    mass the top-K types cover, for K in {_ZIPF_KS} — the curve every
+    tokenizer/vocab budget decision reads (Zipf's law says the head is
+    almost everything; THIS corpus's actual curve says where to cut)::
+
+        k | n_types | covered_tokens | total_tokens | share_ppm
+
+    n_types ≤ k when the vocabulary is smaller than the cut. Rank is
+    (tf DESC, word ASC) — the tiebreak makes the frontier engine-exact
+    — and share_ppm is the two-step BIGINT division.
+
+    At 100 TB: the vocab aggregation's exchange is |vocab| rows (the
+    map-side partial collapse), the ranked prefix sums run on the
+    |vocab|-row frame, and the output is 4 rows. The full sort of the
+    vocab frame is the one cost — bounded by the Zipf-distributed type
+    count, not the corpus."""
+    vocab = vocabulary(spark, sf_dir).select("word", "tf")
+    w = Window.orderBy(F.desc("tf"), F.asc("word"))
+    ranked = vocab.select(
+        "tf", F.row_number().over(w).alias("rk")
+    )
+    total = ranked.agg(
+        F.sum("tf").cast("bigint").alias("total_tokens"),
+        F.count("*").cast("bigint").alias("v_size"),
+    )
+    ks = spark.createDataFrame([(k,) for k in _ZIPF_KS], "k BIGINT")
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .filter(F.col("rk") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("bigint").alias("n_types"),
+            F.sum("tf").cast("bigint").alias("covered_tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "n_types",
+            "covered_tokens",
+            "total_tokens",
+            F.expr(
+                "(covered_tokens DIV total_tokens) * 1000000"
+                " + ((covered_tokens % total_tokens) * 1000000) DIV total_tokens"
+            ).alias("share_ppm"),
+        )
+        .orderBy("k")
+    )
+
+
+ZIPF_HEAD_SHARE_ORACLE = f"""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY word),
+ranked AS (
+  SELECT tf, row_number() OVER (ORDER BY tf DESC, word ASC) AS rk FROM vocab
+),
+total AS (
+  SELECT CAST(sum(tf) AS BIGINT) AS total_tokens FROM ranked
+),
+ks AS (SELECT unnest(ARRAY{list(_ZIPF_KS)}) AS k),
+agg AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(tf) AS BIGINT) AS covered_tokens
+  FROM ranked JOIN ks ON rk <= k
+  GROUP BY k
+)
+SELECT CAST(k AS BIGINT) AS k, n_types, covered_tokens, total_tokens,
+       CAST((covered_tokens // total_tokens) * 1000000
+            + ((covered_tokens % total_tokens) * 1000000) // total_tokens
+            AS BIGINT) AS share_ppm
+FROM agg, total
+ORDER BY k
+"""
+
+
 # --- Gopher-style quality rule battery ------------------------------------
 
 _MIN_WORDS, _MIN_MWL, _MAX_MWL = 10, 3.0, 10.0
@@ -750,6 +828,13 @@ ORDER BY rank
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "text_zipf_head_share": QuerySpec(
+        "text_zipf_head_share",
+        zipf_head_share,
+        ZIPF_HEAD_SHARE_ORACLE,
+        "token-mass coverage of the top-K vocabulary types "
+        "(K=1/10/100/1000) — the vocab-budget curve",
+    ),
     "tokenizer_bpe_pair_counts": QuerySpec(
         "tokenizer_bpe_pair_counts",
         bpe_pair_counts,

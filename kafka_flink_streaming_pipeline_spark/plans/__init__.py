@@ -68,7 +68,8 @@ class QuerySpec:
 #: order_priority_semi_join rotate for the tokenizer-fertility report
 #: and the mixture materialization; customers_without_orders_anti_join
 #: rotates for the FIFTH writeStream artifact, the tombstone-delete
-#: store), which
+#: store; customer_order_counts_left_join for the Zipf head-share
+#: curve), which
 #: outrank stale-green re-checks), plus the oldest r2-era witness that fits
 #: (dedup_exact, which also carries the exact-dup lineage device).
 #: The 12 r2-era entries that don't fit rotate into r7.
@@ -109,6 +110,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "tokenizer_fertility",
     "dataset_mixture_apply",
     "erasure_stream_materialized",
+    "text_zipf_head_share",
     # (c) the ten fillers displaced from the r5 window
     "sim_topk_cosine_pandas",
     "dedup_word_jaccard",
@@ -124,7 +126,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "customer_activity_full_outer_join",
     "tpch_q10_returned_items",
     "q2_sql_api_variant",
-    "customer_order_counts_left_join",
     "order_items_right_join",
     # …and the oldest r2-era witness that fits
     "dedup_exact",

@@ -874,3 +874,28 @@ def test_mixture_apply_achieves_target_epochs(spark):
         for r in rows
     )
     assert abs(got_admit - exp_admit) <= 4 * var**0.5 + 1
+
+
+def test_zipf_head_share_monotone(spark):
+    """Coverage is monotone in K, shares are valid ppm, counts
+    conserve against the vocabulary, and the head is heavy (top-1000
+    covers more than top-1 by construction on any non-degenerate
+    corpus)."""
+    from kafka_flink_streaming_pipeline_spark.operators.text import (
+        vocabulary,
+        zipf_head_share,
+    )
+
+    rows = zipf_head_share(spark, SF_CORRECT).collect()
+    assert [r.k for r in rows] == [1, 10, 100, 1000]
+    v = vocabulary(spark, SF_CORRECT)
+    v_size, v_tokens = v.count(), v.agg({"tf": "sum"}).first()[0]
+    for r in rows:
+        assert r.n_types == min(r.k, v_size)
+        assert r.total_tokens == v_tokens
+        assert 0 < r.share_ppm <= 1_000_000
+        assert r.share_ppm == r.covered_tokens * 1_000_000 // r.total_tokens
+    for a, b in zip(rows, rows[1:]):
+        assert b.covered_tokens >= a.covered_tokens
+    if v_size >= 1000:
+        assert rows[-1].covered_tokens > rows[0].covered_tokens
