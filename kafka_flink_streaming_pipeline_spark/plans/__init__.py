@@ -69,7 +69,8 @@ class QuerySpec:
 #: and the mixture materialization; customers_without_orders_anti_join
 #: rotates for the FIFTH writeStream artifact, the tombstone-delete
 #: store; customer_order_counts_left_join for the Zipf head-share
-#: curve), which
+#: curve; order_items_right_join for the SIXTH writeStream artifact,
+#: the streaming vector-ingest index), which
 #: outrank stale-green re-checks), plus the oldest r2-era witness that fits
 #: (dedup_exact, which also carries the exact-dup lineage device).
 #: The 12 r2-era entries that don't fit rotate into r7.
@@ -111,6 +112,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "dataset_mixture_apply",
     "erasure_stream_materialized",
     "text_zipf_head_share",
+    "ann_ingest_stream_materialized",
     # (c) the ten fillers displaced from the r5 window
     "sim_topk_cosine_pandas",
     "dedup_word_jaccard",
@@ -126,7 +128,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "customer_activity_full_outer_join",
     "tpch_q10_returned_items",
     "q2_sql_api_variant",
-    "order_items_right_join",
     # …and the oldest r2-era witness that fits
     "dedup_exact",
 )

@@ -437,6 +437,123 @@ ORDER BY bucket
 """
 
 
+def _ann_ingest_stream_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SIXTH writeStream-produced driver artifact — streaming
+    INDEX MAINTENANCE for the vector store: the on-disk IVF index is
+    bootstrapped with only the K seed centroids (batch=-1, each in its
+    own cell), every other embedding arrives as a 4-file vector stream
+    (maxFilesPerTrigger=1 → 4 micro-batches), and
+    `ann_ingest_stream_job` assigns each batch to cells against the
+    centroids read from the index itself, appending batch-addressed
+    cell partitions. The maintained index's per-cell membership must
+    equal the one-shot batch assignment of the whole embedding table —
+    the driver hashes this per-cell rollup::
+
+        centroid_id | n_vectors | n_seeds
+    """
+    from kafka_flink_streaming_pipeline_spark.operators.similarity import (
+        _IVF_K,
+        _N_QUERIES,
+        _dot,
+    )
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+    from kafka_flink_streaming_pipeline_spark.streaming.jobs import (
+        ann_ingest_stream_job,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    work = tempfile.mkdtemp(prefix="ann_ingest_stream_")
+    index = os.path.join(work, "index")
+    seeds = e.filter(
+        (F.col("vec_id") >= _N_QUERIES) & (F.col("vec_id") < _N_QUERIES + _IVF_K)
+    ).select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        F.col("vec_id").alias("centroid_id"),  # a seed's cell is itself
+    )
+    seeds.write.partitionBy("centroid_id").parquet(f"{index}/batch=-1")
+
+    incoming = e.filter(
+        (F.col("vec_id") < _N_QUERIES) | (F.col("vec_id") >= _N_QUERIES + _IVF_K)
+    )
+    in_dir = os.path.join(work, "incoming")
+    incoming.repartition(4).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = ann_ingest_stream_job(stream, index, os.path.join(work, "ckpt"))
+    if not q.awaitTermination(600):
+        q.stop()
+        shutil.rmtree(work, ignore_errors=True)
+        raise TimeoutError("ann ingest stream did not finish within 600s")
+
+    out = (
+        spark.read.option("basePath", index)
+        .parquet(index)
+        .groupBy("centroid_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.sum(
+                F.when(
+                    (F.col("vec_id") >= _N_QUERIES)
+                    & (F.col("vec_id") < _N_QUERIES + _IVF_K),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_seeds"),
+        )
+        .select(
+            F.col("centroid_id").cast("bigint").alias("centroid_id"),
+            "n_vectors",
+            "n_seeds",
+        )
+        .orderBy("centroid_id")
+        .localCheckpoint()  # sever lineage from the temp index before cleanup
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def _ann_ingest_stream_oracle() -> str:
+    from kafka_flink_streaming_pipeline_spark.operators.similarity import (
+        _DUCK_CENT_COS,
+        _DUCK_EMB,
+        _IVF_K,
+        _N_QUERIES,
+    )
+
+    return f"""
+WITH e AS ({_DUCK_EMB}),
+cents AS (
+  SELECT vec_id AS centroid_id, v FROM e
+  WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES + _IVF_K}
+),
+assign_scored AS (
+  SELECT a.vec_id, k.centroid_id, {_DUCK_CENT_COS} AS ccos
+  FROM e a CROSS JOIN (SELECT centroid_id, v FROM cents) k
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, centroid_id ASC) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+)
+SELECT CAST(centroid_id AS BIGINT) AS centroid_id,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN vec_id >= {_N_QUERIES}
+                      AND vec_id < {_N_QUERIES + _IVF_K}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_seeds
+FROM assigned
+GROUP BY centroid_id
+ORDER BY centroid_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "bloom_gate_stream_materialized": QuerySpec(
         "bloom_gate_stream_materialized",
@@ -456,6 +573,13 @@ QUERIES: dict[str, QuerySpec] = {
         _stateful_sessions_build,
         _STATEFUL_SESSIONS_ORACLE,
         "applyInPandasWithState 30-min sessionizer vs batch LAG oracle (T9 custom)",
+    ),
+    "ann_ingest_stream_materialized": QuerySpec(
+        "ann_ingest_stream_materialized",
+        _ann_ingest_stream_build,
+        _ann_ingest_stream_oracle(),
+        "IVF index maintained by the streaming vector-ingest job "
+        "(batch-addressed cell partitions) read back, per-cell rollup",
     ),
     "erasure_stream_materialized": QuerySpec(
         "erasure_stream_materialized",

@@ -759,3 +759,81 @@ def erasure_stream_job(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- streaming vector ingest into the persisted IVF index ------------------
+
+
+def ann_ingest_stream_job(
+    vector_stream: DataFrame, index_path: str, checkpoint: str
+) -> StreamingQuery:
+    """Streaming INDEX MAINTENANCE for the on-disk IVF inverted file —
+    the ingest-side twin of `ann_probe_stream_job` (which only reads):
+    each micro-batch of new vectors is assigned to its coarse cell
+    against the centroids READ FROM THE INDEX ITSELF (broadcast — the
+    index stays self-contained, same device as the probe), normed, and
+    written to a batch-addressed subtree::
+
+        {index}/batch=<id>/centroid_id=<c>/...
+
+    mode("overwrite") on the batch's own directory makes redelivery
+    idempotent (the txn-sink device), and the two-level layout keeps
+    `centroid_id` a partition column — probes over the maintained
+    index still prune cells at the parquet scan, now across batches.
+    At 100 TB this is how a vector store actually grows: appends land
+    in their cells without touching existing files; a compaction pass
+    (`compact_partitions`) folds small batch files when cells fragment."""
+    from kafka_flink_streaming_pipeline_spark.operators.similarity import (
+        _IVF_K,
+        _N_QUERIES,
+        _dot,
+        _pair_cosine,
+    )
+    from pyspark.sql import Window
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        idx = spark.read.option("basePath", index_path).parquet(index_path)
+        cents = F.broadcast(
+            idx.filter(
+                (F.col("vec_id") >= _N_QUERIES)
+                & (F.col("vec_id") < _N_QUERIES + _IVF_K)
+            ).select(
+                F.col("vec_id").alias("cent_id"),
+                F.col("embedding").alias("cent"),
+                F.col("nrm").alias("cent_nrm"),
+            )
+        )
+        vn = batch_df.select(
+            "vec_id",
+            "embedding",
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+        assigned = (
+            vn.crossJoin(cents)
+            .select(
+                "vec_id",
+                "embedding",
+                "nrm",
+                "cent_id",
+                _pair_cosine(
+                    F.col("embedding"), F.col("cent"), F.col("nrm"), F.col("cent_nrm")
+                ).alias("ccos"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "vec_id", "embedding", "nrm", F.col("cent_id").alias("centroid_id")
+            )
+        )
+        assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            f"{index_path}/batch={batch_id}"
+        )
+
+    return (
+        vector_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

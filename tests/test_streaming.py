@@ -1374,3 +1374,56 @@ def test_erasure_vanished_bucket_is_removed(spark, tmp_path):
         for r in spark.read.option("basePath", store).parquet(store).collect()
     }
     assert left == {1, 97 * 16 + 1}
+
+
+def test_ann_ingest_stream_index_probes_like_batch(spark, tmp_path):
+    """An IVF index grown by the streaming ingest job must answer
+    probes exactly like the in-memory batch IVF: same membership
+    (assignment vs index-resident centroids), same top-k — across 4
+    vector micro-batches and the two-level batch/cell layout."""
+    from kafka_flink_streaming_pipeline_spark.operators.similarity import (
+        _IVF_K,
+        _N_QUERIES,
+        _dot,
+        ann_ivf,
+        probe_ann_index,
+    )
+    from kafka_flink_streaming_pipeline_spark.streaming.jobs import (
+        ann_ingest_stream_job,
+    )
+
+    e = load_table(spark, SF_CORRECT, "embeddings").select("vec_id", "embedding")
+    index = str(tmp_path / "index")
+    seeds = e.filter(
+        (F.col("vec_id") >= _N_QUERIES) & (F.col("vec_id") < _N_QUERIES + _IVF_K)
+    ).select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        F.col("vec_id").alias("centroid_id"),
+    )
+    seeds.write.partitionBy("centroid_id").parquet(f"{index}/batch=-1")
+    incoming = e.filter(
+        (F.col("vec_id") < _N_QUERIES) | (F.col("vec_id") >= _N_QUERIES + _IVF_K)
+    )
+    in_dir = str(tmp_path / "incoming")
+    incoming.repartition(4).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = ann_ingest_stream_job(stream, index, str(tmp_path / "ckpt"))
+    assert q.awaitTermination(600)
+
+    queries = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    streamed = {
+        (r.query_id, r.cand_id, r.rank)
+        for r in probe_ann_index(spark, index, queries).collect()
+    }
+    batch = {
+        (r.query_id, r.cand_id, r.rank) for r in ann_ivf(spark, SF_CORRECT).collect()
+    }
+    assert streamed == batch and streamed
