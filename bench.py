@@ -185,6 +185,7 @@ HEADLINE = [
     "tokenizer_fertility",
     "dataset_mixture_apply",
     "text_zipf_head_share",
+    "curation_threshold_sweep",
 ]
 
 

@@ -253,6 +253,95 @@ ORDER BY split
 """
 
 
+def curation_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity curve for the quality gate — the analysis
+    that justifies (or indicts) the pipeline's fixed cutoff: for every
+    candidate threshold 0.1 … 0.9, how many docs and how much token
+    mass survive::
+
+        threshold_ppm | n_docs | n_pass | pass_ppm | tokens_kept
+
+    A flat stretch means the cutoff is insensitive there; a cliff
+    means curated volume is one config tweak away from halving — the
+    chart a data-quality review wants NEXT TO the adaptive per-source
+    gate (`curation_adaptive_quality_gate`). Integer contract: the
+    score's ppm value is recovered exactly (floor(q·1e6 + 0.5) inverts
+    det_round), thresholds are integer ppm, pass_ppm is the two-step
+    BIGINT division.
+
+    At 100 TB: ONE scan of the scored corpus crossed with 9 threshold
+    rows (broadcast) → a 9-row aggregation; map-side combine carries
+    everything."""
+    from kafka_flink_streaming_pipeline_spark.operators.text import quality_scores
+
+    q = quality_scores(spark, sf_dir).select(
+        F.floor(F.col("quality_score") * 1_000_000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("q_ppm"),
+        "n_tokens",
+    )
+    thresholds = spark.createDataFrame(
+        [(t,) for t in range(100_000, 1_000_000, 100_000)], "threshold_ppm BIGINT"
+    )
+    return (
+        q.crossJoin(F.broadcast(thresholds))
+        .groupBy("threshold_ppm")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("q_ppm") >= F.col("threshold_ppm"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pass"),
+            F.sum(
+                F.when(
+                    F.col("q_ppm") >= F.col("threshold_ppm"), F.col("n_tokens")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+        .select(
+            "threshold_ppm",
+            "n_docs",
+            "n_pass",
+            F.expr(
+                "(n_pass DIV n_docs) * 1000000"
+                " + ((n_pass % n_docs) * 1000000) DIV n_docs"
+            ).alias("pass_ppm"),
+            "tokens_kept",
+        )
+        .orderBy("threshold_ppm")
+    )
+
+
+def _threshold_sweep_oracle() -> str:
+    from kafka_flink_streaming_pipeline_spark.operators.text import QUALITY_ORACLE
+
+    return f"""
+WITH q AS (
+  SELECT CAST(floor(quality_score * 1000000 + 0.5) AS BIGINT) AS q_ppm,
+         n_tokens
+  FROM ({QUALITY_ORACLE})
+),
+ts AS (SELECT unnest(range(100000, 1000000, 100000)) AS threshold_ppm),
+agg AS (
+  SELECT threshold_ppm,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN q_ppm >= threshold_ppm THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pass,
+         CAST(sum(CASE WHEN q_ppm >= threshold_ppm THEN n_tokens ELSE 0 END)
+              AS BIGINT) AS tokens_kept
+  FROM q CROSS JOIN ts
+  GROUP BY threshold_ppm
+)
+SELECT CAST(threshold_ppm AS BIGINT) AS threshold_ppm, n_docs, n_pass,
+       CAST((n_pass // n_docs) * 1000000
+            + ((n_pass % n_docs) * 1000000) // n_docs AS BIGINT) AS pass_ppm,
+       tokens_kept
+FROM agg
+ORDER BY threshold_ppm
+"""
+
+
 def curation_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel accounting for the curation gates — for every doc, WHICH
     gates would drop it (exact-dup loser, near-dup loser, low quality),
@@ -1094,6 +1183,13 @@ QUERIES: dict[str, QuerySpec] = {
         f"{_CLF_STEPS} unrolled logistic-regression GD steps (broadcast "
         "weights, one aggregation per step); weight trajectory + "
         "confusion per step",
+    ),
+    "curation_threshold_sweep": QuerySpec(
+        "curation_threshold_sweep",
+        curation_threshold_sweep,
+        _threshold_sweep_oracle(),
+        "quality-gate threshold sensitivity: docs/tokens surviving at "
+        "each cutoff 0.1..0.9 (the curve behind the fixed gate)",
     ),
     "curation_classifier_calibration": QuerySpec(
         "curation_classifier_calibration",

@@ -70,7 +70,8 @@ class QuerySpec:
 #: rotates for the FIFTH writeStream artifact, the tombstone-delete
 #: store; customer_order_counts_left_join for the Zipf head-share
 #: curve; order_items_right_join for the SIXTH writeStream artifact,
-#: the streaming vector-ingest index), which
+#: the streaming vector-ingest index; q2_sql_api_variant for the
+#: quality-gate threshold sweep), which
 #: outrank stale-green re-checks), plus the oldest r2-era witness that fits
 #: (dedup_exact, which also carries the exact-dup lineage device).
 #: The 12 r2-era entries that don't fit rotate into r7.
@@ -113,6 +114,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "erasure_stream_materialized",
     "text_zipf_head_share",
     "ann_ingest_stream_materialized",
+    "curation_threshold_sweep",
     # (c) the ten fillers displaced from the r5 window
     "sim_topk_cosine_pandas",
     "dedup_word_jaccard",
@@ -127,7 +129,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # (d) oldest driver witnesses: every r1-era entry…
     "customer_activity_full_outer_join",
     "tpch_q10_returned_items",
-    "q2_sql_api_variant",
     # …and the oldest r2-era witness that fits
     "dedup_exact",
 )

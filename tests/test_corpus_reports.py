@@ -899,3 +899,25 @@ def test_zipf_head_share_monotone(spark):
         assert b.covered_tokens >= a.covered_tokens
     if v_size >= 1000:
         assert rows[-1].covered_tokens > rows[0].covered_tokens
+
+
+def test_threshold_sweep_monotone(spark):
+    """Raising the cutoff can only shrink the kept set: n_pass and
+    tokens_kept are non-increasing in the threshold; every count
+    conserves against the corpus; the pipeline's own 0.25 gate lies
+    between the 0.2 and 0.3 sweep points by construction."""
+    from kafka_flink_streaming_pipeline_spark.operators.curation import (
+        curation_threshold_sweep,
+    )
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+    rows = curation_threshold_sweep(spark, SF_CORRECT).collect()
+    assert [r.threshold_ppm for r in rows] == list(range(100_000, 1_000_000, 100_000))
+    n = load_table(spark, SF_CORRECT, "documents").count()
+    for r in rows:
+        assert r.n_docs == n
+        assert 0 <= r.n_pass <= n
+        assert r.pass_ppm == r.n_pass * 1_000_000 // n
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_pass <= a.n_pass
+        assert b.tokens_kept <= a.tokens_kept
