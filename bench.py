@@ -186,6 +186,8 @@ HEADLINE = [
     "dataset_mixture_apply",
     "text_zipf_head_share",
     "curation_threshold_sweep",
+    # round-7 additions
+    "curation_token_budget_rows",
 ]
 
 

@@ -196,24 +196,80 @@ def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _token_budget_oracle() -> str:
-    v2 = _curation_v2_oracle()
+def _token_budget_survivor_ctes() -> str:
+    """The FLATTENED survivor lineage shared by all three token-budget
+    oracles: a strict linear CTE chain — no ``WITH RECURSIVE``, ONE
+    ``QUALITY_ORACLE`` instantiation, every CTE referenced exactly
+    once — ending in ``surv(doc_id, split, n_tokens)``.
+
+    History (why flat): the r4/r5/r6 drivers hash-failed the previous
+    nested formulation three rounds running, and the r6 bisect proved
+    the divergence is composition-level, not arithmetic — the r6
+    oracle nested the recursive LSH closure inside ``v2`` and
+    instantiated QUALITY_ORACLE twice in doubly-nested CTEs, while the
+    single-instantiation `curation_pipeline_v2` (which pins the same
+    survivor set AND quality_scores that pin per-doc n_tokens) was
+    green in the SAME run (VERDICT r6 §What's wrong #1). QUALITY_ORACLE
+    already emits both quality_score and n_tokens, so one instantiation
+    feeds both the keeper ranking and the token sums. The LSH labeling
+    comes from `lsh_components_unrolled_ctes` — K unrolled
+    min-label-propagation passes, exact for the bounded-diameter pair
+    graph, with an in-chain convergence guard that drops rows (loud
+    rows_match failure) instead of silently mislabeling."""
+    from kafka_flink_streaming_pipeline_spark.operators.datasets import (
+        _TRAIN_PCT,
+        _VAL_PCT,
+        lsh_components_unrolled_ctes,
+    )
     from kafka_flink_streaming_pipeline_spark.operators.text import QUALITY_ORACLE
 
     return f"""
-WITH v2 AS ({v2}),
-toks AS (SELECT doc_id, n_tokens FROM ({QUALITY_ORACLE})),
-per_split AS (
-  SELECT split, count(*) AS n_docs, sum(n_tokens) AS n_tokens
-  FROM v2 JOIN toks USING (doc_id)
-  GROUP BY split
+{lsh_components_unrolled_ctes()},
+q AS ({QUALITY_ORACLE}),
+ranked AS (
+  SELECT c.component_id, c.doc_id, q.quality_score, q.n_tokens,
+         row_number() OVER (PARTITION BY c.component_id
+                            ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn
+  FROM comp c JOIN q USING (doc_id)
 ),
-tot AS (SELECT sum(n_tokens) AS t_total FROM per_split)
+surv AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN b < {_TRAIN_PCT} THEN 'train'
+              WHEN b < {_TRAIN_PCT + _VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, n_tokens, quality_score,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+             % 100 AS b
+    FROM ranked WHERE rn = 1
+  )
+  WHERE quality_score >= {_QUALITY_T}
+)"""
+
+
+def _token_budget_oracle() -> str:
+    """Flat token-budget oracle: the shared survivor chain, one
+    GROUP BY, and the total taken as a 3-row window sum (``sum() OVER
+    ()``) instead of a second reference to ``per_split`` — the old
+    ``per_split, tot`` cross join referenced per_split twice, which
+    DuckDB inlines into two copies of the entire upstream subtree.
+    All hashed arithmetic is BIGINT: sums are CAST from HUGEINT before
+    the pure-integer two-step ppm division (playbook rule — Spark DIV
+    and DuckDB // agree only on non-negative BIGINTs)."""
+    return f"""
+WITH {_token_budget_survivor_ctes()},
+per_split AS (
+  SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+  FROM surv GROUP BY split
+)
 SELECT split, n_docs, n_tokens,
-       CAST((n_tokens // t_total) * 1000000
-            + ((n_tokens % t_total) * 1000000) // t_total AS BIGINT)
-         AS token_share_ppm
-FROM per_split, tot
+       (n_tokens // t_total) * 1000000
+         + ((n_tokens % t_total) * 1000000) // t_total AS token_share_ppm
+FROM (
+  SELECT split, n_docs, n_tokens,
+         CAST(sum(n_tokens) OVER () AS BIGINT) AS t_total
+  FROM per_split
+)
 ORDER BY split
 """
 
@@ -240,16 +296,40 @@ def curation_token_budget_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _token_budget_parts_oracle() -> str:
-    v2 = _curation_v2_oracle()
-    from kafka_flink_streaming_pipeline_spark.operators.text import QUALITY_ORACLE
-
     return f"""
-WITH v2 AS ({v2}),
-toks AS (SELECT doc_id, n_tokens FROM ({QUALITY_ORACLE}))
-SELECT split, count(*) AS n_docs, sum(n_tokens) AS n_tokens
-FROM v2 JOIN toks USING (doc_id)
+WITH {_token_budget_survivor_ctes()}
+SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM surv
 GROUP BY split
 ORDER BY split
+"""
+
+
+def curation_token_budget_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level witness under the token-budget rollups: the survivor
+    join itself — every curated doc with its split and token count, NO
+    aggregation. Registered per VERDICT r6 so that if either rollup
+    ever hash-fails again in the driver, this ~250-row frame names the
+    exact diverging (doc_id, split, n_tokens) rows instead of leaving
+    a 3-row sum to forensics. Sorted by doc_id: the output is the
+    curated-survivor manifest, small by construction (one row per
+    KEPT doc), so the global sort is a bounded top-level present —
+    not a corpus-scale sort."""
+    from kafka_flink_streaming_pipeline_spark.operators.text import quality_scores
+
+    survivors = curation_pipeline_v2(spark, sf_dir).select("doc_id", "split")
+    toks = quality_scores(spark, sf_dir).select("doc_id", "n_tokens")
+    return survivors.join(toks, "doc_id").select(
+        "doc_id", "split", "n_tokens"
+    ).orderBy("doc_id")
+
+
+def _token_budget_rows_oracle() -> str:
+    return f"""
+WITH {_token_budget_survivor_ctes()}
+SELECT doc_id, split, n_tokens
+FROM surv
+ORDER BY doc_id
 """
 
 
@@ -1242,6 +1322,13 @@ QUERIES: dict[str, QuerySpec] = {
         curation_token_budget_parts,
         _token_budget_parts_oracle(),
         "division-free diagnostic twin of curation_token_budget (bisects a red row)",
+    ),
+    "curation_token_budget_rows": QuerySpec(
+        "curation_token_budget_rows",
+        curation_token_budget_rows,
+        _token_budget_rows_oracle(),
+        "per-row survivor manifest (doc_id, split, n_tokens) under the "
+        "token-budget rollups — localizes any future red to exact rows",
     ),
     "curation_pipeline": QuerySpec(
         "curation_pipeline",

@@ -776,6 +776,72 @@ reach(node, r) AS (
   SELECT e.d1, reach.r FROM edges e JOIN reach ON reach.node = e.d2
 )"""
 
+
+def lsh_components_unrolled_ctes(passes: int = 4) -> str:
+    """NON-RECURSIVE LSH component labeling as a strict linear CTE
+    chain ending in ``comp(doc_id, component_id)`` — the
+    engine-divergence-hardened alternative to `_LSH_CLOSURE_SQL` for
+    oracles that COMPOSE the labeling with further large CTEs.
+
+    Why this exists: the r6 driver hash-failed exactly the two oracles
+    that nested `WITH RECURSIVE` + a twice-instantiated QUALITY_ORACLE
+    (`curation_token_budget{,_parts}`), while every
+    single-instantiation sibling over the same data was green — a
+    composition-level wrong-result in one engine, not arithmetic
+    (VERDICT r6 §What's wrong #1). This builder removes BOTH suspect
+    features and one more we measured locally: DuckDB 1.0 INLINES a
+    CTE once per reference (no auto-materialization), so a
+    multiply-referenced CTE silently duplicates its whole upstream
+    subtree — a naive unrolled propagation referencing ``lab{{i-1}}``
+    twice per pass is 2^K copies of the minhash pipeline (observed: a
+    16 GB, minutes-long plan at sf0.01). Every CTE here is referenced
+    EXACTLY ONCE per pass:
+
+    - ``uedges`` carries both edge directions PLUS a self-loop per
+      doc, so one ``edges JOIN labels GROUP BY`` both keeps the node's
+      own label and takes the neighborhood min — no second reference
+      to the previous pass.
+    - the self-loop row also exports the node's previous label as
+      ``prev_lab`` (``min(CASE WHEN e.d2 = e.d1 THEN l.lab END)``
+      ranges over that single row), so convergence is checked inside
+      the chain: the final ``comp`` keeps only ``lab = prev_lab``
+      rows. An under-unrolled chain therefore LOSES rows — a loud
+      rows_match failure in the driver, never a silent wrong hash.
+
+    ``passes`` = 4 is a 4× margin over the measured component diameter
+    (1 at sf0.01 AND sf0.1 — near-dup components in the driver testdata
+    are duplicate-doc cliques; verified against the recursive closure
+    at both SFs, see tests/test_curation_budget.py). min-label
+    propagation needs eccentricity-from-min passes, so 4 covers any
+    component of diameter ≤ 4; beyond that the guard drops rows rather
+    than lying. ``uedges`` itself is referenced once per pass (K total
+    inlined copies of the minhash subtree — linear, and bounded by the
+    small fixed K)."""
+    ctes = [
+        LSH_EST_SQL,
+        """uedges AS (SELECT d1, d2 FROM lsh_pairs
+            UNION ALL SELECT d2 AS d1, d1 AS d2 FROM lsh_pairs
+            UNION ALL SELECT doc_id AS d1, doc_id AS d2 FROM documents)""",
+        "lab0 AS (SELECT doc_id AS node, doc_id AS lab FROM documents)",
+    ]
+    for i in range(1, passes + 1):
+        ctes.append(
+            f"""lab{i} AS (
+  SELECT e.d1 AS node, min(l.lab) AS lab,
+         min(CASE WHEN e.d2 = e.d1 THEN l.lab END) AS prev_lab
+  FROM uedges e JOIN lab{i - 1} l ON l.node = e.d2
+  GROUP BY e.d1
+)"""
+        )
+    ctes.append(
+        f"""comp AS (
+  SELECT node AS doc_id, lab AS component_id
+  FROM lab{passes} WHERE lab = prev_lab
+)"""
+    )
+    return ",\n".join(ctes)
+
+
 DEDUP_COMPONENTS_LSH_ORACLE = f"""
 WITH RECURSIVE
 {_LSH_CLOSURE_SQL}

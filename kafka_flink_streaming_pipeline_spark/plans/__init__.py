@@ -38,99 +38,81 @@ class QuerySpec:
 #: value-changed entries, the post-r4-rotation gaps, the r5 additions
 #: and reworks, then sweep-touched entries oldest-witness-first —
 #: 49/50 green (the red: curation_token_budget, again).
-#: r6 window (this one): (a) the token-budget BISECT block — the
-#: pure-BIGINT two-step ppm fix plus its division-free parts twin and
-#: the two lineage companions (v2 pipeline, LSH keeper), so a third
-#: red would finally localize to one stage; (b) the 11 round-6
-#: additions/reworks (sample-capped calibration with the new
-#: sample_ppm column, PQ-armed RRF, the third writeStream artifact,
-#: and the late-round BPE trainer+apply / CCNet buckets / Bloom span
-#: gate / bigram LM scorer / k-anonymity profile / Matryoshka recall
-#: report); (c) the 10 fillers the r5 window displaced (r5 verdict
-#: ask #2); (d) 21 of the 29 entries whose latest driver witness is
-#: still round 1 (window_analytics_suite, rollup_revenue_region_nation,
-#: cube_order_status_priority, pivot_priority_by_status,
-#: percentiles_order_totals, tpch_q2_max_balance_supplier,
-#: set_ops_customer_cohorts, grouping_sets_revenue,
-#: rolling_revenue_30d, tpch_q21_waiting_orders,
-#: tpch_q20_part_promotion, tpch_q17_small_qty_revenue,
-#: tpch_q16_parts_supplier_cnt, tpch_q9_product_profit,
-#: tpch_q11_important_stock and tpch_q15_top_supplier rotate to r7 —
-#: displaced by the fifteen never-checked late additions (including
-#: the FOURTH writeStream artifact, the streaming bloom gate, the
-#: b-bit minhash report, the Lloyd's k-means trainer + its codebook +
-#: the trained-IVF probe, and the temperature-mixing weights; tpch_q7
-#: and tpch_q8 also rotate to r7 to make room for the trained probe
-#: and the VALUE-CHANGED recall report, which gained the ivf_kmeans
-#: row and so staled its r5 witness; tpch_q4/q5/q6 likewise rotate
-#: for the classifier-calibration report, the embedding-drift profile
-#: and the erasure audit; top_supplier_per_nation and
-#: order_priority_semi_join rotate for the tokenizer-fertility report
-#: and the mixture materialization; customers_without_orders_anti_join
-#: rotates for the FIFTH writeStream artifact, the tombstone-delete
-#: store; customer_order_counts_left_join for the Zipf head-share
-#: curve; order_items_right_join for the SIXTH writeStream artifact,
-#: the streaming vector-ingest index; q2_sql_api_variant for the
-#: quality-gate threshold sweep), which
-#: outrank stale-green re-checks), plus the oldest r2-era witness that fits
-#: (dedup_exact, which also carries the exact-dup lineage device).
-#: The 12 r2-era entries that don't fit rotate into r7.
+#: r6 window: the token-budget bisect block + the 32 never-checked
+#: round-6 additions + the 10 fillers displaced from r5 + oldest
+#: r1-era witnesses (48/50 green; reds: curation_token_budget and its
+#: new division-free parts twin — proving the divergence is
+#: composition-level, not arithmetic).
+#: r7 window (this one): (a) the token-budget STRUCTURAL-FIX block —
+#: both r6 reds rewritten on the flattened oracle (single linear CTE
+#: chain: one QUALITY_ORACLE instantiation, the LSH closure as K
+#: unrolled single-reference label-propagation passes with an in-chain
+#: convergence guard), the NEW per-row survivor witness
+#: curation_token_budget_rows (never driver-checked), and the two
+#: lineage companions the r6 verdict named (text_quality_scores,
+#: curation_filter_audit) so a fourth red localizes to exact rows;
+#: (b) witness refresh, oldest-first per verdict ask #2: all 27
+#: remaining r1-era witnesses, all 12 r2-era, and the 6 stalest
+#: r3-era. The r6 additions all have fresh r6 witnesses and rotate
+#: out; values are unchanged this round except the three token-budget
+#: entries (the flatten is oracle-side only — Spark plans untouched,
+#: so their r6-green companions curation_pipeline_v2/dedup_keep_best_lsh
+#: keep their witnesses).
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # (a) token-budget bisect block
+    # (a) token-budget structural-fix block
     "curation_token_budget",
     "curation_token_budget_parts",
-    "curation_pipeline_v2",
-    "dedup_keep_best_lsh",
-    # (b) round-6 additions / value-changing reworks
-    "dedup_lsh_calibration",
-    "hybrid_retrieval_rrf_ann",
-    "rollup_stream_materialized",
-    "curation_dsir_weights",
-    "curation_dsir_select",
-    "tokenizer_bpe_pair_counts",
-    "sim_ann_ivfpq",
-    "tokenizer_bpe_train",
-    "tokenizer_bpe_apply",
-    "curation_ccnet_buckets",
-    "dedup_bloom_gate",
-    "text_bigram_logprob",
-    "privacy_k_anonymity",
-    "sim_matryoshka_recall",
-    "curation_quality_classifier",
-    "bloom_gate_stream_materialized",
-    "dataset_interleave_shards",
-    "profile_psi_drift",
-    "dedup_minhash_bbit",
-    "sim_kmeans_train",
-    "sim_kmeans_centroids",
-    "dataset_mixture_temperature",
-    "sim_ann_ivf_trained",
-    "sim_ann_recall_report",
-    "curation_classifier_calibration",
-    "profile_embedding_drift",
-    "privacy_erasure_audit",
-    "tokenizer_fertility",
-    "dataset_mixture_apply",
-    "erasure_stream_materialized",
-    "text_zipf_head_share",
-    "ann_ingest_stream_materialized",
-    "curation_threshold_sweep",
-    # (c) the ten fillers displaced from the r5 window
-    "sim_topk_cosine_pandas",
-    "dedup_word_jaccard",
-    "split_leakage_check_lsh",
-    "dedup_semantic_clusters",
-    "split_leakage_check",
-    "dedup_keep_best_per_component",
-    "dedup_containment",
-    "dedup_span_exact",
-    "zscore_order_totals",
-    "sample_docs_weighted_stratified",
-    # (d) oldest driver witnesses: every r1-era entry…
-    "customer_activity_full_outer_join",
-    "tpch_q10_returned_items",
-    # …and the oldest r2-era witness that fits
-    "dedup_exact",
+    "curation_token_budget_rows",
+    "text_quality_scores",
+    "curation_filter_audit",
+    # (b) witness refresh — every r1-era entry…
+    "q2_sql_api_variant",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q5_regional_revenue",
+    "top_supplier_per_nation",
+    "order_priority_semi_join",
+    "customers_without_orders_anti_join",
+    "customer_order_counts_left_join",
+    "order_items_right_join",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier_cnt",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_orders",
+    "grouping_sets_revenue",
+    "rolling_revenue_30d",
+    "tpch_q2_max_balance_supplier",
+    "set_ops_customer_cohorts",
+    "rollup_revenue_region_nation",
+    "cube_order_status_priority",
+    "pivot_priority_by_status",
+    "percentiles_order_totals",
+    "window_analytics_suite",
+    # …every r2-era entry…
+    "q1_views_per_min",
+    "fp3_features_20m_day",
+    "dedup_simhash",
+    "text_langid_confusion",
+    "multimodal_media_features",
+    "multimodal_frame_samples",
+    "sketch_cms_heavy_hitters",
+    "pack_docs_to_budget",
+    "user_event_sequences",
+    "decontaminate_against_eval",
+    "asof_feature_join",
+    "attrib_click_to_view_5m",
+    # …and the six stalest r3-era entries that fit
+    "sketch_rollup_active_users",
+    "customer_order_dates_array",
+    "range_band_join_tiers",
+    "tpch_q12_priority_mix",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_share",
 )
 
 
