@@ -628,6 +628,67 @@ def test_ann_recall_on_clustered_embeddings(spark, clustered_emb_dir):
     assert not low, low
 
 
+@pytest.fixture(scope="module")
+def collapsed_seed_emb_dir(spark, tmp_path_factory):
+    """The trained-quantizer payoff testbed (round-7 verdict ask #4):
+    same 8-cluster mixture-of-Gaussians geometry as `clustered_emb_dir`,
+    but the 8 FIXED IVF seed vectors (vec_id 5–12) are all placed in
+    cluster 0 — the degenerate coarse-quantizer start that real
+    corpora present when seed vectors happen to be correlated. Seed
+    IVF nprobe=1 then scatters the other 7 clusters across cells
+    (measured recall 0.66), while 3-round Lloyd's k-means pulls the
+    redundant centroids out to the uncovered clusters and recovers
+    recall 1.0 — the gain `ivf_kmeans` exists to provide, which the
+    isotropic driver embeddings cannot express (PERF.md documents the
+    0.24-equals-seed result there)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    k, n, d, sigma = 8, 500, 64, 0.02
+    centers = rng.standard_normal((k, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    def lab(vid: int) -> int:
+        return 0 if 5 <= vid <= 12 else vid % k
+
+    rows = [
+        (
+            vid,
+            [float(x) for x in (centers[lab(vid)] + sigma * rng.standard_normal(d))],
+            lab(vid),
+        )
+        for vid in range(n)
+    ]
+    out = str(tmp_path_factory.mktemp("collapsed_seeds"))
+    (
+        spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(out + "/embeddings.parquet")
+    )
+    return out
+
+
+def test_kmeans_beats_seed_ivf_on_clustered_embeddings(
+    spark, collapsed_seed_emb_dir
+):
+    """`sim_ann_recall_report` on the collapsed-seed testbed must show
+    the trained quantizer strictly beating the seed quantizer — the
+    measurement that justifies shipping Lloyd's k-means at all. Floors
+    regression-test the measured values (seed 0.66, trained 1.0)."""
+    from kafka_flink_streaming_pipeline_spark.operators.similarity import (
+        sim_ann_recall_report,
+    )
+
+    rec = {
+        r["method"]: r["recall_ppm"]
+        for r in sim_ann_recall_report(spark, collapsed_seed_emb_dir).collect()
+    }
+    assert rec["ivf_kmeans"] > rec["ivf_nprobe1"] + 100_000  # strict, wide gain
+    assert rec["ivf_kmeans"] >= 950_000  # measured 1.0
+    assert 550_000 <= rec["ivf_nprobe1"] <= 800_000  # measured 0.66
+
+
 def test_real_image_decode_when_pillow_exists(spark):
     """Env-gated real decode (multimodal.decode path parity): when
     Pillow is installed, `make_decode_batches(real=True)` must decode
