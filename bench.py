@@ -188,6 +188,7 @@ HEADLINE = [
     "curation_threshold_sweep",
     # round-7 additions
     "curation_token_budget_rows",
+    "curation_dsir_resample",
 ]
 
 

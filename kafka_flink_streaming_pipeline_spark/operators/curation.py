@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_flink_streaming_pipeline_spark.operators.corpus import _U_DENOM
 from kafka_flink_streaming_pipeline_spark.operators.dedup import dedup_exact
 from kafka_flink_streaming_pipeline_spark.operators.text import quality_scores
 from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
@@ -704,8 +705,12 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # unsorted: one row per doc — corpus-sized at scale
 
 
-_DSIR_ORACLE = f"""
-WITH d AS (
+#: flat DSIR CTE chain ending in ``w(doc_id, n_feats, log_w_micro)`` —
+#: shared by the weights, select, and resample oracles so the scoring
+#: definition cannot drift between them, and so the composites splice
+#: it as a LINEAR chain instead of nesting a full WITH inside a CTE
+#: (the composition style the r6 driver proved engine-fragile)
+_DSIR_CTES = f"""d AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
 ),
 feats AS (
@@ -735,13 +740,18 @@ dist AS (
                        / CAST((rc + 1) * (n_tgt + {_DSIR_B}) AS DOUBLE))
                     * 1000000 + 0.5) AS BIGINT) AS lr_micro
   FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot
-)
-SELECT p.doc_id,
-       CAST(sum(p.c) AS BIGINT) AS n_feats,
-       CAST(sum(p.c * dist.lr_micro) AS BIGINT) AS log_w_micro
-FROM per_doc p JOIN dist ON p.b = dist.b
-GROUP BY p.doc_id
-ORDER BY p.doc_id
+),
+w AS (
+  SELECT p.doc_id,
+         CAST(sum(p.c) AS BIGINT) AS n_feats,
+         CAST(sum(p.c * dist.lr_micro) AS BIGINT) AS log_w_micro
+  FROM per_doc p JOIN dist ON p.b = dist.b
+  GROUP BY p.doc_id
+)"""
+
+_DSIR_ORACLE = f"""
+WITH {_DSIR_CTES}
+SELECT doc_id, n_feats, log_w_micro FROM w ORDER BY doc_id
 """
 
 
@@ -775,7 +785,7 @@ def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DSIR_SELECT_ORACLE = f"""
-WITH w AS ({_DSIR_ORACLE.replace("ORDER BY p.doc_id", "")})
+WITH {_DSIR_CTES}
 SELECT CAST(row_number() OVER (ORDER BY log_w_micro DESC, doc_id) AS BIGINT)
          AS rank,
        doc_id, n_feats, log_w_micro
@@ -783,6 +793,122 @@ FROM w
 WHERE doc_id % 97 <> 0
 ORDER BY log_w_micro DESC, doc_id
 LIMIT {_DSIR_K}
+"""
+
+
+def curation_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR end-to-end (r6 verdict ask #5): the paper's ACTUAL
+    importance-RESAMPLING step — a probabilistic weighted draw by
+    exp(log_w), not the deterministic top-k of `curation_dsir_select` —
+    composed with the mixture report that shows what the tilt did.
+    Three published pieces in one registered pipeline:
+
+    1. `curation_dsir_weights` (Xie et al. NeurIPS 2023) scores every
+       non-target doc with its integer-micro-nat log importance weight;
+    2. `sample_docs_weighted`'s Efraimidis–Spirakis A-ES race draws
+       {_DSIR_K} docs without replacement with P ∝ exp(log_w), u drawn
+       deterministically from md5(doc_id). The race runs in LOG domain:
+       ordering by −ln(u)/exp(lw) is order-isomorphic to ordering by
+       ln(−ln u) − lw (ln is monotone on the positive keys), which
+       never materializes exp(lw) — immune to overflow however tilted
+       the weights get at 100 TB;
+    3. the mixture report: per source, the resampled share vs the raw
+       corpus share (pure-BIGINT two-step ppm) plus the summed log
+       weight — the before/after evidence that resampling tilted the
+       mix toward the target domain.
+
+    Plan shape: the race is a stateless map over the weights frame +
+    one TakeOrdered({_DSIR_K}) — only k rows move; both mixture sides
+    are source-row aggregates (≤ a handful of rows) joined at the end.
+    Hash contract: selection order is double-valued but the OUTPUT is
+    all-integer aggregates of the selected set (the
+    `sample_docs_weighted` precedent, green since r5: race keys are
+    orders-of-magnitude separated, doc_id tiebreak breaks exact
+    collisions); sums of integer micro-nats, never a mean (a negative
+    integer mean would hit the Spark-DIV-vs-DuckDB-// floor
+    disagreement)."""
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+    w = curation_dsir_weights(spark, sf_dir).filter(F.col("doc_id") % 97 != 0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_U_DENOM)
+    race = F.log(-F.log(u)) - F.col("log_w_micro").cast("double") / 1_000_000.0
+    sel = (
+        w.select("doc_id", "log_w_micro", race.alias("race_key"))
+        .orderBy("race_key", "doc_id")
+        .limit(_DSIR_K)
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sel_mix = (
+        sel.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sel"),
+            F.sum("log_w_micro").cast("bigint").alias("sum_log_w_micro"),
+        )
+    )
+    corp_mix = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .withColumn("total", F.sum("cnt").over(Window.partitionBy()))
+    )
+    return (
+        sel_mix.join(F.broadcast(corp_mix), "source")
+        .select(
+            "source",
+            "n_sel",
+            F.expr(f"CAST(n_sel * 1000000 DIV {_DSIR_K} AS BIGINT)").alias(
+                "sel_share_ppm"
+            ),
+            F.expr(
+                "(cnt DIV total) * 1000000 + ((cnt % total) * 1000000) DIV total"
+            )
+            .cast("bigint")
+            .alias("corpus_share_ppm"),
+            "sum_log_w_micro",
+        )
+        .orderBy("source")
+    )
+
+
+_DSIR_RESAMPLE_ORACLE = f"""
+WITH {_DSIR_CTES},
+raced AS (
+  SELECT doc_id, log_w_micro,
+         ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) + 1.0) / {_U_DENOM}))
+           - CAST(log_w_micro AS DOUBLE) / 1000000.0 AS race_key
+  FROM w WHERE doc_id % 97 <> 0
+),
+sel AS (
+  SELECT doc_id, log_w_micro FROM raced ORDER BY race_key, doc_id
+  LIMIT {_DSIR_K}
+),
+sel_mix AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_sel,
+         CAST(sum(s.log_w_micro) AS BIGINT) AS sum_log_w_micro
+  FROM sel s JOIN documents d USING (doc_id)
+  GROUP BY d.source
+),
+corp_mix AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS cnt
+  FROM documents WHERE doc_id % 97 <> 0
+  GROUP BY source
+)
+SELECT source, n_sel,
+       CAST(n_sel * 1000000 // {_DSIR_K} AS BIGINT) AS sel_share_ppm,
+       CAST((cnt // total) * 1000000
+            + ((cnt % total) * 1000000) // total AS BIGINT) AS corpus_share_ppm,
+       sum_log_w_micro
+FROM sel_mix
+JOIN (SELECT source, cnt, CAST(sum(cnt) OVER () AS BIGINT) AS total
+      FROM corp_mix) USING (source)
+ORDER BY source
 """
 
 
@@ -1291,6 +1417,13 @@ QUERIES: dict[str, QuerySpec] = {
         _DSIR_SELECT_ORACLE,
         "DSIR selection: top-k raw docs by importance weight "
         "(target split excluded)",
+    ),
+    "curation_dsir_resample": QuerySpec(
+        "curation_dsir_resample",
+        curation_dsir_resample,
+        _DSIR_RESAMPLE_ORACLE,
+        "DSIR end-to-end: importance weights -> A-ES weighted resampling "
+        "(log-domain race) -> per-source mixture tilt report",
     ),
     "curation_dsir_weights": QuerySpec(
         "curation_dsir_weights",

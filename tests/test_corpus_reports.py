@@ -247,6 +247,40 @@ def test_dsir_weights_tilt_toward_target(spark):
     assert chk == 0
 
 
+def test_dsir_resample_tilts_toward_target(spark):
+    """End-to-end DSIR invariants (r7): the resampled mixture report
+    (a) accounts for exactly the K drawn docs with exact ppm shares,
+    (b) draws with P ∝ exp(log_w), so the selected docs' mean log
+    weight must exceed the candidate pool's mean — the tilt the
+    resampling exists to produce, and (c) its corpus shares describe
+    the non-target pool (sum to 1e6 within floor slack)."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_streaming_pipeline_spark.operators.curation import (
+        _DSIR_K,
+        curation_dsir_resample,
+        curation_dsir_weights,
+    )
+
+    mix = curation_dsir_resample(spark, SF_CORRECT).collect()
+    assert sum(r["n_sel"] for r in mix) == _DSIR_K
+    for r in mix:
+        assert r["sel_share_ppm"] == r["n_sel"] * 1_000_000 // _DSIR_K
+    n_src = len(mix)
+    # corpus shares are floors of an exhaustive partition of the pool
+    # IF every source is represented in the sample; with K=100 over a
+    # handful of sources that holds on the driver testdata
+    share_sum = sum(r["corpus_share_ppm"] for r in mix)
+    assert 1_000_000 - n_src <= share_sum <= 1_000_000
+
+    pool = curation_dsir_weights(spark, SF_CORRECT).filter(
+        F.col("doc_id") % 97 != 0
+    )
+    pool_mean = pool.agg(F.avg("log_w_micro")).collect()[0][0]
+    sel_mean = sum(r["sum_log_w_micro"] for r in mix) / _DSIR_K
+    assert sel_mean > pool_mean
+
+
 def test_bpe_pair_counts_conservation(spark):
     """BPE pair-count invariants: the ranked list is strictly ordered
     by (n desc, a, b); every count is positive; and the TOTAL pair
