@@ -1,0 +1,135 @@
+"""Streaming sustained-throughput probe (r6 verdict ask #6).
+
+The six writeStream-produced driver artifacts are CORRECTNESS
+witnesses at 4 micro-batches; this tool measures the heaviest
+foreachBatch jobs as a RATE: documents stream through
+`bloom_gate_stream_job` (exact-span contamination gate: span-hash →
+broadcast Bloom probe → verify join on bloom hits) and
+`ann_ingest_stream_job` equivalents at sf0.1 with N micro-batches,
+with the package's own `RateListener` attached — the same scrape
+surface `prometheus_text` serves — and reports sustained rows/s and
+per-trigger latency percentiles from the listener's progress events.
+
+Run:  python tools/stream_rate_bench.py [n_batches] [sf_dir]
+Prints one JSON line per job and a final summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+
+    from pyspark.sql import functions as F
+
+    from kafka_flink_streaming_pipeline_spark import get_spark
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+    from kafka_flink_streaming_pipeline_spark.streaming.jobs import (
+        bloom_gate_stream_job,
+        build_bloom_index,
+        dedup_index_stream_job,
+    )
+    from kafka_flink_streaming_pipeline_spark.streaming.monitoring import (
+        RateListener,
+    )
+
+    spark = get_spark("kfsp-stream-rate")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    results = {}
+
+    def run(job_name: str, start_job) -> None:
+        listener = RateListener()
+        spark.streams.addListener(listener)
+        work = tempfile.mkdtemp(prefix=f"rate_{job_name}_")
+        try:
+            q = start_job(work)
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError(f"{job_name} did not drain in 600s")
+            # progress events are delivered asynchronously; drain them
+            import time as _t
+
+            deadline = _t.time() + 30
+            while len(listener.batches) < n_batches and _t.time() < deadline:
+                _t.sleep(0.2)
+        finally:
+            spark.streams.removeListener(listener)
+            shutil.rmtree(work, ignore_errors=True)
+        lat = sorted(b["duration_ms"] or 0 for b in listener.batches)
+        n = len(lat)
+        row = {
+            "job": job_name,
+            "micro_batches": n,
+            "rows": listener.total_rows(),
+            "sustained_rows_per_sec": round(listener.throughput(), 1),
+            "trigger_ms_p50": lat[n // 2] if n else None,
+            "trigger_ms_max": lat[-1] if n else None,
+        }
+        results[job_name] = row
+        print(json.dumps(row), flush=True)
+
+    def start_bloom(work: str):
+        index_path = os.path.join(work, "index")
+        build_bloom_index(docs.filter(F.col("doc_id") % 3 != 0), index_path)
+        incoming = docs.filter(F.col("doc_id") % 3 == 0)
+        in_dir = os.path.join(work, "incoming")
+        incoming.repartition(n_batches).write.parquet(in_dir)
+        stream = (
+            spark.readStream.schema(incoming.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        return bloom_gate_stream_job(
+            stream,
+            index_path,
+            os.path.join(work, "verdicts"),
+            os.path.join(work, "ckpt"),
+        )
+
+    def start_dedup(work: str):
+        from kafka_flink_streaming_pipeline_spark.operators.dedup import lsh_bands
+
+        index_path = os.path.join(work, "index")
+        lsh_bands(docs.filter(F.col("doc_id") % 3 != 0)).write.parquet(index_path)
+        incoming = docs.filter(F.col("doc_id") % 3 == 0)
+        in_dir = os.path.join(work, "incoming")
+        incoming.repartition(n_batches).write.parquet(in_dir)
+        stream = (
+            spark.readStream.schema(incoming.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        return dedup_index_stream_job(
+            stream,
+            index_path,
+            os.path.join(work, "flags"),
+            os.path.join(work, "ckpt"),
+        )
+
+    run("bloom_gate", start_bloom)
+    run("dedup_gate", start_dedup)
+
+    print(
+        json.dumps(
+            {"sf_dir": sf_dir, "n_batches": n_batches, "jobs": results}
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
