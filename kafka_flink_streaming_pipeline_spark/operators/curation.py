@@ -118,13 +118,13 @@ def _curation_v2_oracle() -> str:
         _TRAIN_PCT,
         _VAL_PCT,
     )
-    from kafka_flink_streaming_pipeline_spark.operators.text import QUALITY_ORACLE
+    from kafka_flink_streaming_pipeline_spark.operators.text import quality_cte
 
     return f"""
 WITH RECURSIVE
 {_LSH_CLOSURE_SQL},
 comp AS (SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node),
-q AS ({QUALITY_ORACLE}),
+{quality_cte()},
 ranked AS (
   SELECT c.component_id, c.doc_id, q.quality_score,
          row_number() OVER (PARTITION BY c.component_id
@@ -222,11 +222,11 @@ def _token_budget_survivor_ctes() -> str:
         _VAL_PCT,
         lsh_components_unrolled_ctes,
     )
-    from kafka_flink_streaming_pipeline_spark.operators.text import QUALITY_ORACLE
+    from kafka_flink_streaming_pipeline_spark.operators.text import quality_cte
 
     return f"""
 {lsh_components_unrolled_ctes()},
-q AS ({QUALITY_ORACLE}),
+{quality_cte()},
 ranked AS (
   SELECT c.component_id, c.doc_id, q.quality_score, q.n_tokens,
          row_number() OVER (PARTITION BY c.component_id
@@ -395,13 +395,14 @@ def curation_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _threshold_sweep_oracle() -> str:
-    from kafka_flink_streaming_pipeline_spark.operators.text import QUALITY_ORACLE
+    from kafka_flink_streaming_pipeline_spark.operators.text import quality_cte
 
     return f"""
-WITH q AS (
+WITH {quality_cte()},
+qp AS (
   SELECT CAST(floor(quality_score * 1000000 + 0.5) AS BIGINT) AS q_ppm,
          n_tokens
-  FROM ({QUALITY_ORACLE})
+  FROM q
 ),
 ts AS (SELECT unnest(range(100000, 1000000, 100000)) AS threshold_ppm),
 agg AS (
@@ -411,7 +412,7 @@ agg AS (
            AS n_pass,
          CAST(sum(CASE WHEN q_ppm >= threshold_ppm THEN n_tokens ELSE 0 END)
               AS BIGINT) AS tokens_kept
-  FROM q CROSS JOIN ts
+  FROM qp CROSS JOIN ts
   GROUP BY threshold_ppm
 )
 SELECT CAST(threshold_ppm AS BIGINT) AS threshold_ppm, n_docs, n_pass,
@@ -484,13 +485,13 @@ def _filter_audit_oracle() -> str:
     from kafka_flink_streaming_pipeline_spark.operators.datasets import (
         _LSH_CLOSURE_SQL,
     )
-    from kafka_flink_streaming_pipeline_spark.operators.text import QUALITY_ORACLE
+    from kafka_flink_streaming_pipeline_spark.operators.text import quality_cte
 
     return f"""
 WITH RECURSIVE
 {_LSH_CLOSURE_SQL},
 comp AS (SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node),
-q AS ({QUALITY_ORACLE}),
+{quality_cte()},
 ranked AS (
   SELECT c.component_id, c.doc_id, q.quality_score, q.n_tokens,
          row_number() OVER (PARTITION BY c.component_id
@@ -578,10 +579,10 @@ def curation_adaptive_quality_gate(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 def _adaptive_gate_oracle() -> str:
-    from kafka_flink_streaming_pipeline_spark.operators.text import QUALITY_ORACLE
+    from kafka_flink_streaming_pipeline_spark.operators.text import quality_cte
 
     return f"""
-WITH q AS ({QUALITY_ORACLE}),
+WITH {quality_cte()},
 per_doc AS (
   SELECT d.source, q.n_tokens,
          CAST(floor(q.quality_score * 1000000.0 + 0.5) AS BIGINT) AS qppm

@@ -46,7 +46,7 @@ from kafka_flink_streaming_pipeline_spark.operators.dedup import (
     dedup_minhash_lsh,
     exact_ngram_pairs,
 )
-from kafka_flink_streaming_pipeline_spark.operators.text import QUALITY_ORACLE, quality_scores
+from kafka_flink_streaming_pipeline_spark.operators.text import quality_cte, quality_scores
 from kafka_flink_streaming_pipeline_spark.functions.core import det_round
 from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
 from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
@@ -159,7 +159,7 @@ def curation_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STRATIFIED_CAP_ORACLE = f"""
-WITH q AS ({QUALITY_ORACLE}),
+WITH {quality_cte()},
 ranked AS (
   SELECT d.lang, q.doc_id, q.quality_score,
          row_number() OVER (PARTITION BY d.lang
@@ -917,7 +917,7 @@ KEEP_BEST_ORACLE = f"""
 WITH RECURSIVE
 {_COMPONENTS_SQL},
 comp AS (SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node),
-q AS ({QUALITY_ORACLE}),
+{quality_cte()},
 ranked AS (
   SELECT c.component_id, c.doc_id, q.quality_score,
          row_number() OVER (PARTITION BY c.component_id
@@ -934,7 +934,7 @@ KEEP_BEST_LSH_ORACLE = f"""
 WITH RECURSIVE
 {_LSH_CLOSURE_SQL},
 comp AS (SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node),
-q AS ({QUALITY_ORACLE}),
+{quality_cte()},
 ranked AS (
   SELECT c.component_id, c.doc_id, q.quality_score,
          row_number() OVER (PARTITION BY c.component_id

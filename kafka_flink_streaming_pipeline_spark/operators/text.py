@@ -71,6 +71,17 @@ ORDER BY doc_id
 """
 
 
+def quality_cte(name: str = "q") -> str:
+    """The per-doc quality scoring as a named CTE fragment —
+    ``<name> AS (<QUALITY_ORACLE>)`` — for every composing oracle
+    (curation pipelines, gap-fill profile, split assignment, the
+    token-budget chain). One definition site means a tokenization or
+    scoring change can never drift a SUBSET of the composites
+    (r6 verdict stretch ask #7); the flattened-composition rule those
+    oracles follow is: instantiate this exactly ONCE per query."""
+    return f"{name} AS ({QUALITY_ORACLE})"
+
+
 # --- language ID (n-gram/stopword heuristic) ------------------------------
 
 

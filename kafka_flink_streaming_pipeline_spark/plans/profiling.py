@@ -864,10 +864,10 @@ def _source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _source_mix_oracle() -> str:
-    from kafka_flink_streaming_pipeline_spark.operators.text import QUALITY_ORACLE
+    from kafka_flink_streaming_pipeline_spark.operators.text import quality_cte
 
     return f"""
-WITH q AS ({QUALITY_ORACLE}),
+WITH {quality_cte()},
 base AS (
   SELECT doc_id, source, coalesce(lang, '') AS lang,
          md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
