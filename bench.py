@@ -189,6 +189,9 @@ HEADLINE = [
     # round-7 additions
     "curation_token_budget_rows",
     "curation_dsir_resample",
+    "embedding_top_pc",
+    "embedding_anisotropy",
+    "corpus_shuffle_manifest",
 ]
 
 

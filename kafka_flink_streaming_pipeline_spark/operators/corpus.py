@@ -593,7 +593,64 @@ WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT
 """
 
 
+# --- deterministic global shuffle manifest ---------------------------------
+
+_SHUFFLE_SHARDS = 8
+
+
+def corpus_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training dataloader's shuffle, decided by the ENGINE once and
+    reproducibly: every doc gets a (shard, pos) address — shard from one
+    md5 slice, position from a DIFFERENT slice of the same digest ranked
+    within the shard — so the global read order is a pure function of
+    doc identity. This is what an epoch-0 data order ships as at 100 TB
+    (a manifest, not a shuffled copy): any trainer, resumed run, or
+    audit re-derives the exact order with no RNG state, and a re-shuffle
+    is a constant change (salt the hash input), not a data move.
+
+    Plan: one hash shuffle on shard (8 keys here; thousands at scale)
+    + a within-shard rank — NO global sort: the output is corpus-sized,
+    so ordering is left to the consumer's shard/pos addressing (the
+    driver compare is order-insensitive; `pos` IS the order). Distinct
+    hash slices for shard and rank keep shard assignment and in-shard
+    order statistically independent; doc_id tiebreaks exact collisions
+    on the 8-hex rank slice."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % _SHUFFLE_SHARDS)
+    rank_key = F.substring(h, 5, 8)
+    w = Window.partitionBy("shard").orderBy("rank_key", "doc_id")
+    return (
+        d.select("doc_id", shard.alias("shard"), rank_key.alias("rank_key"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("shard", "pos", "doc_id")
+    )  # unsorted: corpus-sized manifest, (shard,pos) is the addressing
+
+
+SHUFFLE_MANIFEST_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+           % {_SHUFFLE_SHARDS} AS shard,
+         substr(md5(CAST(doc_id AS VARCHAR)), 5, 8) AS rank_key
+  FROM documents
+)
+SELECT shard, 
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY rank_key, doc_id)
+            AS BIGINT) AS pos,
+       doc_id
+FROM h
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "corpus_shuffle_manifest": QuerySpec(
+        "corpus_shuffle_manifest",
+        corpus_shuffle_manifest,
+        SHUFFLE_MANIFEST_ORACLE,
+        "deterministic epoch-0 shuffle manifest: md5-derived (shard, pos) "
+        "address per doc, no RNG state",
+    ),
     "sample_docs_temperature": QuerySpec(
         "sample_docs_temperature",
         sample_docs_temperature,

@@ -10,6 +10,7 @@ from kafka_flink_streaming_pipeline_spark.operators import (
     datasets,
     interval_join,
     dedup,
+    linalg,
     multimodal,
     packing,
     similarity,
@@ -31,6 +32,7 @@ for _mod in (
     curation,
     asof,
     interval_join,
+    linalg,
     datasets,
     corpus,
     sketches,
