@@ -192,6 +192,7 @@ HEADLINE = [
     "embedding_top_pc",
     "embedding_anisotropy",
     "corpus_shuffle_manifest",
+    "split_leakage_semantic",
 ]
 
 

@@ -2443,7 +2443,166 @@ ORDER BY query_id, rank
 """
 
 
+# --- cross-split semantic leakage --------------------------------------------
+
+
+def split_leakage_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination in EMBEDDING space — the semantic
+    sibling of the shingle-based `split_leakage_check`: for every
+    test-split vector, its best cosine match among TRAIN-split vectors,
+    rolled up as a 5-percentage-point histogram of best-match cosine.
+    A mass of near-1.0 best matches means eval examples have semantic
+    near-twins in training (paraphrases, re-crawls, translations) that
+    exact/shingle dedup cannot see — the gap SemDeDup (Abbas et al.
+    2023) targets within a corpus, here applied ACROSS the split
+    boundary where it corrupts evaluation.
+
+    Split membership is the standing md5-bucket device
+    (`datasets._split_name`, applied to vec_id). The search is the IVF
+    cell path, not the quadratic scan: train vectors carry their
+    nprobe=1 cell membership, test queries probe their nprobe=2 cells,
+    and only cell-sharing pairs are scored — per query ~2/K of the
+    train side, exactly `sim_ann_ivf_nprobe2`'s cost shape (the exact
+    brute-force sibling stays unregistered; the shingle-based
+    `split_leakage_check` already carries an exact anchor for the
+    family). Best-match selection is a max(struct) argmax — map-side
+    combinable, no per-query window sort. Test vectors whose probed
+    cells contain no train vector (possible only under extreme split
+    skew) report bucket -100 so coverage loss is visible, never
+    silent.
+
+    UNLIKE the fixed-query ANN entries (5 queries however big the
+    corpus), here the query side GROWS with the corpus, so a fixed
+    K=8 would make the cell join quadratic — measured 2.0 s at sf0.1
+    but 45 s at 10x before the fix. K therefore auto-sizes with the
+    corpus (max(8, N DIV 256) — constant ~256-vector cells), computed
+    by BOTH engines from count(*) with the same integer formula, so
+    per-query candidate work stays flat and the total linear. The one
+    count() collect is a 1-row scalar (the `_with_latest`
+    precedent)."""
+    from kafka_flink_streaming_pipeline_spark.operators.datasets import (
+        _split_name,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    with_norm = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        _split_name(F.col("vec_id")).alias("split"),
+    )
+    k = max(_IVF_K, with_norm.count() // _LEAK_CELL)
+    train = (
+        _ivf_assign(with_norm, nprobe=1, k=k)
+        .join(with_norm.filter(F.col("split") == "train"), "vec_id")
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            "centroid_id",
+            F.col("embedding").alias("cv"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+    tests = (
+        _ivf_assign(with_norm, nprobe=2, k=k)
+        .join(with_norm.filter(F.col("split") == "test"), "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "centroid_id",
+            F.col("embedding").alias("qv"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    best = (
+        tests.join(train, "centroid_id")
+        .select(
+            "query_id",
+            _pair_cosine(
+                F.col("qv"), F.col("cv"), F.col("q_nrm"), F.col("c_nrm")
+            ).alias("cosine"),
+        )
+        .groupBy("query_id")
+        .agg(F.max("cosine").alias("best_cos"))
+    )
+    all_tests = with_norm.filter(F.col("split") == "test").select(
+        F.col("vec_id").alias("query_id")
+    )
+    return (
+        all_tests.join(best, "query_id", "left")
+        .select(
+            F.coalesce(
+                (F.floor(F.col("best_cos") * 20) * 5).cast("int"), F.lit(-100)
+            ).alias("cos_bucket_pct")
+        )
+        .groupBy("cos_bucket_pct")
+        .agg(F.count("*").cast("bigint").alias("n_test"))
+        .orderBy("cos_bucket_pct")
+    )
+
+
+_LEAK_CELL = 256  # target IVF cell size for the leakage scan
+
+SPLIT_LEAKAGE_SEMANTIC_ORACLE = f"""
+WITH e AS ({_DUCK_EMB}),
+kk AS (SELECT GREATEST({_IVF_K}, count(*) // {_LEAK_CELL}) AS k FROM e),
+sp AS (
+  SELECT vec_id, v,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT vec_id, v,
+           CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))
+                AS INTEGER) % 100 AS b
+    FROM e
+  )
+),
+cents AS (
+  SELECT vec_id AS centroid_id, v FROM e, kk
+  WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES} + kk.k
+),
+assign_scored AS (
+  SELECT a.vec_id, k.centroid_id, {_DUCK_CENT_COS} AS ccos,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_DUCK_CENT_COS} DESC, k.centroid_id ASC)
+           AS rn
+  FROM (SELECT vec_id, v FROM e) a
+  CROSS JOIN (SELECT centroid_id, v FROM cents) k
+),
+train AS (
+  SELECT s.vec_id AS cand_id, a.centroid_id
+  FROM sp s JOIN assign_scored a ON a.vec_id = s.vec_id AND a.rn = 1
+  WHERE s.split = 'train'
+),
+tests AS (
+  SELECT s.vec_id AS query_id, a.centroid_id
+  FROM sp s JOIN assign_scored a ON a.vec_id = s.vec_id AND a.rn <= 2
+  WHERE s.split = 'test'
+),
+best AS (
+  SELECT t.query_id, max({_DUCK_COS}) AS best_cos
+  FROM tests t
+  JOIN train tr USING (centroid_id)
+  JOIN e q ON q.vec_id = t.query_id
+  JOIN e c ON c.vec_id = tr.cand_id
+  GROUP BY t.query_id
+)
+SELECT coalesce(CAST(floor(best_cos * 20) * 5 AS INTEGER), -100)
+         AS cos_bucket_pct,
+       CAST(count(*) AS BIGINT) AS n_test
+FROM (SELECT vec_id AS query_id FROM sp WHERE split = 'test')
+LEFT JOIN best USING (query_id)
+GROUP BY cos_bucket_pct
+ORDER BY cos_bucket_pct
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "split_leakage_semantic": QuerySpec(
+        "split_leakage_semantic",
+        split_leakage_semantic,
+        SPLIT_LEAKAGE_SEMANTIC_ORACLE,
+        "test-vs-train best-cosine histogram via IVF cells: semantic "
+        "near-twin contamination across the split boundary",
+    ),
     "sim_ann_ivf_trained": QuerySpec(
         "sim_ann_ivf_trained",
         ann_ivf_trained,

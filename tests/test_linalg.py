@@ -139,3 +139,64 @@ def test_shuffle_manifest_is_bijective_and_deterministic(spark):
         for r in corpus_shuffle_manifest(spark, SF_CORRECT).collect()
     }
     assert again == {(r["shard"], r["pos"], r["doc_id"]) for r in rows}
+
+
+@pytest.fixture(scope="module")
+def planted_leak_dir(spark, tmp_path_factory):
+    """Split-leakage testbed: isotropic vectors, except every test-split
+    vector whose vec_id % 5 == 0 is an EXACT COPY of some train-split
+    vector — planted semantic leaks the histogram must surface in the
+    100-bucket."""
+    import numpy as np
+
+    from kafka_flink_streaming_pipeline_spark.operators.datasets import (
+        _TRAIN_PCT,
+        _VAL_PCT,
+    )
+    import hashlib
+
+    def split_of(vid: int) -> str:
+        b = int(hashlib.md5(str(vid).encode()).hexdigest()[:4], 16) % 100
+        return (
+            "train"
+            if b < _TRAIN_PCT
+            else ("val" if b < _TRAIN_PCT + _VAL_PCT else "test")
+        )
+
+    rng = np.random.default_rng(3)
+    n, d = 500, 64
+    x = rng.standard_normal((n, d))
+    train_ids = [i for i in range(n) if split_of(i) == "train"]
+    test_ids = [i for i in range(n) if split_of(i) == "test"]
+    planted = [t for t in test_ids if t % 5 == 0]
+    for j, t in enumerate(planted):
+        x[t] = x[train_ids[j]]  # exact copy → cosine 1.0
+    rows = [(i, [float(c) for c in x[i]], 0) for i in range(n)]
+    out = str(tmp_path_factory.mktemp("leaky"))
+    (
+        spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(out + "/embeddings.parquet")
+    )
+    return out, len(test_ids), len(planted)
+
+
+def test_semantic_leakage_finds_planted_leaks(spark, planted_leak_dir):
+    """The histogram accounts for every test vector, and the planted
+    exact copies all land in the 100-bucket (cosine 1.0 survives the
+    IVF cell path: an identical vector shares its twin's cell by
+    construction). Isotropic non-leaks stay far below."""
+    from kafka_flink_streaming_pipeline_spark.operators.similarity import (
+        split_leakage_semantic,
+    )
+
+    out, n_test, n_planted = planted_leak_dir
+    hist = {
+        r["cos_bucket_pct"]: r["n_test"]
+        for r in split_leakage_semantic(spark, out).collect()
+    }
+    assert sum(hist.values()) == n_test
+    assert hist.get(100, 0) == n_planted
+    # isotropic best-matches concentrate well under 0.9
+    assert sum(v for k, v in hist.items() if 90 <= k < 100) == 0
