@@ -103,10 +103,21 @@ def _dot_with(v: list[int]) -> F.Column:
     )
 
 
+#: session memo of the converged direction per sf_dir — the Python-list
+#: analogue of `_session_shared` for DataFrames: `embedding_anisotropy`
+#: composes the SAME deterministic vector `embedding_top_pc` converged
+#: to, so within one process the 6-round iteration runs once. The value
+#: is a pure function of the parquet input (integer contract), so
+#: cross-session reuse can never serve a stale result for the same dir.
+_PI_CACHE: dict[str, list[int]] = {}
+
+
 def _power_iterate(spark: SparkSession, sf_dir: str) -> tuple[list[int], DataFrame]:
     """Run `_PI_ROUNDS` rounds; return (final v_micro list, the shared
     micro-vector frame for the follow-up Rayleigh pass)."""
     pts = _emb_micro(spark, sf_dir).localCheckpoint()
+    if sf_dir in _PI_CACHE:
+        return list(_PI_CACHE[sf_dir]), pts
     v = [_PI_V0] * _PI_DIM
     for _ in range(_PI_ROUNDS):
         w_rows = (
@@ -124,6 +135,7 @@ def _power_iterate(spark: SparkSession, sf_dir: str) -> tuple[list[int], DataFra
         # identical double ops to the oracle's CAST/abs/max/floor chain
         mx = max(abs(float(x)) for x in w)
         v = [math.floor(float(x) / mx * 1_000_000 + 0.5) for x in w]
+    _PI_CACHE[sf_dir] = list(v)
     return v, pts
 
 
