@@ -193,6 +193,7 @@ HEADLINE = [
     "embedding_anisotropy",
     "corpus_shuffle_manifest",
     "split_leakage_semantic",
+    "dedup_span_islands",
 ]
 
 

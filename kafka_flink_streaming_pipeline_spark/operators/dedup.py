@@ -1229,6 +1229,156 @@ FROM d LEFT JOIN clean c ON c.doc_id = d.doc_id
 """
 
 
+def dedup_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-region report — the per-doc memorization
+    profile on top of the span machinery: every {_SPAN_W}-word span
+    occurring in ≥ 2 distinct docs marks an interval
+    [start, start+{_SPAN_W - 1}], and overlapping-or-adjacent intervals
+    MERGE into maximal regions (gaps-and-islands), approximating the
+    arbitrary-length repeated substrings of Lee et al. ACL'22's
+    suffix-array ExactSubstr at fixed window granularity: a repeated
+    run of L ≥ {_SPAN_W} words appears as L−{_SPAN_W - 1} overlapping
+    hit windows that coalesce back into ONE region of exactly L words.
+    Unlike `dedup_span_scrub` (which exempts each span's keeper — it
+    decides what to DELETE), this reports duplicated content in EVERY
+    doc carrying it: the audit view ("how much of this doc exists
+    elsewhere"), not the mutation.
+
+    Per doc: total words, region count, duplicated word mass, longest
+    region, and the duplicated fraction in pure-BIGINT ppm. Plan shape
+    at 100 TB: span occurrences explode map-side, the dup set is one
+    span-keyed aggregation, and the islands pass is a doc-partitioned
+    window (running max of interval end, running sum of breaks) — one
+    hash shuffle on doc_id, no pair join anywhere."""
+    return span_islands(_docs_parallel(spark, sf_dir))
+
+
+def span_islands(docs: DataFrame) -> DataFrame:
+    """`dedup_span_islands` over any (doc_id, text) frame — split out
+    so the synthetic-corpus property test can drive it directly (the
+    `span_scrub` convention)."""
+    d = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    n = F.size("ws")
+    idx = F.when(n >= _SPAN_W, F.sequence(F.lit(1), n - (_SPAN_W - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    occ = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.cast("long").alias("start"),
+                    F.concat_ws(" ", F.slice("ws", i, _SPAN_W)).alias("span"),
+                ),
+            )
+        ).alias("o"),
+    ).select("doc_id", "o.start", "o.span")
+    dups = (
+        occ.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("span")
+    )
+    hits = occ.join(dups, "span").select(
+        "doc_id", "start", (F.col("start") + (_SPAN_W - 1)).alias("end")
+    )
+    w = Window.partitionBy("doc_id").orderBy("start")
+    prev_max_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = hits.withColumn(
+        "is_new",
+        F.when(
+            prev_max_end.isNull() | (F.col("start") > prev_max_end + 1), 1
+        ).otherwise(0),
+    ).withColumn("island", F.sum("is_new").over(w))
+    regions = marked.groupBy("doc_id", "island").agg(
+        F.min("start").alias("lo"), F.max("end").alias("hi")
+    )
+    per_doc = regions.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_regions"),
+        F.sum(F.col("hi") - F.col("lo") + 1).cast("long").alias("dup_words"),
+        F.max(F.col("hi") - F.col("lo") + 1).cast("long").alias("max_region_words"),
+    )
+    return (
+        d.select("doc_id", n.cast("long").alias("n_words"))
+        .join(per_doc, "doc_id", "left")
+        .na.fill({"n_regions": 0, "dup_words": 0, "max_region_words": 0})
+        .select(
+            "doc_id",
+            "n_words",
+            "n_regions",
+            "dup_words",
+            "max_region_words",
+            F.expr(
+                "(dup_words DIV n_words) * 1000000"
+                " + ((dup_words % n_words) * 1000000) DIV n_words"
+            ).alias("dup_ppm"),
+        )
+    )  # unsorted per-doc report (corpus-sized at scale)
+
+
+DEDUP_SPAN_ISLANDS_ORACLE = f"""
+WITH d AS ({_WORDS_SQL}),
+occ AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(ws) >= {_SPAN_W}
+                     THEN range(1, len(ws) - {_SPAN_W - 2})
+                     ELSE CAST([] AS BIGINT[]) END) AS start,
+         unnest(CASE WHEN len(ws) >= {_SPAN_W}
+                     THEN list_transform(range(1, len(ws) - {_SPAN_W - 2}),
+                          i -> array_to_string(ws[i:i+{_SPAN_W - 1}], ' '))
+                     ELSE CAST([] AS VARCHAR[]) END) AS span
+  FROM d
+),
+dups AS (
+  SELECT span FROM occ GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT doc_id, start, start + {_SPAN_W - 1} AS "end"
+  FROM occ JOIN dups USING (span)
+),
+marked AS (
+  SELECT doc_id, start, "end",
+         CASE WHEN max("end") OVER (PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+              OR start > max("end") OVER (PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              THEN 1 ELSE 0 END AS is_new
+  FROM hits
+),
+islands AS (
+  SELECT doc_id, start, "end",
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY start
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM marked
+),
+regions AS (
+  SELECT doc_id, island, min(start) AS lo, max("end") AS hi
+  FROM islands GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_regions,
+         CAST(sum(hi - lo + 1) AS BIGINT) AS dup_words,
+         CAST(max(hi - lo + 1) AS BIGINT) AS max_region_words
+  FROM regions GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.ws) AS BIGINT) AS n_words,
+       coalesce(p.n_regions, 0) AS n_regions,
+       coalesce(p.dup_words, 0) AS dup_words,
+       coalesce(p.max_region_words, 0) AS max_region_words,
+       (coalesce(p.dup_words, 0) // CAST(len(d.ws) AS BIGINT)) * 1000000
+         + ((coalesce(p.dup_words, 0) % CAST(len(d.ws) AS BIGINT)) * 1000000)
+             // CAST(len(d.ws) AS BIGINT) AS dup_ppm
+FROM d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+
 # --- LSH-vs-exact calibration report ---------------------------------------
 
 
@@ -1706,6 +1856,13 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_lsh_calibration,
         DEDUP_LSH_CALIBRATION_ORACLE,
         "LSH recall + estimate error vs the exact jaccard anchor, per decile",
+    ),
+    "dedup_span_islands": QuerySpec(
+        "dedup_span_islands",
+        dedup_span_islands,
+        DEDUP_SPAN_ISLANDS_ORACLE,
+        "maximal duplicated regions per doc (gaps-and-islands over "
+        "duplicated spans): n_regions, dup word mass, longest run, dup ppm",
     ),
     "dedup_span_scrub": QuerySpec(
         "dedup_span_scrub",

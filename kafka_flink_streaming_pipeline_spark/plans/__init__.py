@@ -52,12 +52,13 @@ class QuerySpec:
 #: lineage companions the r6 verdict named (text_quality_scores,
 #: curation_filter_audit) so a fourth red localizes to exact rows;
 #: (b) witness refresh, oldest-first per verdict ask #2: all 27
-#: remaining r1-era witnesses, all 12 r2-era, and the stalest
-#: r3-era entry that fits (customer_order_dates_array,
-#: range_band_join_tiers, tpch_q12/q13/q14 displaced to r8 by the five
-#: never-checked r7 additions, which outrank stale-green re-checks:
-#: the DSIR end-to-end composite, the power-iteration top-PC pair, the
-#: shuffle manifest, and the semantic split-leakage histogram). The r6 additions all have fresh r6 witnesses and rotate
+#: remaining r1-era witnesses, all 12 r2-era, and the six
+#: never-checked r7 additions, which outrank stale-green re-checks
+#: (the r3-era refreshes sketch_rollup_active_users,
+#: customer_order_dates_array, range_band_join_tiers, tpch_q12/q13/q14
+#: rotate to r8): the DSIR end-to-end composite, the power-iteration
+#: top-PC pair, the shuffle manifest, the semantic split-leakage
+#: histogram, and the maximal duplicated-region report. The r6 additions all have fresh r6 witnesses and rotate
 #: out; values are unchanged this round except the three token-budget
 #: entries (the flatten is oracle-side only — Spark plans untouched,
 #: so their r6-green companions curation_pipeline_v2/dedup_keep_best_lsh
@@ -110,14 +111,13 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "decontaminate_against_eval",
     "asof_feature_join",
     "attrib_click_to_view_5m",
-    # …the stalest r3-era entry that fits, and the five
-    # never-checked r7 additions
-    "sketch_rollup_active_users",
+    # …and the six never-checked r7 additions
     "curation_dsir_resample",
     "embedding_top_pc",
     "embedding_anisotropy",
     "corpus_shuffle_manifest",
     "split_leakage_semantic",
+    "dedup_span_islands",
 )
 
 

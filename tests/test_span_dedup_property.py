@@ -113,3 +113,80 @@ def test_span_scrub_overlapping_spans_union_of_positions(spark):
     assert out[0].n_removed == 0
     assert out[1].n_removed == 10
     assert out[1].clean_text == "tail"
+
+
+def _islands_reference(docs: list[str]) -> dict[int, tuple[int, int, int, int]]:
+    """Pure-Python model of span_islands: hit windows where the span
+    occurs in >= 2 DISTINCT docs, merged as overlapping-or-adjacent
+    intervals."""
+    span_docs: dict[str, set[int]] = {}
+    words = [t.split(" ") for t in docs]
+    for i, ws in enumerate(words):
+        for j in range(len(ws) - _SPAN_W + 1):
+            span_docs.setdefault(" ".join(ws[j : j + _SPAN_W]), set()).add(i)
+    out = {}
+    for i, ws in enumerate(words):
+        hits = [
+            (j + 1, j + _SPAN_W)
+            for j in range(len(ws) - _SPAN_W + 1)
+            if len(span_docs[" ".join(ws[j : j + _SPAN_W])]) >= 2
+        ]
+        regions: list[list[int]] = []
+        for lo, hi in hits:  # hits already sorted by start
+            if regions and lo <= regions[-1][1] + 1:
+                regions[-1][1] = max(regions[-1][1], hi)
+            else:
+                regions.append([lo, hi])
+        dup = sum(hi - lo + 1 for lo, hi in regions)
+        mx = max((hi - lo + 1 for lo, hi in regions), default=0)
+        out[i] = (len(ws), len(regions), dup, mx)
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=14).map(" ".join),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_span_islands_matches_model(spark, docs):
+    from kafka_flink_streaming_pipeline_spark.operators.dedup import span_islands
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_regions, r.dup_words, r.max_region_words)
+        for r in span_islands(df).collect()
+    }
+    assert got == _islands_reference(docs)
+
+
+def test_span_islands_planted_run_coalesces(spark):
+    """A repeated run of L >= W words must surface as ONE region of
+    exactly L words in BOTH docs (the overlapping hit windows merge),
+    and two separated runs as two regions."""
+    from kafka_flink_streaming_pipeline_spark.operators.dedup import span_islands
+
+    run = " ".join(f"r{i}" for i in range(20))  # L=20 shared run
+    run2 = " ".join(f"s{i}" for i in range(9))  # L=9 second shared run
+    a = f"{run} ua1 ua2 ua3 ua4 ua5 ua6 ua7 ua8 ua9 {run2}"
+    b = f"ub1 ub2 ub3 ub4 ub5 ub6 ub7 ub8 ub9 {run} zb1 zb2 zb3 zb4 zb5 zb6 zb7 zb8 zb9 {run2}"
+    c = "lone " * 30  # no shared content
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c.strip())], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_regions, r.dup_words, r.max_region_words, r.dup_ppm)
+        for r in span_islands(df).collect()
+    }
+    assert got[0] == (2, 29, 20, got[0][3])
+    assert got[1] == (2, 29, 20, got[1][3])
+    assert got[2] == (0, 0, 0, 0)
+    assert got[0][3] == 29 * 1_000_000 // (20 + 9 + 9)
