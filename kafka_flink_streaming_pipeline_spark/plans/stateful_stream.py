@@ -50,9 +50,28 @@ def _stateful_sessions_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     prepare_replay_chunks(spark, events, chunks, n_chunks=2)
 
-    # Two sentinel chunks: the first advances max event time, so the
-    # watermark crosses every real session's (last_ts + gap) before the
-    # second batch runs and fires the timeouts.
+    out = os.path.join(work, "sessions")
+    ckpt = os.path.join(work, "ckpt")
+
+    def _drain() -> None:
+        q = stateful_session_job(replay_stream(spark, chunks), out, ckpt)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("sessionizer drain did not finish in 600s")
+
+    # Drain 1: the real chunks. Then two sentinel drains on the SAME
+    # checkpoint (the restart pattern): the first advances max event
+    # time so the persisted watermark crosses every real session's
+    # (last_ts + gap); the second runs a batch under that watermark and
+    # fires the timeouts. Each sentinel is added AFTER the previous
+    # drain finished and drained separately, so firing order can never
+    # depend on maxFilesPerTrigger batch grouping — the r7 full-sim
+    # caught exactly that race: under load the file source grouped a
+    # sentinel with a real chunk in one micro-batch, the real events
+    # arrived 10 days below the advanced watermark, were dropped as
+    # late, and HALF the sessions vanished (4769/9549). A drain whose
+    # only new file is one sentinel has nothing to misgroup.
+    _drain()
     max_ts = events.agg(F.max("ts")).collect()[0][0]
     staging = os.path.join(work, "staging")
     for i, days in enumerate((10, 20), start=1):
@@ -64,13 +83,8 @@ def _stateful_sessions_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             glob.glob(f"{staging}/part-*.parquet")[0],
             f"{chunks}/zz_sentinel_{i}.parquet",
         )
+        _drain()
     shutil.rmtree(staging, ignore_errors=True)
-
-    out = os.path.join(work, "sessions")
-    q = stateful_session_job(
-        replay_stream(spark, chunks), out, os.path.join(work, "ckpt")
-    )
-    q.awaitTermination(600)
 
     return (
         spark.read.parquet(out)
