@@ -194,6 +194,7 @@ HEADLINE = [
     "corpus_shuffle_manifest",
     "split_leakage_semantic",
     "dedup_span_islands",
+    "corpus_release_manifest",
 ]
 
 

@@ -643,7 +643,81 @@ FROM h
 """
 
 
+def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card numbers plus a REPRODUCIBILITY DIGEST — what a
+    corpus release ships so any consumer can verify they trained on
+    exactly this data: per (source, split), doc count, token mass,
+    char mass, and an order-insensitive content digest (bit_xor of a
+    64-bit md5 slice of each doc's text). XOR is commutative and
+    associative, so the digest is independent of partitioning, task
+    order, and engine — one corrupted, dropped, or added doc flips it
+    with probability 1 − 2⁻⁶⁴ (and identical TEXTS cancel pairwise
+    under xor, which is exactly the right sensitivity for a release
+    digest: it certifies content+multiplicity-parity, with the exact
+    counts beside it catching even-multiplicity edits). Split
+    membership is the standing md5-bucket device, so the manifest is
+    itself reproducible from raw data alone. One aggregation, map-side
+    combinable — at 100 TB this is a single pass."""
+    from kafka_flink_streaming_pipeline_spark.operators.datasets import (
+        _split_name,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "source",
+            _split_name(F.col("doc_id")).alias("split"),
+            F.regexp_count("text", F.lit(r"[a-z0-9]+")).alias("nt"),
+            F.length("text").alias("nc"),
+            F.expr(
+                "cast(conv(substr(md5(text), 1, 15), 16, 10) as bigint)"
+            ).alias("h"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+            F.sum("nc").cast("bigint").alias("n_chars"),
+            F.expr("bit_xor(h)").alias("content_digest"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+RELEASE_MANIFEST_ORACLE = """
+WITH t AS (
+  SELECT source,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         length(regexp_extract_all(text, '[a-z0-9]+')) AS nt,
+         length(text) AS nc,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+  FROM (
+    SELECT source, text,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                AS INTEGER) % 100 AS b
+    FROM documents
+  )
+)
+SELECT source, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       CAST(sum(nc) AS BIGINT) AS n_chars,
+       bit_xor(h) AS content_digest
+FROM t
+GROUP BY source, split
+ORDER BY source, split
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "corpus_release_manifest": QuerySpec(
+        "corpus_release_manifest",
+        corpus_release_manifest,
+        RELEASE_MANIFEST_ORACLE,
+        "dataset-card manifest per (source, split): counts, token/char "
+        "mass, order-insensitive xor content digest",
+    ),
     "corpus_shuffle_manifest": QuerySpec(
         "corpus_shuffle_manifest",
         corpus_shuffle_manifest,

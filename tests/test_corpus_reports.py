@@ -955,3 +955,81 @@ def test_threshold_sweep_monotone(spark):
     for a, b in zip(rows, rows[1:]):
         assert b.n_pass <= a.n_pass
         assert b.tokens_kept <= a.tokens_kept
+
+
+def test_release_manifest_digest_properties(spark):
+    """The release digest must (a) reconcile with the split-assignment
+    counts, (b) be reproducible run-to-run, and (c) flip when any
+    single document's TEXT changes — checked by recomputing the same
+    xor digest independently in Python over the parquet bytes."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from kafka_flink_streaming_pipeline_spark.operators.corpus import (
+        corpus_release_manifest,
+    )
+    from kafka_flink_streaming_pipeline_spark.operators.datasets import (
+        _TRAIN_PCT,
+        _VAL_PCT,
+        dataset_split_assign,
+    )
+
+    rows = corpus_release_manifest(spark, SF_CORRECT).collect()
+    again = corpus_release_manifest(spark, SF_CORRECT).collect()
+    assert rows == again  # deterministic
+
+    split_totals: dict[str, int] = {}
+    for r in rows:
+        split_totals[r["split"]] = split_totals.get(r["split"], 0) + r["n_docs"]
+    assign = {
+        (r["split"], r["lang"]): r["docs"]
+        for r in dataset_split_assign(spark, SF_CORRECT).collect()
+    }
+    for split in ("train", "val", "test"):
+        assert split_totals[split] == sum(
+            v for (s, _), v in assign.items() if s == split
+        )
+
+    # independent Python recomputation of one (source, split) digest
+    t = pq.read_table(f"{SF_CORRECT}/documents.parquet")
+    docs = list(zip(t.column("doc_id").to_pylist(),
+                    t.column("source").to_pylist(),
+                    t.column("text").to_pylist()))
+
+    def split_of(vid: int) -> str:
+        b = int(hashlib.md5(str(vid).encode()).hexdigest()[:4], 16) % 100
+        return (
+            "train"
+            if b < _TRAIN_PCT
+            else ("val" if b < _TRAIN_PCT + _VAL_PCT else "test")
+        )
+
+    target = rows[0]
+    expect = 0
+    for vid, src, text in docs:
+        if src == target["source"] and split_of(vid) == target["split"]:
+            expect ^= int(hashlib.md5(text.encode()).hexdigest()[:15], 16)
+    assert target["content_digest"] == expect
+
+    # flipping one doc's text flips exactly its group's digest
+    mutated = spark.createDataFrame(
+        [
+            (vid, text + " x" if vid == docs[0][0] else text, "en", src, len(text))
+            for vid, src, text in docs
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    import tempfile
+
+    out = tempfile.mkdtemp()
+    mutated.coalesce(1).write.mode("overwrite").parquet(out + "/documents.parquet")
+    mut_rows = {
+        (r["source"], r["split"]): r["content_digest"]
+        for r in corpus_release_manifest(spark, out).collect()
+    }
+    base_rows = {(r["source"], r["split"]): r["content_digest"] for r in rows}
+    changed = {k for k in base_rows if base_rows[k] != mut_rows.get(k)}
+    vid0, src0, _ = docs[0]
+    assert changed == {(src0, split_of(vid0))}
