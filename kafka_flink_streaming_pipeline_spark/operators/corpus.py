@@ -658,13 +658,25 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership is the standing md5-bucket device, so the manifest is
     itself reproducible from raw data alone. One aggregation, map-side
     combinable — at 100 TB this is a single pass."""
+    return manifest_partial(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("source", "split")
+
+
+def manifest_partial(docs: DataFrame) -> DataFrame:
+    """The manifest aggregation over ANY (doc_id, source, text) frame —
+    shared by the batch entry above and the streaming incremental
+    maintenance job (`streaming/jobs.py manifest_stream_job`). Every
+    output column is batch-DECOMPOSABLE (counts and sums add, xor
+    digests xor), which is the whole reason the streaming job can
+    maintain the manifest from per-batch partials without ever
+    re-scanning the corpus."""
     from kafka_flink_streaming_pipeline_spark.operators.datasets import (
         _split_name,
     )
 
-    d = load_table(spark, sf_dir, "documents")
     return (
-        d.select(
+        docs.select(
             "source",
             _split_name(F.col("doc_id")).alias("split"),
             F.regexp_count("text", F.lit(r"[a-z0-9]+")).alias("nt"),
@@ -680,7 +692,6 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nc").cast("bigint").alias("n_chars"),
             F.expr("bit_xor(h)").alias("content_digest"),
         )
-        .orderBy("source", "split")
     )
 
 

@@ -59,8 +59,10 @@ class QuerySpec:
 #: rotate to r8): the DSIR end-to-end composite, the power-iteration
 #: top-PC pair, the shuffle manifest, the semantic split-leakage
 #: histogram, and the maximal duplicated-region report. The r6 additions all have fresh r6 witnesses and rotate
-#: out (attrib_click_to_view_5m rotates to r8 for the seventh
-#: never-checked addition, the release-manifest digest); values are
+#: out (attrib_click_to_view_5m and asof_feature_join rotate to r8
+#: for the seventh and eighth never-checked additions: the
+#: release-manifest digest and its streaming twin, the SEVENTH
+#: writeStream artifact); values are
 #: unchanged this round except the three token-budget
 #: entries (the flatten is oracle-side only — Spark plans untouched,
 #: so their r6-green companions curation_pipeline_v2/dedup_keep_best_lsh
@@ -111,7 +113,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "pack_docs_to_budget",
     "user_event_sequences",
     "decontaminate_against_eval",
-    "asof_feature_join",
     # …and the six never-checked r7 additions
     "curation_dsir_resample",
     "embedding_top_pc",
@@ -120,6 +121,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "split_leakage_semantic",
     "dedup_span_islands",
     "corpus_release_manifest",
+    "manifest_stream_materialized",
 )
 
 

@@ -378,6 +378,59 @@ def _dedup_gate_stream_oracle() -> str:
     return DEDUP_INCOMING_ORACLE
 
 
+def _manifest_stream_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEVENTH writeStream-produced driver artifact — incremental
+    dataset-card maintenance: documents arrive as a 4-file parquet
+    stream (maxFilesPerTrigger=1 → 4 micro-batches),
+    `manifest_stream_job` writes one batch-addressed PARTIAL manifest
+    per batch (xor is self-inverse, so a running total would CANCEL
+    under redelivery — the partials make redelivery byte-idempotent),
+    and `read_manifest` combines partials by sum/xor. Because every
+    manifest column is batch-decomposable, the combined result must
+    equal the one-shot batch `corpus_release_manifest` EXACTLY however
+    the docs were batched — which is the oracle the driver hashes this
+    against."""
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+    from kafka_flink_streaming_pipeline_spark.streaming.jobs import (
+        manifest_stream_job,
+        read_manifest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    work = tempfile.mkdtemp(prefix="manifest_stream_")
+    in_dir = os.path.join(work, "incoming")
+    docs.repartition(4).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    out = os.path.join(work, "manifest")
+    q = manifest_stream_job(stream, out, os.path.join(work, "ckpt"))
+    if not q.awaitTermination(600):
+        q.stop()
+        shutil.rmtree(work, ignore_errors=True)
+        raise TimeoutError("manifest stream did not finish within 600s")
+
+    result = (
+        read_manifest(spark, out)
+        .orderBy("source", "split")
+        .localCheckpoint()  # sever lineage from the temp table
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
+def _manifest_stream_oracle() -> str:
+    from kafka_flink_streaming_pipeline_spark.operators.corpus import (
+        RELEASE_MANIFEST_ORACLE,
+    )
+
+    return RELEASE_MANIFEST_ORACLE
+
+
 def _erasure_stream_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FIFTH writeStream-produced driver artifact — the streaming
     family's DELETE semantics witness (upsert, dedup-gate, rollup,
@@ -587,6 +640,13 @@ QUERIES: dict[str, QuerySpec] = {
         _stateful_sessions_build,
         _STATEFUL_SESSIONS_ORACLE,
         "applyInPandasWithState 30-min sessionizer vs batch LAG oracle (T9 custom)",
+    ),
+    "manifest_stream_materialized": QuerySpec(
+        "manifest_stream_materialized",
+        _manifest_stream_build,
+        _manifest_stream_oracle(),
+        "7th writeStream artifact: incremental release-manifest "
+        "maintenance from batch-addressed partials (sum/xor combine)",
     ),
     "ann_ingest_stream_materialized": QuerySpec(
         "ann_ingest_stream_materialized",

@@ -683,6 +683,70 @@ def rollup_stream_job(
     )
 
 
+# --- incremental release-manifest maintenance -------------------------------
+
+
+def manifest_stream_job(
+    stream: DataFrame, out_path: str, checkpoint: str
+) -> StreamingQuery:
+    """Incremental dataset-card maintenance at ingest time: every
+    micro-batch of incoming documents contributes a PARTIAL manifest
+    (per (source, split): docs, token/char mass, xor content digest —
+    `operators/corpus.py manifest_partial`, the same expressions as the
+    batch entry), written batch-addressed via `txn_append_sink`; the
+    combined manifest is re-derived from partials by `read_manifest`.
+
+    Why partials, not a running total: xor is SELF-INVERSE, so a
+    redelivered batch applied to a running digest would CANCEL itself
+    out — the one aggregate where at-least-once delivery silently
+    corrupts instead of duplicating. Batch-addressed partials make
+    redelivery overwrite the same directory byte-for-byte (the txn_sink
+    contract), and the combine is exact because every manifest column
+    is batch-decomposable (counts add, digests xor — commutative and
+    associative). At 100 TB the partial per batch is a handful of rows
+    per (source, split); the combine reads partials only, never the
+    corpus."""
+    from kafka_flink_streaming_pipeline_spark.operators.corpus import (
+        manifest_partial,
+    )
+    from kafka_flink_streaming_pipeline_spark.streaming.txn_sink import (
+        txn_append_sink,
+    )
+
+    write_batch = txn_append_sink(out_path)
+
+    def _maintain(batch_df: DataFrame, batch_id: int) -> None:
+        write_batch(manifest_partial(batch_df), batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_maintain)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_manifest(spark, out_path: str) -> DataFrame:
+    """Combine the batch-addressed partial manifests into the current
+    manifest — sums for the additive columns, xor for the digest."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_streaming_pipeline_spark.streaming.txn_sink import (
+        read_append_table,
+    )
+
+    return (
+        read_append_table(spark, out_path)
+        .groupBy("source", "split")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.expr("bit_xor(content_digest)").alias("content_digest"),
+        )
+    )
+
+
 # --- right-to-be-forgotten tombstone propagation ---------------------------
 
 _ERASE_BUCKETS = 16  # store partition fan-out: a delete rewrites 1/16th

@@ -1427,3 +1427,73 @@ def test_ann_ingest_stream_index_probes_like_batch(spark, tmp_path):
         (r.query_id, r.cand_id, r.rank) for r in ann_ivf(spark, SF_CORRECT).collect()
     }
     assert streamed == batch and streamed
+
+
+def test_manifest_stream_redelivery_idempotent(spark, tmp_path):
+    """The incremental-manifest partials must make redelivery harmless:
+    re-running the whole stream with a FRESH checkpoint re-assigns the
+    same batch ids and overwrites the same batch directories, leaving
+    the combined manifest identical — the property a running xor total
+    provably lacks (xor is self-inverse, a re-applied batch would
+    cancel). Also pins stream == one-shot batch manifest."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_streaming_pipeline_spark.operators.corpus import (
+        manifest_partial,
+    )
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+    from kafka_flink_streaming_pipeline_spark.streaming.jobs import (
+        manifest_stream_job,
+        read_manifest,
+    )
+
+    sf_dir = SF_SMOKE
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    in_dir = str(tmp_path / "incoming")
+    docs.repartition(3).write.parquet(in_dir)
+    out = str(tmp_path / "manifest")
+
+    def run(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        q = manifest_stream_job(stream, out, ckpt)
+        assert q.awaitTermination(600)
+
+    run(str(tmp_path / "ckpt1"))
+    first = {
+        (r["source"], r["split"]): (
+            r["n_docs"],
+            r["n_tokens"],
+            r["n_chars"],
+            r["content_digest"],
+        )
+        for r in read_manifest(spark, out).collect()
+    }
+    # full redelivery: fresh checkpoint, same sink
+    run(str(tmp_path / "ckpt2"))
+    second = {
+        (r["source"], r["split"]): (
+            r["n_docs"],
+            r["n_tokens"],
+            r["n_chars"],
+            r["content_digest"],
+        )
+        for r in read_manifest(spark, out).collect()
+    }
+    assert second == first
+
+    batch = {
+        (r["source"], r["split"]): (
+            r["n_docs"],
+            r["n_tokens"],
+            r["n_chars"],
+            r["content_digest"],
+        )
+        for r in manifest_partial(docs).collect()
+    }
+    assert first == batch
