@@ -195,6 +195,7 @@ HEADLINE = [
     "split_leakage_semantic",
     "dedup_span_islands",
     "corpus_release_manifest",
+    "embedding_norm_profile",
 ]
 
 

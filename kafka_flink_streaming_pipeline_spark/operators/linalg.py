@@ -248,7 +248,94 @@ GROUP BY vv2
 """
 
 
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-indexing embedding-store QA: per label, vector count,
+    zero-vector count (unindexable — cosine is undefined), and the
+    L2-norm quartiles in integer micro units. A healthy store has a
+    tight norm distribution; a wide or bimodal one means mixed
+    normalization regimes (and ADC/IVF distance comparisons silently
+    favor one regime), and zero vectors crash or no-op downstream —
+    this is the report that catches both BEFORE an index build.
+
+    Determinism: ‖x‖² is an exact integer sum of micro-unit squares,
+    sqrt is IEEE correctly-rounded (the playbook's one exact
+    transcendental), so ``floor(sqrt(ss) + 0.5)`` is engine-exact —
+    the norm stays in micro units because the components were micro.
+    Quartiles via percentile_disc ≡ DuckDB quantile_disc (equivalence
+    pinned across group-size residues in tests/test_corpus_reports).
+    One aggregation per label — map-side, no shuffle of vectors."""
+    pts = _emb_micro(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    ss = F.aggregate(
+        F.transform("xarr", lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, el: acc + el,
+    )
+    norms = pts.join(labels, "vec_id").select(
+        "label",
+        F.floor(F.sqrt(ss.cast("double")) + F.lit(0.5))
+        .cast("long")
+        .alias("norm_micro"),
+    )
+    return (
+        norms.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum((F.col("norm_micro") == 0).cast("long"))
+            .cast("bigint")
+            .alias("n_zero"),
+            F.expr(
+                "CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY norm_micro)"
+                " AS BIGINT)"
+            ).alias("norm_p25_micro"),
+            F.expr(
+                "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY norm_micro)"
+                " AS BIGINT)"
+            ).alias("norm_p50_micro"),
+            F.expr(
+                "CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY norm_micro)"
+                " AS BIGINT)"
+            ).alias("norm_p75_micro"),
+        )
+        .orderBy("label")
+    )
+
+
+NORM_PROFILE_ORACLE = f"""
+WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev
+            FROM embeddings),
+pts AS (
+  SELECT vec_id, label,
+         CAST(floor(ev[dim + 1] * 1000000 + 0.5) AS BIGINT) AS xm
+  FROM e0 CROSS JOIN (SELECT unnest(range(0, {_PI_DIM})) AS dim) dims
+),
+norms AS (
+  SELECT label,
+         CAST(floor(sqrt(CAST(sum(xm * xm) AS DOUBLE)) + 0.5) AS BIGINT)
+           AS norm_micro
+  FROM pts GROUP BY vec_id, label
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN norm_micro = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero,
+       CAST(quantile_disc(norm_micro, 0.25) AS BIGINT) AS norm_p25_micro,
+       CAST(quantile_disc(norm_micro, 0.5) AS BIGINT) AS norm_p50_micro,
+       CAST(quantile_disc(norm_micro, 0.75) AS BIGINT) AS norm_p75_micro
+FROM norms
+GROUP BY label
+ORDER BY label
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "embedding_norm_profile": QuerySpec(
+        "embedding_norm_profile",
+        embedding_norm_profile,
+        NORM_PROFILE_ORACLE,
+        "per-label L2-norm quartiles + zero-vector count (pre-indexing "
+        "embedding-store QA; exact-sqrt micro-unit contract)",
+    ),
     "embedding_top_pc": QuerySpec(
         "embedding_top_pc",
         embedding_top_pc,
