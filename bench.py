@@ -196,6 +196,7 @@ HEADLINE = [
     "dedup_span_islands",
     "corpus_release_manifest",
     "embedding_norm_profile",
+    "knn_label_agreement",
 ]
 
 

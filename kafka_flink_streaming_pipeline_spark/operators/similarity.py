@@ -2595,7 +2595,126 @@ ORDER BY cos_bucket_pct
 """
 
 
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN label confusion matrix — the standard embedding-quality
+    probe run in-engine: every vector finds its nearest OTHER vector
+    (via the same auto-sized IVF cell path as `split_leakage_semantic`:
+    nprobe=1 membership, nprobe=2 probes, only cell-sharing pairs
+    scored) and the matrix counts (label, nn_label) pairs. A strong
+    embedding puts same-label points together (diagonal mass = 1-NN
+    accuracy, the metric embedding papers report); heavy off-diagonal
+    cells name the confusable label PAIRS — mislabeled data or a
+    collapsed embedding, per cell. Vectors whose probed cells hold no
+    other vector report nn_label = -1 (coverage loss stays visible).
+
+    K auto-sizes as max({_IVF_K}, N DIV {_LEAK_CELL}) in both engines
+    (the `split_leakage_semantic` lesson: the query side grows with
+    the corpus, so fixed K is quadratic); the argmax is max(struct) —
+    map-side combinable, no per-query window sort."""
+    e = load_table(spark, sf_dir, "embeddings")
+    with_norm = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    k = max(_IVF_K, with_norm.count() // _LEAK_CELL)
+    members = _ivf_assign(with_norm, nprobe=1, k=k).join(with_norm, "vec_id").select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        "centroid_id",
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    probes = _ivf_assign(with_norm, nprobe=2, k=k).join(with_norm, "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        "centroid_id",
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    best = (
+        probes.join(members, "centroid_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            F.struct(
+                _pair_cosine(
+                    F.col("qv"), F.col("cv"), F.col("q_nrm"), F.col("c_nrm")
+                ).alias("cosine"),
+                (-F.col("cand_id")).alias("neg_cand"),
+                F.col("cand_label").alias("nn_label"),
+            ).alias("cand"),
+        )
+        .groupBy("query_id")
+        .agg(F.max("cand").alias("best"))
+        .select("query_id", F.col("best.nn_label").alias("nn_label"))
+    )
+    return (
+        with_norm.select("vec_id", "label")
+        .join(best, with_norm.vec_id == best.query_id, "left")
+        .select(
+            "label",
+            F.coalesce(F.col("nn_label"), F.lit(-1)).cast("int").alias("nn_label"),
+        )
+        .groupBy("label", "nn_label")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("label", "nn_label")
+    )
+
+
+KNN_LABEL_AGREEMENT_ORACLE = f"""
+WITH e AS ({_DUCK_EMB}),
+kk AS (SELECT GREATEST({_IVF_K}, count(*) // {_LEAK_CELL}) AS k FROM e),
+cents AS (
+  SELECT vec_id AS centroid_id, v FROM e, kk
+  WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES} + kk.k
+),
+assign_scored AS (
+  SELECT a.vec_id, k.centroid_id, {_DUCK_CENT_COS} AS ccos,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_DUCK_CENT_COS} DESC, k.centroid_id ASC)
+           AS rn
+  FROM (SELECT vec_id, v FROM e) a
+  CROSS JOIN (SELECT centroid_id, v FROM cents) k
+),
+members AS (
+  SELECT e.vec_id AS cand_id, e.label AS cand_label, a.centroid_id
+  FROM e JOIN assign_scored a ON a.vec_id = e.vec_id AND a.rn = 1
+),
+probes AS (
+  SELECT e.vec_id AS query_id, a.centroid_id
+  FROM e JOIN assign_scored a ON a.vec_id = e.vec_id AND a.rn <= 2
+),
+best AS (
+  SELECT query_id, nn_label FROM (
+    SELECT p.query_id, m.cand_label AS nn_label,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY {_DUCK_COS} DESC, m.cand_id ASC) AS rn
+    FROM probes p
+    JOIN members m USING (centroid_id)
+    JOIN e q ON q.vec_id = p.query_id
+    JOIN e c ON c.vec_id = m.cand_id
+    WHERE p.query_id <> m.cand_id
+  ) WHERE rn = 1
+)
+SELECT e.label,
+       CAST(coalesce(b.nn_label, -1) AS INTEGER) AS nn_label,
+       CAST(count(*) AS BIGINT) AS n
+FROM e LEFT JOIN best b ON b.query_id = e.vec_id
+GROUP BY e.label, coalesce(b.nn_label, -1)
+ORDER BY label, nn_label
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "knn_label_agreement": QuerySpec(
+        "knn_label_agreement",
+        knn_label_agreement,
+        KNN_LABEL_AGREEMENT_ORACLE,
+        "1-NN label confusion matrix via auto-sized IVF cells "
+        "(diagonal mass = 1-NN accuracy; off-diagonal names "
+        "confusable label pairs)",
+    ),
     "split_leakage_semantic": QuerySpec(
         "split_leakage_semantic",
         split_leakage_semantic,

@@ -200,3 +200,42 @@ def test_semantic_leakage_finds_planted_leaks(spark, planted_leak_dir):
     assert hist.get(100, 0) == n_planted
     # isotropic best-matches concentrate well under 0.9
     assert sum(v for k, v in hist.items() if 90 <= k < 100) == 0
+
+
+def test_knn_label_agreement_diagonal_on_clustered(spark, tmp_path_factory):
+    """On label-aligned clusters, 1-NN label agreement must be ~pure
+    diagonal (each vector's nearest neighbor shares its cluster); the
+    matrix must also account for every vector exactly once."""
+    import numpy as np
+
+    from kafka_flink_streaming_pipeline_spark.operators.similarity import (
+        knn_label_agreement,
+    )
+
+    rng = np.random.default_rng(5)
+    k, n, d, sigma = 8, 400, 64, 0.02
+    centers = rng.standard_normal((k, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = [
+        (
+            vid,
+            [float(x) for x in (centers[vid % k] + sigma * rng.standard_normal(d))],
+            vid % k,
+        )
+        for vid in range(n)
+    ]
+    out = str(tmp_path_factory.mktemp("knn_clustered"))
+    (
+        spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(out + "/embeddings.parquet")
+    )
+    mat = {
+        (r["label"], r["nn_label"]): r["n"]
+        for r in knn_label_agreement(spark, out).collect()
+    }
+    assert sum(mat.values()) == n  # every vector classified exactly once
+    diag = sum(v for (a, b), v in mat.items() if a == b)
+    assert diag >= int(n * 0.95), mat  # tight clusters → ~pure diagonal
+    assert all(b != -1 for (_, b) in mat)  # full coverage, no empty cells
