@@ -648,10 +648,12 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus release ships so any consumer can verify they trained on
     exactly this data: per (source, split), doc count, token mass,
     char mass, and an order-insensitive content digest (bit_xor of a
-    64-bit md5 slice of each doc's text). XOR is commutative and
-    associative, so the digest is independent of partitioning, task
-    order, and engine — one corrupted, dropped, or added doc flips it
-    with probability 1 − 2⁻⁶⁴ (and identical TEXTS cancel pairwise
+    60-bit md5 slice of each doc's text — substr(md5, 1, 15) is 15 hex
+    chars; 16 would need sign-bit handling in the BIGINT cast). XOR is
+    commutative and associative, so the digest is independent of
+    partitioning, task order, and engine — one corrupted, dropped, or
+    added doc flips it
+    with probability 1 − 2⁻⁶⁰ (and identical TEXTS cancel pairwise
     under xor, which is exactly the right sensitivity for a release
     digest: it certifies content+multiplicity-parity, with the exact
     counts beside it catching even-multiplicity edits). Split

@@ -112,12 +112,16 @@ def _dot_with(v: list[int]) -> F.Column:
 _PI_CACHE: dict[str, list[int]] = {}
 
 
-def _power_iterate(spark: SparkSession, sf_dir: str) -> tuple[list[int], DataFrame]:
-    """Run `_PI_ROUNDS` rounds; return (final v_micro list, the shared
-    micro-vector frame for the follow-up Rayleigh pass)."""
-    pts = _emb_micro(spark, sf_dir).localCheckpoint()
+def _power_iterate(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Run `_PI_ROUNDS` rounds; return the final v_micro list. Cache
+    hits (e.g. `embedding_anisotropy` composing the vector
+    `embedding_top_pc` already converged) pay NOTHING — the corpus
+    frame is built lazily only when the iteration must run (the r7
+    version checkpointed it before the cache check, so warm calls
+    still ran a full materialization job)."""
     if sf_dir in _PI_CACHE:
-        return list(_PI_CACHE[sf_dir]), pts
+        return list(_PI_CACHE[sf_dir])
+    pts = _emb_micro(spark, sf_dir).localCheckpoint()
     v = [_PI_V0] * _PI_DIM
     for _ in range(_PI_ROUNDS):
         w_rows = (
@@ -134,16 +138,23 @@ def _power_iterate(spark: SparkSession, sf_dir: str) -> tuple[list[int], DataFra
             w[r["dim"]] = int(r["w"])
         # identical double ops to the oracle's CAST/abs/max/floor chain
         mx = max(abs(float(x)) for x in w)
+        if mx == 0.0:
+            # degenerate store (all-zero embeddings, or a start vector
+            # exactly orthogonal to the data): restart from v0 instead
+            # of dividing by zero. The oracle's CASE mirror keeps both
+            # engines on the same loud-but-deterministic degrade.
+            v = [_PI_V0] * _PI_DIM
+            continue
         v = [math.floor(float(x) / mx * 1_000_000 + 0.5) for x in w]
     _PI_CACHE[sf_dir] = list(v)
-    return v, pts
+    return list(v)
 
 
 def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(dim, v_micro): the converged (K-round) top principal direction
     in max-abs-normalized integer micro-units — 64 rows, the vector a
     whitening/ABTT post-processor would project out."""
-    v, _ = _power_iterate(spark, sf_dir)
+    v = _power_iterate(spark, sf_dir)
     return spark.createDataFrame(
         [(d, v[d]) for d in range(_PI_DIM)], "dim int, v_micro bigint"
     ).orderBy("dim")
@@ -154,7 +165,8 @@ def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     λ_top/trace(M) in ppm — Σ(xᵀv)² / (‖v‖²·Σ‖x‖²), every sum exact
     integer, one double division rounded once (units cancel exactly:
     micro⁴ / (micro²·micro²))."""
-    v, pts = _power_iterate(spark, sf_dir)
+    v = _power_iterate(spark, sf_dir)
+    pts = _emb_micro(spark, sf_dir)  # single pass — no checkpoint needed
     sums = pts.select(
         _dot_with(v).cast("decimal(38,0)").alias("s"),
         F.aggregate(
@@ -211,7 +223,9 @@ w{i} AS (
 ),
 v{i} AS (
   SELECT dim,
-         CAST(floor(CAST(w AS DOUBLE) / mx * 1000000 + 0.5) AS BIGINT) AS vm
+         CASE WHEN mx = 0 THEN CAST({_PI_V0} AS BIGINT)
+              ELSE CAST(floor(CAST(w AS DOUBLE) / mx * 1000000 + 0.5) AS BIGINT)
+         END AS vm
   FROM (SELECT dim, w, max(abs(CAST(w AS DOUBLE))) OVER () AS mx FROM w{i})
 )"""
         )

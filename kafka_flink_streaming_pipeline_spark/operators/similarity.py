@@ -2468,8 +2468,10 @@ def split_leakage_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     family). Best-match selection is a max(struct) argmax — map-side
     combinable, no per-query window sort. Test vectors whose probed
     cells contain no train vector (possible only under extreme split
-    skew) report bucket -100 so coverage loss is visible, never
-    silent.
+    skew) report bucket -999 so coverage loss is visible, never
+    silent (-999 is outside the reachable bucket range [-100, 100]:
+    the r7 sentinel -100 collided with the real floor(cos·20)·5
+    bucket for best_cos ∈ [-1.0, -0.95)).
 
     UNLIKE the fixed-query ANN entries (5 queries however big the
     corpus), here the query side GROWS with the corpus, so a fixed
@@ -2530,7 +2532,7 @@ def split_leakage_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         all_tests.join(best, "query_id", "left")
         .select(
             F.coalesce(
-                (F.floor(F.col("best_cos") * 20) * 5).cast("int"), F.lit(-100)
+                (F.floor(F.col("best_cos") * 20) * 5).cast("int"), F.lit(-999)
             ).alias("cos_bucket_pct")
         )
         .groupBy("cos_bucket_pct")
@@ -2585,7 +2587,7 @@ best AS (
   JOIN e c ON c.vec_id = tr.cand_id
   GROUP BY t.query_id
 )
-SELECT coalesce(CAST(floor(best_cos * 20) * 5 AS INTEGER), -100)
+SELECT coalesce(CAST(floor(best_cos * 20) * 5 AS INTEGER), -999)
          AS cos_bucket_pct,
        CAST(count(*) AS BIGINT) AS n_test
 FROM (SELECT vec_id AS query_id FROM sp WHERE split = 'test')
