@@ -2597,6 +2597,109 @@ ORDER BY cos_bucket_pct
 """
 
 
+def _make_cell_knn_scorer():
+    """Factory for the per-cell 1-NN scorer (closure, never
+    module-level — cloudpickle serializes module functions by
+    reference and the grading driver's Python workers don't have
+    /root/repo on sys.path; the driver-sim gotcha).
+
+    Cogrouped per IVF cell: probes (nq, 64 int8 codes) × members
+    (nc, 64) score as ONE numpy int64 matmul — exact integer dot
+    products (≤ 64·127² ≈ 1M, nowhere near 2^53), so the cosine micro
+    value floor(d / (√qq·√cc) · 1e6 + 0.5) is a deterministic integer
+    in every engine (sqrt/χ/· each correctly rounded over exact
+    inputs; numpy applies each ufunc as a separate pass, so no FMA
+    contraction can re-associate the expression)."""
+    import numpy as np
+    import pandas as pd
+
+    _EMPTY = {
+        "query_id": np.array([], dtype=np.int64),
+        "cos_micro": np.array([], dtype=np.int64),
+        "neg_cand": np.array([], dtype=np.int64),
+        "nn_label": np.array([], dtype=np.int32),
+    }
+    _NEG = np.iinfo(np.int64).min
+
+    def score(probes: pd.DataFrame, members: pd.DataFrame) -> pd.DataFrame:
+        if len(probes) == 0 or len(members) == 0:
+            return pd.DataFrame(_EMPTY)
+        # float64 BLAS matmul of int8 codes is EXACT: every product
+        # (≤127²) and partial sum (≤64·127² ≈ 1M) is an integer far
+        # below 2^53, so dgemm's accumulation order cannot round.
+        q = np.stack(probes["q8"].to_numpy()).astype(np.float64)
+        c = np.stack(members["c8"].to_numpy()).astype(np.float64)
+        qid = probes["query_id"].to_numpy(dtype=np.int64)
+        cid = members["cand_id"].to_numpy(dtype=np.int64)
+        clab = members["cand_label"].to_numpy(dtype=np.int32)
+        qn = np.sqrt((q * q).sum(axis=1))
+        cn = np.sqrt((c * c).sum(axis=1))
+        d = q @ c.T
+        s = np.floor(d / (qn[:, None] * cn[None, :]) * 1e6 + 0.5).astype(np.int64)
+        s[qid[:, None] == cid[None, :]] = _NEG  # never your own 1-NN
+        best = s.max(axis=1)
+        hit = best > _NEG
+        # tiebreak: among max-score cands, the smallest cand_id
+        tied_cand = np.where(s == best[:, None], cid[None, :], np.iinfo(np.int64).max)
+        j = tied_cand.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "query_id": qid[hit],
+                "cos_micro": best[hit],
+                "neg_cand": -cid[j][hit],
+                "nn_label": clab[j][hit],
+            }
+        )
+
+    return score
+
+
+def _make_cell_assigner(cent_ids, cent_codes):
+    """Factory for the int8 coarse-quantizer assignment (closure; same
+    cloudpickle rule as the scorer). Captures the K×64 centroid code
+    matrix — driver-collected bounded metadata, the IVF probe-list
+    precedent (~500 KB at 100×) — and emits each vector's top-2 cells
+    by int8 cosine micro score.
+
+    Ranking key: score_micro·K − centroid_rank. Distinct micro scores
+    differ by ≥1, so the ·K stride strictly dominates the rank term —
+    argmax IS (score desc, centroid_id asc) with zero float
+    comparisons. Scores are exact (same <2^53 integer-dot argument as
+    the scorer), so both engines rank identically."""
+    import numpy as np
+    import pandas as pd
+
+    order = np.argsort(np.asarray(cent_ids, dtype=np.int64))
+    cids = np.asarray(cent_ids, dtype=np.int64)[order]
+    cmat = np.asarray(cent_codes, dtype=np.float64)[order]  # (K, 64)
+    k = len(cids)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["c8"].to_numpy()).astype(np.float64)
+            xn = np.sqrt((x * x).sum(axis=1))
+            s = np.floor(
+                (x @ cmat.T) / (xn[:, None] * cnorm[None, :]) * 1e6 + 0.5
+            ).astype(np.int64)
+            key = s * np.int64(k) - np.arange(k, dtype=np.int64)[None, :]
+            top1 = key.argmax(axis=1)
+            key[np.arange(len(pdf)), top1] = np.iinfo(np.int64).min
+            top2 = key.argmax(axis=1)
+            out = pd.concat(
+                [
+                    pdf.assign(centroid_id=cids[top1], rn=np.int32(1)),
+                    pdf.assign(centroid_id=cids[top2], rn=np.int32(2)),
+                ],
+                ignore_index=True,
+            )
+            yield out[["vec_id", "label", "c8", "centroid_id", "rn"]]
+
+    return assign
+
+
 def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-NN label confusion matrix — the standard embedding-quality
     probe run in-engine: every vector finds its nearest OTHER vector
@@ -2609,51 +2712,93 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapsed embedding, per cell. Vectors whose probed cells hold no
     other vector report nn_label = -1 (coverage loss stays visible).
 
+    r8 scoring layout (the r7 verdict ask): every-vector-is-a-query
+    ops cannot afford Spark's interpreted higher-order fold per pair
+    (7.0 s at sf0.1, the battery's heaviest constant). The WHOLE
+    pipeline — coarse-quantizer assignment AND pair scoring — now
+    runs on SYMMETRIC int8 codes: trunc(x / (max|x|/127)), exact
+    integers, the `quantize_int8` layout. Assignment is one
+    `mapInPandas` BLAS matmul per Arrow batch against the
+    driver-collected K×64 centroid codes (bounded metadata, the IVF
+    probe-list precedent); pair scoring cogroups per cell through one
+    `applyInPandas` matmul (the per-cell block never exceeds
+    ~cell²·8 B ≈ 1 MB because K auto-sizes to constant
+    ~256-vector cells). float64 dgemm over int8 codes is EXACT
+    (every product and partial sum is an integer < 2^53), so the
+    oracle pins the identical arithmetic and cross-engine determinism
+    is strictly better than the float fold it replaces: no float
+    fold-order anywhere. The shuffle moves int8-width codes instead
+    of float64 vectors (4× narrower both sides). Per-cell winners
+    (≤2 rows per query) reduce with max(struct) — map-side
+    combinable, no per-query window sort.
+
     K auto-sizes as max({_IVF_K}, N DIV {_LEAK_CELL}) in both engines
     (the `split_leakage_semantic` lesson: the query side grows with
-    the corpus, so fixed K is quadratic); the argmax is max(struct) —
-    map-side combinable, no per-query window sort."""
+    the corpus, so fixed K is quadratic)."""
     e = load_table(spark, sf_dir, "embeddings")
-    with_norm = e.select(
+    k = max(_IVF_K, e.count() // _LEAK_CELL)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    code = F.transform(v, lambda x: (x / (amax / F.lit(127.0))).cast("int"))
+    codes = e.select(
         "vec_id",
-        "label",
-        "embedding",
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        F.col("label").cast("int").alias("label"),
+        amax.alias("amax"),
+        code.alias("c8"),
+    ).filter(F.col("amax") > 0)
+    # ONE assignment pass serves both sides: rn=1 is cell membership,
+    # rn<=2 the probe list (the two _ivf_assign calls the r7 version
+    # made re-ran the same centroid cross-score twice — and each pair
+    # paid a 64-element interpreted fold; now it's one BLAS matmul per
+    # Arrow batch against the driver-collected centroid codes).
+    cent_rows = (
+        codes.filter(
+            (F.col("vec_id") >= _N_QUERIES) & (F.col("vec_id") < _N_QUERIES + k)
+        )
+        .select("vec_id", "c8")
+        .collect()
     )
-    k = max(_IVF_K, with_norm.count() // _LEAK_CELL)
-    members = _ivf_assign(with_norm, nprobe=1, k=k).join(with_norm, "vec_id").select(
+    assign2 = (
+        codes.mapInPandas(
+            _make_cell_assigner(
+                [r["vec_id"] for r in cent_rows], [list(r["c8"]) for r in cent_rows]
+            ),
+            "vec_id bigint, label int, c8 array<int>, centroid_id bigint, rn int",
+        )
+        # two consumers (membership + probes): materialize the
+        # assignment once instead of re-running the centroid scoring
+        # per branch. N×2 rows of int8 codes — this IS the
+        # inverted-file build, the thing `ann_ivf_persisted` keeps on
+        # disk at corpus scale.
+        .localCheckpoint()
+    )
+    members = assign2.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("cand_id"),
         F.col("label").alias("cand_label"),
         "centroid_id",
-        F.col("embedding").alias("cv"),
-        F.col("nrm").alias("c_nrm"),
+        "c8",
     )
-    probes = _ivf_assign(with_norm, nprobe=2, k=k).join(with_norm, "vec_id").select(
+    probes = assign2.select(
         F.col("vec_id").alias("query_id"),
         "centroid_id",
-        F.col("embedding").alias("qv"),
-        F.col("nrm").alias("q_nrm"),
+        F.col("c8").alias("q8"),
+    )
+    cell_best = (
+        probes.groupBy("centroid_id")
+        .cogroup(members.groupBy("centroid_id"))
+        .applyInPandas(
+            _make_cell_knn_scorer(),
+            "query_id bigint, cos_micro bigint, neg_cand bigint, nn_label int",
+        )
     )
     best = (
-        probes.join(members, "centroid_id")
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .select(
-            "query_id",
-            F.struct(
-                _pair_cosine(
-                    F.col("qv"), F.col("cv"), F.col("q_nrm"), F.col("c_nrm")
-                ).alias("cosine"),
-                (-F.col("cand_id")).alias("neg_cand"),
-                F.col("cand_label").alias("nn_label"),
-            ).alias("cand"),
-        )
-        .groupBy("query_id")
-        .agg(F.max("cand").alias("best"))
-        .select("query_id", F.col("best.nn_label").alias("nn_label"))
+        cell_best.groupBy("query_id")
+        .agg(F.max(F.struct("cos_micro", "neg_cand", "nn_label")).alias("b"))
+        .select("query_id", F.col("b.nn_label").alias("nn_label"))
     )
+    base = e.select("vec_id", "label")
     return (
-        with_norm.select("vec_id", "label")
-        .join(best, with_norm.vec_id == best.query_id, "left")
+        base.join(best, base.vec_id == best.query_id, "left")
         .select(
             "label",
             F.coalesce(F.col("nn_label"), F.lit(-1)).cast("int").alias("nn_label"),
@@ -2664,38 +2809,63 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the exact expression the numpy scorer evaluates: exact integer dot
+#: over int8 codes (integer-valued DOUBLEs on the DuckDB side — exact
+#: below 2^53), sqrt·sqrt product, one division, micro floor-round.
+_DUCK_COS8_MICRO = (
+    "CAST(floor((list_dot_product(p.c8, m.c8)"
+    " / (sqrt(list_dot_product(p.c8, p.c8))"
+    " * sqrt(list_dot_product(m.c8, m.c8))))"
+    " * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+_DUCK_CENT_COS8_MICRO = (
+    "CAST(floor((list_dot_product(a.c8, k.c8)"
+    " / (sqrt(list_dot_product(a.c8, a.c8))"
+    " * sqrt(list_dot_product(k.c8, k.c8))))"
+    " * 1000000.0 + 0.5) AS BIGINT)"
+)
+
 KNN_LABEL_AGREEMENT_ORACLE = f"""
 WITH e AS ({_DUCK_EMB}),
 kk AS (SELECT GREATEST({_IVF_K}, count(*) // {_LEAK_CELL}) AS k FROM e),
-cents AS (
-  SELECT vec_id AS centroid_id, v FROM e, kk
+q8 AS (
+  SELECT vec_id, label,
+         list_transform(v, x -> CAST(trunc(x / (amax / 127.0)) AS DOUBLE))
+           AS c8
+  FROM (SELECT vec_id, label, v,
+               list_aggregate(list_transform(v, x -> abs(x)), 'max') AS amax
+        FROM e)
+  WHERE amax > 0
+),
+cents8 AS (
+  SELECT vec_id AS centroid_id, c8 FROM q8, kk
   WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES} + kk.k
 ),
 assign_scored AS (
-  SELECT a.vec_id, k.centroid_id, {_DUCK_CENT_COS} AS ccos,
+  SELECT a.vec_id, k.centroid_id,
          row_number() OVER (PARTITION BY a.vec_id
-                            ORDER BY {_DUCK_CENT_COS} DESC, k.centroid_id ASC)
-           AS rn
-  FROM (SELECT vec_id, v FROM e) a
-  CROSS JOIN (SELECT centroid_id, v FROM cents) k
+                            ORDER BY {_DUCK_CENT_COS8_MICRO} DESC,
+                                     k.centroid_id ASC) AS rn
+  FROM (SELECT vec_id, c8 FROM q8) a
+  CROSS JOIN (SELECT centroid_id, c8 FROM cents8) k
 ),
 members AS (
-  SELECT e.vec_id AS cand_id, e.label AS cand_label, a.centroid_id
-  FROM e JOIN assign_scored a ON a.vec_id = e.vec_id AND a.rn = 1
+  SELECT q8.vec_id AS cand_id, q8.label AS cand_label, q8.c8, a.centroid_id
+  FROM q8 JOIN assign_scored a ON a.vec_id = q8.vec_id AND a.rn = 1
 ),
 probes AS (
-  SELECT e.vec_id AS query_id, a.centroid_id
-  FROM e JOIN assign_scored a ON a.vec_id = e.vec_id AND a.rn <= 2
+  SELECT q8.vec_id AS query_id, q8.c8, a.centroid_id
+  FROM q8 JOIN assign_scored a ON a.vec_id = q8.vec_id AND a.rn <= 2
 ),
 best AS (
   SELECT query_id, nn_label FROM (
     SELECT p.query_id, m.cand_label AS nn_label,
            row_number() OVER (PARTITION BY p.query_id
-                              ORDER BY {_DUCK_COS} DESC, m.cand_id ASC) AS rn
+                              ORDER BY {_DUCK_COS8_MICRO} DESC, m.cand_id ASC)
+             AS rn
     FROM probes p
     JOIN members m USING (centroid_id)
-    JOIN e q ON q.vec_id = p.query_id
-    JOIN e c ON c.vec_id = m.cand_id
     WHERE p.query_id <> m.cand_id
   ) WHERE rn = 1
 )
@@ -2713,8 +2883,9 @@ QUERIES: dict[str, QuerySpec] = {
         "knn_label_agreement",
         knn_label_agreement,
         KNN_LABEL_AGREEMENT_ORACLE,
-        "1-NN label confusion matrix via auto-sized IVF cells "
-        "(diagonal mass = 1-NN accuracy; off-diagonal names "
+        "1-NN label confusion matrix via auto-sized IVF cells on the "
+        "symmetric-int8 scoring layout (exact BLAS integer dots; "
+        "diagonal mass = 1-NN accuracy; off-diagonal names "
         "confusable label pairs)",
     ),
     "split_leakage_semantic": QuerySpec(
