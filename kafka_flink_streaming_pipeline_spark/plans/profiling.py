@@ -835,7 +835,11 @@ def _source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("fingerprint").alias("n_unique"),
         F.sum(qppm).alias("q_sum"),
     )
-    lang_counts = per_doc.groupBy("source", "lang").agg(F.count("*").alias("n_lang"))
+    # lang mode needs no quality column — aggregate from `base`, not
+    # `per_doc`, so the regex-heavy quality subtree is evaluated once
+    # per engine, not once per consuming branch (quality_scores covers
+    # every doc, so the doc set is identical). Same fix in the oracle.
+    lang_counts = base.groupBy("source", "lang").agg(F.count("*").alias("n_lang"))
     w = Window.partitionBy("source").orderBy(
         F.col("n_lang").desc(), F.col("lang").asc()
     )
@@ -883,7 +887,8 @@ agg AS (
          count(DISTINCT fingerprint) AS n_unique, sum(qppm) AS q_sum
   FROM per_doc GROUP BY source
 ),
-lc AS (SELECT source, lang, count(*) AS n_lang FROM per_doc GROUP BY source, lang),
+lc AS (SELECT source, coalesce(lang, '') AS lang, count(*) AS n_lang
+       FROM documents GROUP BY source, coalesce(lang, '')),
 top AS (
   SELECT source, lang AS top_lang, n_lang,
          row_number() OVER (PARTITION BY source
