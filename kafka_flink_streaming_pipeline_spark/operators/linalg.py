@@ -121,6 +121,16 @@ def _power_iterate(spark: SparkSession, sf_dir: str) -> list[int]:
     still ran a full materialization job)."""
     if sf_dir in _PI_CACHE:
         return list(_PI_CACHE[sf_dir])
+    from kafka_flink_streaming_pipeline_spark.operators import shared_cache
+
+    cached = shared_cache.get_or_build_json(
+        sf_dir, "power_iteration_v", lambda: _power_iterate_rounds(spark, sf_dir)
+    )
+    _PI_CACHE[sf_dir] = list(cached)
+    return list(cached)
+
+
+def _power_iterate_rounds(spark: SparkSession, sf_dir: str) -> list[int]:
     pts = _emb_micro(spark, sf_dir).localCheckpoint()
     v = [_PI_V0] * _PI_DIM
     for _ in range(_PI_ROUNDS):

@@ -684,13 +684,15 @@ def probe_ann_index(
 def ann_index_path(spark: SparkSession, sf_dir: str) -> str:
     """Session-memoized build of the on-disk IVF index for a testdata
     dir (written once per session — the production lifecycle)."""
-    import tempfile
+    from kafka_flink_streaming_pipeline_spark.operators import shared_cache
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ANN_INDEX_PATHS:
-        path = tempfile.mkdtemp(prefix="ann_ivf_index_")
-        build_ann_index(load_table(spark, sf_dir, "embeddings"), path)
-        _ANN_INDEX_PATHS[key] = path
+        _ANN_INDEX_PATHS[key] = shared_cache.get_or_build_path(
+            "ann_ivf_index",
+            sf_dir,
+            lambda p: build_ann_index(load_table(spark, sf_dir, "embeddings"), p),
+        )
     return _ANN_INDEX_PATHS[key]
 
 

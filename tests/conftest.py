@@ -6,6 +6,10 @@ import duckdb
 import pytest
 
 os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "8")  # tiny data → few partitions
+# tests exercise the BUILD paths (invariance tests would be vacuous if
+# served from disk) and tmp-dir fixtures must not pollute the repo
+# cache; tests/test_shared_cache.py opts back in with its own root
+os.environ.setdefault("SPARK_GRAFT_SHARED_CACHE", "0")
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
