@@ -1314,6 +1314,94 @@ ORDER BY query_id, rank
 """
 
 
+def int8_topk_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization QA for the int8 scoring layout: per query, how many
+    of the float-exact top-{_TOP_K} neighbors survive in the int8-ADC
+    top-{_TOP_K} (overlap count + integer ppm). This is the measured
+    justification for serving ANN from int8 codes (and for
+    `knn_label_agreement`'s symmetric-int8 move): if quantization
+    reordered the neighborhood, it shows up HERE, per query, before
+    anything downstream trusts the quarter-width store. Composes the
+    two registered rankings (`sim_topk_cosine`, `sim_topk_cosine_int8`)
+    unchanged, so this report can never drift from what those entries
+    actually serve. Cost: both sides are 5-query×corpus scans (the
+    fixed-query ANN shape — linear, broadcast queries, no extra
+    shuffle beyond the two rankings)."""
+    f = topk_cosine(spark, sf_dir).select("query_id", "cand_id")
+    i8 = topk_cosine_int8(spark, sf_dir).select("query_id", "cand_id")
+    matches = (
+        f.join(i8, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    return (
+        f.groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("k"))
+        .join(matches, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint").alias("n_common"),
+            F.expr(
+                "CAST(coalesce(n_common, 0) * 1000000 DIV k AS BIGINT)"
+            ).alias("overlap_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+INT8_TOPK_AGREEMENT_ORACLE = f"""
+WITH e AS ({_DUCK_EMB}),
+fscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_DUCK_COS} AS cosine
+  FROM e q CROSS JOIN e c
+  WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id
+),
+franked AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM fscored
+),
+ftop AS (SELECT query_id, cand_id FROM franked WHERE rank <= {_TOP_K}),
+qz AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(CAST(trunc(x / (amax / 127.0)) AS INT)
+                                     AS DOUBLE)) AS c8
+  FROM (SELECT vec_id, v,
+               list_aggregate(list_transform(v, x -> abs(x)), 'max') AS amax
+        FROM e)
+  WHERE amax > 0
+),
+iscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         (floor((list_dot_product(q.v, c.c8)
+                 / sqrt(list_dot_product(q.v, q.v))
+                 / sqrt(list_dot_product(c.c8, c.c8))) * 1000000.0 + 0.5)
+          / 1000000.0) AS cosine8
+  FROM e q CROSS JOIN qz c
+  WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id
+),
+iranked AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine8 DESC, cand_id ASC) AS rank
+  FROM iscored
+),
+itop AS (SELECT query_id, cand_id FROM iranked WHERE rank <= {_TOP_K}),
+m AS (
+  SELECT f.query_id, count(*) AS n_common
+  FROM ftop f JOIN itop i ON i.query_id = f.query_id AND i.cand_id = f.cand_id
+  GROUP BY f.query_id
+),
+base AS (SELECT query_id, count(*) AS k FROM ftop GROUP BY query_id)
+SELECT b.query_id,
+       CAST(coalesce(m.n_common, 0) AS BIGINT) AS n_common,
+       CAST(coalesce(m.n_common, 0) * 1000000 // b.k AS BIGINT) AS overlap_ppm
+FROM base b LEFT JOIN m USING (query_id)
+ORDER BY query_id
+"""
+
+
 # --- hybrid two-stage retrieval (lexical recall → vector rerank) -----------
 
 _HYBRID_RECALL = 50
@@ -2962,6 +3050,13 @@ QUERIES: dict[str, QuerySpec] = {
         TOPK_ORACLE,
         "brute-force cosine top-k (exactness baseline/oracle anchor — "
         "NON-PRODUCTION at scale; use sim_ann_ivf / sim_ann_lsh_*)",
+    ),
+    "sim_int8_topk_agreement": QuerySpec(
+        "sim_int8_topk_agreement",
+        int8_topk_agreement,
+        INT8_TOPK_AGREEMENT_ORACLE,
+        "per-query overlap of float-exact vs int8-ADC top-k (the "
+        "measured quantization-QA gate for serving from int8 codes)",
     ),
     "sim_topk_cosine_int8": QuerySpec(
         "sim_topk_cosine_int8",

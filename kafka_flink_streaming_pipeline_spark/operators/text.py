@@ -838,7 +838,86 @@ ORDER BY rank
 """
 
 
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the corpus-ordering curve data
+    curators plot before deciding how much more of a source to crawl:
+    for each doc, the share of its distinct 3-gram shingles whose
+    FIRST corpus occurrence (min doc_id) is this doc. A source whose
+    late documents stop contributing novel n-grams is exhausted (more
+    of it only teaches the model to repeat); a flat-high curve means
+    fresh text. Shares the dedup family's shingle stream
+    (`dedup._doc_shingles`) so "novel" can never drift from what the
+    near-dup operators consider the same text.
+
+    Plan shape: shingle postings → ONE groupBy(shingle) min(doc_id)
+    (map-side combinable — the same shuffle profile as the dedup
+    inverted index) → join back on shingle → per-doc counts. Linear
+    at 100 TB; no windows, no driver loops. Docs with <3 words have
+    no shingles and report novelty_ppm = -1 (distinguishable from a
+    true 0 — all shingles previously seen)."""
+    from kafka_flink_streaming_pipeline_spark.operators.dedup import (
+        _doc_shingles,
+    )
+
+    sh = _doc_shingles(spark, sf_dir)  # distinct (doc_id, shingle)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shingles", F.lit(0)).cast("bigint").alias("n_shingles"),
+        F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+        F.expr(
+            "CAST(CASE WHEN coalesce(n_shingles, 0) > 0"
+            "          THEN coalesce(n_novel, 0) * 1000000 DIV n_shingles"
+            "          ELSE -1 END AS BIGINT)"
+        ).alias("novelty_ppm"),
+    )  # unsorted per-doc report (corpus-sized at scale)
+
+
+def _ngram_novelty_oracle() -> str:
+    from kafka_flink_streaming_pipeline_spark.operators.dedup import (
+        _DOC_SHINGLES_SQL,
+    )
+
+    return f"""
+WITH sh AS ({_DOC_SHINGLES_SQL}),
+fst AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle),
+per AS (
+  SELECT s.doc_id, count(*) AS n_shingles,
+         sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM sh s JOIN fst f USING (shingle)
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(CASE WHEN coalesce(p.n_shingles, 0) > 0
+                 THEN coalesce(p.n_novel, 0) * 1000000 // p.n_shingles
+                 ELSE -1 END AS BIGINT) AS novelty_ppm
+FROM documents d LEFT JOIN per p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_ngram_novelty": QuerySpec(
+        "text_ngram_novelty",
+        ngram_novelty,
+        _ngram_novelty_oracle(),
+        "per-doc share of 3-gram shingles first seen in that doc "
+        "(source-exhaustion / novelty curve over the dedup family's "
+        "shingle stream)",
+    ),
     "text_zipf_head_share": QuerySpec(
         "text_zipf_head_share",
         zipf_head_share,

@@ -67,61 +67,79 @@ class QuerySpec:
 #: entries (the flatten is oracle-side only — Spark plans untouched,
 #: so their r6-green companions curation_pipeline_v2/dedup_keep_best_lsh
 #: keep their witnesses).
+#: r8 window: (a) the two never-driver-checked r7 entries the verdict
+#: fronted (`knn_label_agreement` — also VALUE-CHANGED by the
+#: symmetric-int8 scoring rewrite, new oracle pinned to the int8
+#: arithmetic — and `embedding_norm_profile`); (b) value-changed:
+#: `split_leakage_semantic` (no-candidate sentinel −100 → −999, the
+#: advisor's bucket-collision fix) and `profile_source_mix`
+#: (lang-mode branch re-rooted off the quality subtree — values
+#: identical, re-witnessed because both plan sides changed); (c) the
+#: two never-checked r8 additions (`sim_int8_topk_agreement`,
+#: `text_ngram_novelty`); (d) witness refresh, oldest-first per the
+#: standing rule: both r2-era stragglers, all 33 r3-era, and 9
+#: r4-era — preferring the entries the r8 shared-disk-cache change
+#: touches (`dedup_minhash_lsh`, `dedup_components`,
+#: `sim_ann_ivf_persisted`). Done-criterion from the verdict: all
+#: eight named rotations green ⇒ cumulative 216/216 (+4 r8 new/changed
+#: = 218/218) driver-witnessed, witness-age floor at r4.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # (a) token-budget structural-fix block
-    "curation_token_budget",
-    "curation_token_budget_parts",
-    "curation_token_budget_rows",
-    "text_quality_scores",
-    "curation_filter_audit",
-    # (b) witness refresh — every r1-era entry…
-    "q2_sql_api_variant",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q5_regional_revenue",
-    "top_supplier_per_nation",
-    "order_priority_semi_join",
-    "customers_without_orders_anti_join",
-    "customer_order_counts_left_join",
-    "order_items_right_join",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q15_top_supplier",
-    "tpch_q16_parts_supplier_cnt",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q20_part_promotion",
-    "tpch_q21_waiting_orders",
-    "grouping_sets_revenue",
-    "rolling_revenue_30d",
-    "tpch_q2_max_balance_supplier",
-    "set_ops_customer_cohorts",
-    "rollup_revenue_region_nation",
-    "cube_order_status_priority",
-    "pivot_priority_by_status",
-    "percentiles_order_totals",
-    "window_analytics_suite",
-    # …every r2-era entry…
-    "q1_views_per_min",
-    "fp3_features_20m_day",
-    "dedup_simhash",
-    "text_langid_confusion",
-    "multimodal_media_features",
-    "multimodal_frame_samples",
-    "sketch_cms_heavy_hitters",
-    "pack_docs_to_budget",
-    "user_event_sequences",
-    "decontaminate_against_eval",
-    # …and the six never-checked r7 additions
-    "curation_dsir_resample",
-    "embedding_top_pc",
-    "embedding_anisotropy",
-    "corpus_shuffle_manifest",
+    # (a) never driver-checked (r7 close-out additions)
+    "knn_label_agreement",
+    "embedding_norm_profile",
+    # (b) value/plan-changed this round
     "split_leakage_semantic",
-    "dedup_span_islands",
-    "corpus_release_manifest",
-    "manifest_stream_materialized",
+    "profile_source_mix",
+    # (c) new r8 entries
+    "sim_int8_topk_agreement",
+    "text_ngram_novelty",
+    # (d) witness refresh — the two r2-era stragglers…
+    "asof_feature_join",
+    "attrib_click_to_view_5m",
+    # …every r3-era entry…
+    "customer_order_dates_array",
+    "dataset_mixture_expand",
+    "dataset_split_assign",
+    "doc_chunk_overlap",
+    "embedding_l2_normalize",
+    "embedding_quantize_int8",
+    "events_props_variant",
+    "fp_active_users_5m_approx",
+    "fp_doc_counts_5m",
+    "fp_geo_top_5m",
+    "fp_global_features_5m",
+    "funnel_ordered_4step",
+    "fuzzy_match_part_names",
+    "listagg_top_customers",
+    "multimodal_resize",
+    "pii_redact_props",
+    "profile_gapfill_minutely",
+    "range_band_join_tiers",
+    "sketch_rollup_active_users",
+    "skew_salted_join",
+    "stateful_sessions_stream",
+    "stream_enrich_lang_counts",
+    "text_fingerprints",
+    "text_vocabulary",
+    "token_histogram",
+    "tpch_q12_priority_mix",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q18_large_orders",
+    "tpch_q19_band_revenue",
+    "tpch_q22_idle_balances",
+    "unpivot_price_components",
+    "winsorize_order_totals",
+    # …and 9 r4-era, cache-touched entries first
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "sim_ann_ivf_persisted",
+    "cdc_latest_state_per_user",
+    "dedup_cluster_size_profile",
+    "dedup_simhash_pairs",
+    "fp2_kv_rows",
+    "fp2_user_features_5m",
+    "fp3_features_20m",
 )
 
 
