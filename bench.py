@@ -197,6 +197,9 @@ HEADLINE = [
     "corpus_release_manifest",
     "embedding_norm_profile",
     "knn_label_agreement",
+    # round-8 additions
+    "sim_int8_topk_agreement",
+    "text_ngram_novelty",
 ]
 
 

@@ -1033,3 +1033,61 @@ def test_release_manifest_digest_properties(spark):
     changed = {k for k in base_rows if base_rows[k] != mut_rows.get(k)}
     vid0, src0, _ = docs[0]
     assert changed == {(src0, split_of(vid0))}
+
+
+def test_ngram_novelty_planted_duplicates(spark, tmp_path):
+    """Novelty semantics on a planted corpus: an exact duplicate of an
+    earlier doc is 0-novel, fresh text is fully novel, first occurrence
+    attributes to the SMALLEST doc_id, short docs report the -1
+    sentinel, and novel counts conserve (sum of n_novel == distinct
+    corpus shingles)."""
+    from kafka_flink_streaming_pipeline_spark.operators.text import (
+        ngram_novelty,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta", "en", "web", 22),     # 2 shingles, all novel
+        (2, "alpha beta gamma delta", "en", "web", 22),     # exact dup → 0 novel
+        (3, "epsilon zeta eta theta iota", "en", "web", 27),# fresh → all novel
+        (4, "beta gamma delta", "en", "web", 16),           # 1 shingle, seen in doc 1
+        (5, "tiny doc", "en", "web", 8),                    # <3 words → sentinel
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(sf + "/documents.parquet")
+
+    rows = {r["doc_id"]: r for r in ngram_novelty(spark, sf).collect()}
+    assert rows[1]["n_shingles"] == 2 and rows[1]["novelty_ppm"] == 1_000_000
+    assert rows[2]["n_shingles"] == 2 and rows[2]["n_novel"] == 0
+    assert rows[2]["novelty_ppm"] == 0
+    assert rows[3]["novelty_ppm"] == 1_000_000
+    assert rows[4]["n_shingles"] == 1 and rows[4]["n_novel"] == 0
+    assert rows[5]["n_shingles"] == 0 and rows[5]["novelty_ppm"] == -1
+    # conservation: every distinct corpus shingle is novel exactly once
+    assert sum(r["n_novel"] for r in rows.values()) == 2 + 3 + 1 + 0 - 1
+    # (doc1's 2 + doc3's 3; doc4's shingle and doc2's are re-seen) = 5
+    assert sum(r["n_novel"] for r in rows.values()) == 5
+
+
+def test_int8_topk_agreement_invariants(spark):
+    """Quantization-QA report invariants at sf0.01: one row per fixed
+    query, overlap bounded by k, ppm consistent with the integer
+    two-step rule, and — on the real fixture — int8 preserves most of
+    the float top-10 (the property that justifies serving from the
+    quantized store; the exact overlap value is pinned by the DuckDB
+    oracle in test_oracle_parity)."""
+    from kafka_flink_streaming_pipeline_spark.operators.similarity import (
+        _N_QUERIES,
+        _TOP_K,
+        int8_topk_agreement,
+    )
+
+    rows = int8_topk_agreement(spark, SF_CORRECT).collect()
+    assert [r["query_id"] for r in rows] == list(range(_N_QUERIES))
+    for r in rows:
+        assert 0 <= r["n_common"] <= _TOP_K
+        assert r["overlap_ppm"] == r["n_common"] * 1_000_000 // _TOP_K
+    # int8 should agree with float on the clear majority of neighbors
+    assert sum(r["n_common"] for r in rows) >= _N_QUERIES * _TOP_K // 2
