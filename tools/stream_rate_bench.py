@@ -120,8 +120,36 @@ def main() -> int:
             os.path.join(work, "ckpt"),
         )
 
+    def start_ann_ingest(work: str):
+        from kafka_flink_streaming_pipeline_spark.operators.similarity import (
+            build_ann_index,
+        )
+        from kafka_flink_streaming_pipeline_spark.streaming.jobs import (
+            ann_ingest_stream_job,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        index_path = os.path.join(work, "index")
+        # base index from 2/3 of the store (centroid seeds included);
+        # the remaining third streams in as index maintenance
+        build_ann_index(emb.filter((F.col("vec_id") % 3 != 0) | (F.col("vec_id") < 64)), index_path)
+        incoming = emb.filter((F.col("vec_id") % 3 == 0) & (F.col("vec_id") >= 64))
+        in_dir = os.path.join(work, "incoming")
+        incoming.repartition(n_batches).write.parquet(in_dir)
+        stream = (
+            spark.readStream.schema(incoming.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        return ann_ingest_stream_job(
+            stream, index_path, os.path.join(work, "ckpt")
+        )
+
     run("bloom_gate", start_bloom)
     run("dedup_gate", start_dedup)
+    # r8 (r7 verdict stretch ask #8): sustained-rate + per-trigger
+    # index-maintenance latency for the streaming IVF ingest
+    run("ann_ingest", start_ann_ingest)
 
     print(
         json.dumps(
