@@ -130,9 +130,14 @@ def main() -> int:
 
         emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         index_path = os.path.join(work, "index")
-        # base index from 2/3 of the store (centroid seeds included);
-        # the remaining third streams in as index maintenance
-        build_ann_index(emb.filter((F.col("vec_id") % 3 != 0) | (F.col("vec_id") < 64)), index_path)
+        # base index from 2/3 of the store (centroid seeds included),
+        # seeded at batch=-1 — the maintained index's two-level
+        # batch/cell layout (the test_ann_ingest contract); the
+        # remaining third streams in as index maintenance
+        build_ann_index(
+            emb.filter((F.col("vec_id") % 3 != 0) | (F.col("vec_id") < 64)),
+            os.path.join(index_path, "batch=-1"),
+        )
         incoming = emb.filter((F.col("vec_id") % 3 == 0) & (F.col("vec_id") >= 64))
         in_dir = os.path.join(work, "incoming")
         incoming.repartition(n_batches).write.parquet(in_dir)
@@ -145,11 +150,19 @@ def main() -> int:
             stream, index_path, os.path.join(work, "ckpt")
         )
 
-    run("bloom_gate", start_bloom)
-    run("dedup_gate", start_dedup)
-    # r8 (r7 verdict stretch ask #8): sustained-rate + per-trigger
-    # index-maintenance latency for the streaming IVF ingest
-    run("ann_ingest", start_ann_ingest)
+    # optional argv[3]: comma-separated job filter (sf1 runs are long;
+    # lets a scaling probe time one job without paying for the others)
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    jobs = [
+        ("bloom_gate", start_bloom),
+        ("dedup_gate", start_dedup),
+        # r8 (r7 verdict stretch ask #8): sustained-rate + per-trigger
+        # index-maintenance latency for the streaming IVF ingest
+        ("ann_ingest", start_ann_ingest),
+    ]
+    for name, starter in jobs:
+        if only is None or name in only:
+            run(name, starter)
 
     print(
         json.dumps(
