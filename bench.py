@@ -200,6 +200,8 @@ HEADLINE = [
     # round-8 additions
     "sim_int8_topk_agreement",
     "text_ngram_novelty",
+    "curation_diversity_sample",
+    "profile_source_vocab_overlap",
 ]
 
 

@@ -1381,7 +1381,107 @@ ORDER BY lang, bucket
 """
 
 
+_DIV_KEEP_DENOM = 5  # keep top-20% per cell (at least 1)
+
+
+def diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware subsampling — the curation step between dedup
+    and mixture weighting: instead of keeping the global-top-quality
+    docs (which concentrates on the densest semantic region), keep the
+    top {1/_DIV_KEEP_DENOM} BY QUALITY WITHIN EACH IVF CELL, so every
+    semantic neighborhood retains its best representatives (the
+    stratified flavor of SemDeDup/DC-style cluster pruning: prune
+    within clusters, never whole clusters). vec_id ≡ doc_id (the
+    hybrid-retrieval precedent), so the embedding cells stratify the
+    document corpus directly.
+
+    Plan: the shared int8-BLAS cell assignment (`int8_assign2` —
+    auto-sized K, every-vector assignment costs N×K exact integer
+    dots through dgemm, never an interpreted fold: the
+    `knn_label_agreement` lesson, where the float-fold assignment was
+    51 s at 100× and the int8 path is ~6 s) joined to the quality
+    scores, then ONE window exchange on centroid_id computes both the
+    in-cell quality rank and the cell size; the keeper predicate
+    rn <= max(1, n DIV {_DIV_KEEP_DENOM}) is exact integer arithmetic
+    in both engines. Linear at 100 TB; output is the keeper list a
+    downstream mixture/packing stage consumes."""
+    from kafka_flink_streaming_pipeline_spark.operators.similarity import (
+        _IVF_K,
+        _LEAK_CELL,
+        int8_assign2,
+    )
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    k = max(_IVF_K, e.count() // _LEAK_CELL)
+    assign = int8_assign2(e, k).filter(F.col("rn") == 1)
+    q = quality_scores(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("quality_score") * 1000000.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("qppm"),
+    )
+    j = assign.join(q, assign.vec_id == q.doc_id).select(
+        "doc_id", "centroid_id", "qppm"
+    )
+    w = Window.partitionBy("centroid_id")
+    ranked = j.select(
+        "doc_id",
+        "centroid_id",
+        "qppm",
+        F.row_number()
+        .over(w.orderBy(F.desc("qppm"), F.asc("doc_id")))
+        .alias("rank_in_cell"),
+        F.count("*").over(w).alias("n_cell"),
+    )
+    return ranked.filter(
+        F.col("rank_in_cell")
+        <= F.greatest(F.lit(1), F.expr(f"n_cell DIV {_DIV_KEEP_DENOM}"))
+    ).select(
+        "doc_id",
+        "centroid_id",
+        F.col("rank_in_cell").cast("bigint").alias("rank_in_cell"),
+        "qppm",
+    )  # unsorted keeper list (corpus-sized at scale)
+
+
+def _diversity_sample_oracle() -> str:
+    from kafka_flink_streaming_pipeline_spark.operators.similarity import (
+        _DUCK_EMB,
+        duck_int8_assign_ctes,
+    )
+    from kafka_flink_streaming_pipeline_spark.operators.text import quality_cte
+
+    return f"""
+WITH {quality_cte()},
+e AS ({_DUCK_EMB}),
+{duck_int8_assign_ctes()},
+jm AS (
+  SELECT q.doc_id, a.centroid_id,
+         CAST(floor(q.quality_score * 1000000.0 + 0.5) AS BIGINT) AS qppm
+  FROM q JOIN assign_scored a ON a.vec_id = q.doc_id AND a.rn = 1
+),
+ranked AS (
+  SELECT doc_id, centroid_id, qppm,
+         row_number() OVER (PARTITION BY centroid_id
+                            ORDER BY qppm DESC, doc_id ASC) AS rank_in_cell,
+         count(*) OVER (PARTITION BY centroid_id) AS n_cell
+  FROM jm
+)
+SELECT doc_id, centroid_id, CAST(rank_in_cell AS BIGINT) AS rank_in_cell, qppm
+FROM ranked
+WHERE rank_in_cell <= GREATEST(1, n_cell // {_DIV_KEEP_DENOM})
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "curation_diversity_sample": QuerySpec(
+        "curation_diversity_sample",
+        diversity_sample,
+        _diversity_sample_oracle(),
+        "IVF-cell-stratified diversity subsampling: top-quality keepers "
+        "per semantic cell (prune within clusters, never whole clusters)",
+    ),
     "curation_quality_classifier": QuerySpec(
         "curation_quality_classifier",
         curation_quality_classifier,

