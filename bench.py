@@ -202,6 +202,7 @@ HEADLINE = [
     "text_ngram_novelty",
     "curation_diversity_sample",
     "profile_source_vocab_overlap",
+    "curation_moore_lewis_select",
 ]
 
 

@@ -1474,7 +1474,134 @@ WHERE rank_in_cell <= GREATEST(1, n_cell // {_DIV_KEEP_DENOM})
 """
 
 
+def moore_lewis_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moore–Lewis cross-entropy-difference selection (Moore & Lewis,
+    ACL 2010) — the classic contrastive data-selection method and the
+    third selection family beside the quality classifier and DSIR:
+    score every doc by H_in(doc) − H_out(doc), the per-word average
+    NLL difference between an IN-DOMAIN unigram LM (docs of the
+    target source — deterministically min(source), computed by both
+    engines) and the general-corpus LM; docs with negative Δ look
+    more like the target domain than like the corpus and are
+    selected. Both LMs are add-one smoothed over the SAME corpus
+    vocabulary V, so OOV-in-domain words are defined and the Δ of a
+    corpus-typical word is ≈ ln(N_in+V) − ln(N_all+V) < 0 shifted by
+    frequency ratio.
+
+    Determinism: each word's two NLLs round ONCE to integer
+    micro-nats (the BM25-idf/unigram-logprob precedent — last-ulp
+    ln() disagreement cannot survive 1e-6 rounding), their DIFFERENCE
+    is exact integer, per-doc sum is an exact integer sum, and the
+    per-word average divides once at the end (negative-safe: one
+    double division of exact ints, det_round — never integer DIV,
+    which truncates toward zero in Spark but floors in DuckDB).
+
+    Plan at 100 TB: one conditional-aggregation pass builds BOTH LMs
+    (groupBy(word) with a CASE-summed in-domain count — no second
+    scan), scalars (N_in, N_all, V, target source) broadcast, then
+    join-on-word + one groupBy(doc) — the `text_unigram_logprob`
+    shuffle profile exactly."""
+    from kafka_flink_streaming_pipeline_spark.functions.core import det_round
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    target = d.agg(F.min("source").alias("tgt"))
+    uni = (
+        words.crossJoin(F.broadcast(target))
+        .groupBy("word")
+        .agg(
+            F.count("*").alias("c_all"),
+            F.sum((F.col("source") == F.col("tgt")).cast("long")).alias("c_in"),
+        )
+    )
+    tot = F.broadcast(
+        uni.agg(
+            F.sum("c_all").alias("n_all"),
+            F.sum("c_in").alias("n_in"),
+            F.count("*").alias("v"),
+        )
+    )
+    nll_in = F.floor(
+        F.log(
+            (F.col("n_in") + F.col("v")).cast("double") / (F.col("c_in") + 1)
+        )
+        * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    nll_out = F.floor(
+        F.log(
+            (F.col("n_all") + F.col("v")).cast("double") / (F.col("c_all") + 1)
+        )
+        * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        words.join(uni, "word")
+        .crossJoin(tot)
+        .select("doc_id", (nll_in - nll_out).alias("delta_u"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("delta_u").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            det_round(
+                F.col("s") / (F.lit(1_000_000.0) * F.col("n_words")), 6
+            ).alias("avg_delta_nll"),
+            (F.col("s") < 0).alias("selected"),
+        )
+    )  # corpus-sized per-doc report, unsorted
+
+
+MOORE_LEWIS_ORACLE = """
+WITH words AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+tgt AS (SELECT min(source) AS tgt FROM documents),
+uni AS (
+  SELECT word, count(*) AS c_all,
+         sum(CASE WHEN w.source = t.tgt THEN 1 ELSE 0 END) AS c_in
+  FROM words w CROSS JOIN tgt t
+  GROUP BY word
+),
+tot AS (
+  SELECT sum(c_all) AS n_all, sum(c_in) AS n_in, count(*) AS v FROM uni
+),
+scored AS (
+  SELECT w.doc_id,
+         CAST(floor(ln(CAST(t.n_in + t.v AS DOUBLE) / (u.c_in + 1))
+                    * 1000000 + 0.5) AS BIGINT)
+         - CAST(floor(ln(CAST(t.n_all + t.v AS DOUBLE) / (u.c_all + 1))
+                      * 1000000 + 0.5) AS BIGINT) AS delta_u
+  FROM words w JOIN uni u USING (word) CROSS JOIN tot t
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       (floor((sum(delta_u) / (1000000.0 * count(*))) * 1000000.0 + 0.5)
+        / 1000000.0) AS avg_delta_nll,
+       sum(delta_u) < 0 AS selected
+FROM scored
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "curation_moore_lewis_select": QuerySpec(
+        "curation_moore_lewis_select",
+        moore_lewis_select,
+        MOORE_LEWIS_ORACLE,
+        "Moore-Lewis cross-entropy-difference selection: in-domain vs "
+        "corpus unigram NLL delta per doc (the classic contrastive "
+        "data-selection method)",
+    ),
     "curation_diversity_sample": QuerySpec(
         "curation_diversity_sample",
         diversity_sample,

@@ -75,17 +75,17 @@ class QuerySpec:
 #: advisor's bucket-collision fix) and `profile_source_mix`
 #: (lang-mode branch re-rooted off the quality subtree — values
 #: identical, re-witnessed because both plan sides changed); (c) the
-#: four never-checked r8 additions (`sim_int8_topk_agreement`,
+#: five never-checked r8 additions (`sim_int8_topk_agreement`,
 #: `text_ngram_novelty`, `curation_diversity_sample`,
 #: `profile_source_vocab_overlap` — windowing every same-round
 #: addition is the r7 lesson: post-close-out entries stayed
 #: never-checked a full round); (d) witness refresh, oldest-first per
-#: the standing rule: both r2-era stragglers, all 33 r3-era, and 7
+#: the standing rule: both r2-era stragglers, all 33 r3-era, and 6
 #: r4-era — preferring the entries the r8 shared-disk-cache change
 #: touches (`dedup_minhash_lsh`, `dedup_components`,
 #: `sim_ann_ivf_persisted`). Done-criterion from the verdict: all
-#: eight named rotations green ⇒ cumulative 216/216 (+4 r8 additions
-#: = 220/220) driver-witnessed, witness-age floor at r4.
+#: eight named rotations green ⇒ cumulative 216/216 (+5 r8 additions
+#: = 221/221) driver-witnessed, witness-age floor at r4.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # (a) never driver-checked (r7 close-out additions)
     "knn_label_agreement",
@@ -98,6 +98,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_ngram_novelty",
     "curation_diversity_sample",
     "profile_source_vocab_overlap",
+    "curation_moore_lewis_select",
     # (d) witness refresh — the two r2-era stragglers…
     "asof_feature_join",
     "attrib_click_to_view_5m",
@@ -135,13 +136,12 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "tpch_q22_idle_balances",
     "unpivot_price_components",
     "winsorize_order_totals",
-    # …and 9 r4-era, cache-touched entries first
+    # …and 6 r4-era, cache-touched entries first
     "dedup_minhash_lsh",
     "dedup_components",
     "sim_ann_ivf_persisted",
     "cdc_latest_state_per_user",
     "dedup_cluster_size_profile",
-    "dedup_simhash_pairs",
     "fp2_kv_rows",
 )
 

@@ -1154,3 +1154,35 @@ def test_source_vocab_overlap_invariants(spark):
         assert r["source_a"] < r["source_b"]
         assert 0 <= r["jaccard_ppm"] <= 1_000_000
         assert r["n_common"] >= 0
+
+
+def test_moore_lewis_planted_domain(spark, tmp_path):
+    """Selection semantics on a planted corpus: docs made of the
+    target domain's (min(source)) characteristic words score negative
+    Δ and are selected; docs of pure out-of-domain vocabulary score
+    positive Δ and are rejected; Δ of a doc whose words appear ONLY
+    in-domain is strictly more negative than a mixed doc's."""
+    from kafka_flink_streaming_pipeline_spark.operators.curation import (
+        moore_lewis_select,
+    )
+
+    docs = [
+        # source "a_domain" sorts first → the target domain
+        (1, "quark gluon lepton boson quark gluon", "en", "a_domain", 40),
+        (2, "quark boson quark lepton gluon boson", "en", "a_domain", 40),
+        (3, "quark gluon lepton", "en", "web", 19),          # pure in-domain words
+        (4, "apple banana cherry date apple banana", "en", "web", 40),
+        (5, "quark apple gluon banana", "en", "web", 24),    # mixed
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(sf + "/documents.parquet")
+
+    rows = {r["doc_id"]: r for r in moore_lewis_select(spark, sf).collect()}
+    assert rows[3]["selected"] and rows[3]["avg_delta_nll"] < 0
+    assert not rows[4]["selected"] and rows[4]["avg_delta_nll"] > 0
+    assert rows[3]["avg_delta_nll"] < rows[5]["avg_delta_nll"] < rows[4]["avg_delta_nll"]
+    # in-domain docs select themselves (standard Moore-Lewis behavior)
+    assert rows[1]["selected"] and rows[2]["selected"]

@@ -38,6 +38,11 @@ REPRESENTATIVES = [
     "zscore_order_totals",
     "dedup_span_islands",
     "corpus_pack_sequences",  # two-level distributed prefix sum
+    # r8: the int8-BLAS family — mapInPandas assignment + cogrouped
+    # applyInPandas cell matmul; Arrow batch boundaries and cogroup
+    # bucketing both change with the width, and the exact-integer
+    # dgemm argument says values must not
+    "knn_label_agreement",
 ]
 
 
