@@ -2571,58 +2571,50 @@ def split_leakage_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     by BOTH engines from count(*) with the same integer formula, so
     per-query candidate work stays flat and the total linear. The one
     count() collect is a 1-row scalar (the `_with_latest`
-    precedent)."""
+    precedent).
+
+    r8: scoring runs on the shared symmetric-int8 layout
+    (`int8_assign2` assignment + `_make_cell_best_scorer`'s cogrouped
+    BLAS matmul per cell — the `knn_label_agreement` move): the float
+    N×K assignment fold was the 100× wall (53.8 s measured), now one
+    dgemm per Arrow batch. The bucket is exact integer arithmetic on
+    the int8 cosine micro score: floor(cos_micro / 50000)·5 ≡
+    floor(cos·20)·5 (quotients m/50000 are ≥ 2e-5 from the nearest
+    integer unless exact, so the double division cannot mis-floor),
+    and the oracle pins the identical int8 arithmetic."""
     from kafka_flink_streaming_pipeline_spark.operators.datasets import (
         _split_name,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    with_norm = e.select(
-        "vec_id",
-        "embedding",
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-        _split_name(F.col("vec_id")).alias("split"),
-    )
-    k = max(_IVF_K, with_norm.count() // _LEAK_CELL)
+    k = max(_IVF_K, e.count() // _LEAK_CELL)
+    assign2 = int8_assign2(e, k).withColumn("split", _split_name(F.col("vec_id")))
     train = (
-        _ivf_assign(with_norm, nprobe=1, k=k)
-        .join(with_norm.filter(F.col("split") == "train"), "vec_id")
-        .select(
-            F.col("vec_id").alias("cand_id"),
-            "centroid_id",
-            F.col("embedding").alias("cv"),
-            F.col("nrm").alias("c_nrm"),
+        assign2.filter((F.col("rn") == 1) & (F.col("split") == "train"))
+        .select(F.col("vec_id").alias("cand_id"), "centroid_id", "c8")
+    )
+    tests = assign2.filter(F.col("split") == "test").select(
+        F.col("vec_id").alias("query_id"),
+        "centroid_id",
+        F.col("c8").alias("q8"),
+    )
+    cell_best = (
+        tests.groupBy("centroid_id")
+        .cogroup(train.groupBy("centroid_id"))
+        .applyInPandas(
+            _make_cell_best_scorer(), "query_id bigint, cos_micro bigint"
         )
     )
-    tests = (
-        _ivf_assign(with_norm, nprobe=2, k=k)
-        .join(with_norm.filter(F.col("split") == "test"), "vec_id")
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "centroid_id",
-            F.col("embedding").alias("qv"),
-            F.col("nrm").alias("q_nrm"),
-        )
-    )
-    best = (
-        tests.join(train, "centroid_id")
-        .select(
-            "query_id",
-            _pair_cosine(
-                F.col("qv"), F.col("cv"), F.col("q_nrm"), F.col("c_nrm")
-            ).alias("cosine"),
-        )
-        .groupBy("query_id")
-        .agg(F.max("cosine").alias("best_cos"))
-    )
-    all_tests = with_norm.filter(F.col("split") == "test").select(
-        F.col("vec_id").alias("query_id")
-    )
+    best = cell_best.groupBy("query_id").agg(F.max("cos_micro").alias("best_micro"))
+    all_tests = e.select("vec_id").filter(
+        _split_name(F.col("vec_id")) == "test"
+    ).select(F.col("vec_id").alias("query_id"))
     return (
         all_tests.join(best, "query_id", "left")
         .select(
             F.coalesce(
-                (F.floor(F.col("best_cos") * 20) * 5).cast("int"), F.lit(-999)
+                (F.floor(F.col("best_micro") / F.lit(50000.0)) * 5).cast("int"),
+                F.lit(-999),
             ).alias("cos_bucket_pct")
         )
         .groupBy("cos_bucket_pct")
@@ -2633,51 +2625,41 @@ def split_leakage_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LEAK_CELL = 256  # target IVF cell size for the leakage scan
 
-SPLIT_LEAKAGE_SEMANTIC_ORACLE = f"""
+def _split_leakage_semantic_oracle() -> str:
+    return f"""
 WITH e AS ({_DUCK_EMB}),
-kk AS (SELECT GREATEST({_IVF_K}, count(*) // {_LEAK_CELL}) AS k FROM e),
+{duck_int8_assign_ctes()},
 sp AS (
-  SELECT vec_id, v,
+  SELECT vec_id,
          CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
               ELSE 'test' END AS split
   FROM (
-    SELECT vec_id, v,
+    SELECT vec_id,
            CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))
                 AS INTEGER) % 100 AS b
     FROM e
   )
 ),
-cents AS (
-  SELECT vec_id AS centroid_id, v FROM e, kk
-  WHERE vec_id >= {_N_QUERIES} AND vec_id < {_N_QUERIES} + kk.k
-),
-assign_scored AS (
-  SELECT a.vec_id, k.centroid_id, {_DUCK_CENT_COS} AS ccos,
-         row_number() OVER (PARTITION BY a.vec_id
-                            ORDER BY {_DUCK_CENT_COS} DESC, k.centroid_id ASC)
-           AS rn
-  FROM (SELECT vec_id, v FROM e) a
-  CROSS JOIN (SELECT centroid_id, v FROM cents) k
-),
 train AS (
-  SELECT s.vec_id AS cand_id, a.centroid_id
-  FROM sp s JOIN assign_scored a ON a.vec_id = s.vec_id AND a.rn = 1
-  WHERE s.split = 'train'
+  SELECT q8.vec_id AS cand_id, q8.c8, a.centroid_id
+  FROM q8
+  JOIN assign_scored a ON a.vec_id = q8.vec_id AND a.rn = 1
+  JOIN sp ON sp.vec_id = q8.vec_id AND sp.split = 'train'
 ),
 tests AS (
-  SELECT s.vec_id AS query_id, a.centroid_id
-  FROM sp s JOIN assign_scored a ON a.vec_id = s.vec_id AND a.rn <= 2
-  WHERE s.split = 'test'
+  SELECT q8.vec_id AS query_id, q8.c8, a.centroid_id
+  FROM q8
+  JOIN assign_scored a ON a.vec_id = q8.vec_id AND a.rn <= 2
+  JOIN sp ON sp.vec_id = q8.vec_id AND sp.split = 'test'
 ),
 best AS (
-  SELECT t.query_id, max({_DUCK_COS}) AS best_cos
+  SELECT t.query_id, max({_duck_cos8_micro('t', 'tr')}) AS best_micro
   FROM tests t
   JOIN train tr USING (centroid_id)
-  JOIN e q ON q.vec_id = t.query_id
-  JOIN e c ON c.vec_id = tr.cand_id
+  WHERE t.query_id <> tr.cand_id
   GROUP BY t.query_id
 )
-SELECT coalesce(CAST(floor(best_cos * 20) * 5 AS INTEGER), -999)
+SELECT coalesce(CAST(floor(best_micro / 50000.0) * 5 AS INTEGER), -999)
          AS cos_bucket_pct,
        CAST(count(*) AS BIGINT) AS n_test
 FROM (SELECT vec_id AS query_id FROM sp WHERE split = 'test')
@@ -2740,6 +2722,41 @@ def _make_cell_knn_scorer():
                 "nn_label": clab[j][hit],
             }
         )
+
+    return score
+
+
+def _make_cell_best_scorer():
+    """Factory for the per-cell best-cosine scorer (closure; same
+    cloudpickle rule): like `_make_cell_knn_scorer` but label-free —
+    emits each query's best int8 cosine micro score among the cell's
+    members (self-pairs excluded). Used by `split_leakage_semantic`,
+    where only the best-match VALUE is bucketed."""
+    import numpy as np
+    import pandas as pd
+
+    _EMPTY = {
+        "query_id": np.array([], dtype=np.int64),
+        "cos_micro": np.array([], dtype=np.int64),
+    }
+    _NEG = np.iinfo(np.int64).min
+
+    def score(probes: pd.DataFrame, members: pd.DataFrame) -> pd.DataFrame:
+        if len(probes) == 0 or len(members) == 0:
+            return pd.DataFrame(_EMPTY)
+        q = np.stack(probes["q8"].to_numpy()).astype(np.float64)
+        c = np.stack(members["c8"].to_numpy()).astype(np.float64)
+        qid = probes["query_id"].to_numpy(dtype=np.int64)
+        cid = members["cand_id"].to_numpy(dtype=np.int64)
+        qn = np.sqrt((q * q).sum(axis=1))
+        cn = np.sqrt((c * c).sum(axis=1))
+        s = np.floor(
+            (q @ c.T) / (qn[:, None] * cn[None, :]) * 1e6 + 0.5
+        ).astype(np.int64)
+        s[qid[:, None] == cid[None, :]] = _NEG
+        best = s.max(axis=1)
+        hit = best > _NEG
+        return pd.DataFrame({"query_id": qid[hit], "cos_micro": best[hit]})
 
     return score
 
@@ -2929,22 +2946,21 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: the exact expression the numpy scorer evaluates: exact integer dot
-#: over int8 codes (integer-valued DOUBLEs on the DuckDB side — exact
-#: below 2^53), sqrt·sqrt product, one division, micro floor-round.
-_DUCK_COS8_MICRO = (
-    "CAST(floor((list_dot_product(p.c8, m.c8)"
-    " / (sqrt(list_dot_product(p.c8, p.c8))"
-    " * sqrt(list_dot_product(m.c8, m.c8))))"
-    " * 1000000.0 + 0.5) AS BIGINT)"
-)
+def _duck_cos8_micro(l: str, r: str) -> str:
+    """The exact expression the numpy scorers evaluate: exact integer
+    dot over int8 codes (integer-valued DOUBLEs on the DuckDB side —
+    exact below 2^53), sqrt·sqrt product, one division, micro
+    floor-round."""
+    return (
+        f"CAST(floor((list_dot_product({l}.c8, {r}.c8)"
+        f" / (sqrt(list_dot_product({l}.c8, {l}.c8))"
+        f" * sqrt(list_dot_product({r}.c8, {r}.c8))))"
+        " * 1000000.0 + 0.5) AS BIGINT)"
+    )
 
-_DUCK_CENT_COS8_MICRO = (
-    "CAST(floor((list_dot_product(a.c8, k.c8)"
-    " / (sqrt(list_dot_product(a.c8, a.c8))"
-    " * sqrt(list_dot_product(k.c8, k.c8))))"
-    " * 1000000.0 + 0.5) AS BIGINT)"
-)
+
+_DUCK_COS8_MICRO = _duck_cos8_micro("p", "m")
+_DUCK_CENT_COS8_MICRO = _duck_cos8_micro("a", "k")
 
 KNN_LABEL_AGREEMENT_ORACLE = f"""
 WITH e AS ({_DUCK_EMB}),
@@ -2990,7 +3006,7 @@ QUERIES: dict[str, QuerySpec] = {
     "split_leakage_semantic": QuerySpec(
         "split_leakage_semantic",
         split_leakage_semantic,
-        SPLIT_LEAKAGE_SEMANTIC_ORACLE,
+        _split_leakage_semantic_oracle(),
         "test-vs-train best-cosine histogram via IVF cells: semantic "
         "near-twin contamination across the split boundary",
     ),
