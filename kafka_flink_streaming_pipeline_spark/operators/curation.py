@@ -1494,7 +1494,10 @@ def moore_lewis_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact integer, per-doc sum is an exact integer sum, and the
     per-word average divides once at the end (negative-safe: one
     double division of exact ints, det_round — never integer DIV,
-    which truncates toward zero in Spark but floors in DuckDB).
+    because the summed Δ can be negative and negative-operand integer
+    division is easy to get wrong; both engines truncate `//`/`DIV`
+    toward zero, so this is defensive hygiene, not an engine
+    mismatch).
 
     Plan at 100 TB: one conditional-aggregation pass builds BOTH LMs
     (groupBy(word) with a CASE-summed in-domain count — no second

@@ -2835,11 +2835,20 @@ def int8_assign2(e: DataFrame, k: int) -> DataFrame:
         .select("vec_id", "c8")
         .collect()
     )
+    schema = "vec_id bigint, label int, c8 array<int>, centroid_id bigint, rn int"
+    if not cent_rows:
+        # Degenerate store: no seed centroid in [_N_QUERIES, _N_QUERIES+k)
+        # survived the amax>0 filter. The DuckDB twin's `cents8` CTE is
+        # empty and `assign_scored` degrades to zero rows; match that
+        # instead of letting `_make_cell_assigner` matmul a zero-width
+        # centroid matrix inside mapInPandas (divergent failure modes —
+        # ADVICE r8).
+        return codes.sparkSession.createDataFrame([], schema)
     return codes.mapInPandas(
         _make_cell_assigner(
             [r["vec_id"] for r in cent_rows], [list(r["c8"]) for r in cent_rows]
         ),
-        "vec_id bigint, label int, c8 array<int>, centroid_id bigint, rn int",
+        schema,
     ).localCheckpoint()
 
 
