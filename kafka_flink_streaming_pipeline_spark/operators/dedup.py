@@ -1387,6 +1387,177 @@ FROM d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 """
 
 
+#: packs (doc_id, start) into one BIGINT so "first occurrence in corpus
+#: order" is a plain MIN in both engines: doc_id·2^20 + start. Valid
+#: while docs stay under 2^20 words (a 1M-word doc is ~100x the longest
+#: web document; enforceable at ingest) and doc_id < 2^43.
+_POS_STRIDE = 1 << 20
+
+
+def dedup_exactsubstr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length ExactSubstr scrub with Lee et al. ACL'22's
+    ACTUAL dedup criterion and keeper policy — the two places
+    `dedup_span_scrub` still diverged from the published method
+    (r8 verdict stretch ask #5):
+
+    1. **Within-doc duplicates count.** A span is duplicated when it
+       has >= 2 OCCURRENCES anywhere in the corpus (the paper counts
+       suffix-array matches, which do not care whether the second copy
+       sits in the same document); `span_scrub` required >= 2 distinct
+       docs, so a document that plagiarizes ITSELF (the classic
+       boilerplate-repetition failure mode) passed untouched.
+    2. **The keeper is an occurrence, not a document.** The paper keeps
+       the first occurrence of each duplicated string in corpus order
+       and removes every other; `span_scrub` exempted the whole keeper
+       document. Corpus order here is (doc_id, start), packed into one
+       BIGINT (`_POS_STRIDE`) so the keeper is a single MIN aggregate.
+
+    Variable length falls out of the union: a duplicated run of
+    L >= {_SPAN_W} words appears as L-{_SPAN_W}+1 overlapping
+    fixed-width windows whose COVERED-POSITION UNION is exactly the
+    positions inside some duplicated substring of length >= {_SPAN_W}
+    — the same removal mask the suffix-array implementation computes
+    with threshold {_SPAN_W}, without materializing suffixes (the
+    islands coalescence argument, `dedup_span_islands`). Like the
+    published tool, a kept first occurrence can still lose words to a
+    DIFFERENT span's mask when duplicated regions overlap.
+
+    Output: the scrubbed corpus (doc_id, n_words, n_removed,
+    clean_text) — `span_scrub`'s shape, so the two policies diff
+    directly.
+
+    Plan shape at 100 TB: windows explode map-side; ONE span-keyed
+    aggregation finds (count, first occurrence) — partial aggs collapse
+    the Zipf head; only duplicated occurrences re-explode to covered
+    positions; anti-join and ordered reassembly hash-partition on
+    doc_id. No pair join, no suffix array, O(corpus + dup mass).
+    Reference analogue: the dedup step a training-data pipeline runs
+    before tokenization (SURVEY.md LLM-ops family)."""
+    return exactsubstr_scrub(_docs_parallel(spark, sf_dir))
+
+
+def exactsubstr_scrub(docs: DataFrame) -> DataFrame:
+    """`dedup_exactsubstr_scrub` over any (doc_id, text) frame — split
+    out for the property test (the `span_scrub` convention)."""
+    d = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    n = F.size("ws")
+    words = d.select("doc_id", F.posexplode("ws").alias("pos0", "word")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "word"
+    )
+    idx = F.when(n >= _SPAN_W, F.sequence(F.lit(1), n - (_SPAN_W - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    occ = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.cast("long").alias("start"),
+                    F.concat_ws(" ", F.slice("ws", i, _SPAN_W)).alias("span"),
+                ),
+            )
+        ).alias("o"),
+    ).select(
+        "doc_id",
+        "o.start",
+        "o.span",
+        (F.col("doc_id") * _POS_STRIDE + F.col("o.start")).alias("occkey"),
+    )
+    # one aggregation: occurrence count (NOT distinct docs) + first
+    # occurrence in corpus order
+    dups = (
+        occ.groupBy("span")
+        .agg(F.count("*").alias("nocc"), F.min("occkey").alias("keeper_key"))
+        .filter(F.col("nocc") >= 2)
+        .select("span", "keeper_key")
+    )
+    covered = (
+        occ.join(dups, "span")
+        .filter(F.col("occkey") != F.col("keeper_key"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (_SPAN_W - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    clean = (
+        words.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s.word,
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        d.select("doc_id", n.cast("long").alias("n_words"))
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            (F.col("n_words") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )  # scrubbed corpus: one row per doc, unsorted
+
+
+DEDUP_EXACTSUBSTR_ORACLE = f"""
+WITH d AS ({_WORDS_SQL}),
+words AS (
+  SELECT doc_id,
+         unnest(range(1, len(ws) + 1)) AS pos,
+         unnest(ws) AS word
+  FROM d
+),
+occ AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(ws) >= {_SPAN_W}
+                     THEN range(1, len(ws) - {_SPAN_W - 2})
+                     ELSE CAST([] AS BIGINT[]) END) AS start,
+         unnest(CASE WHEN len(ws) >= {_SPAN_W}
+                     THEN list_transform(range(1, len(ws) - {_SPAN_W - 2}),
+                          i -> array_to_string(ws[i:i+{_SPAN_W - 1}], ' '))
+                     ELSE CAST([] AS VARCHAR[]) END) AS span
+  FROM d
+),
+dups AS (
+  SELECT span, min(doc_id * {_POS_STRIDE} + start) AS keeper_key
+  FROM occ GROUP BY span HAVING count(*) >= 2
+),
+covered AS (
+  SELECT DISTINCT o.doc_id, o.start + k.k AS pos
+  FROM occ o JOIN dups USING (span)
+  CROSS JOIN (SELECT unnest(range(0, {_SPAN_W})) AS k) k
+  WHERE o.doc_id * {_POS_STRIDE} + o.start <> dups.keeper_key
+),
+kept AS (
+  SELECT w.doc_id, w.pos, w.word
+  FROM words w LEFT JOIN covered c ON c.doc_id = w.doc_id AND c.pos = w.pos
+  WHERE c.doc_id IS NULL
+),
+clean AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(word, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.ws) AS BIGINT) AS n_words,
+       CAST(len(d.ws) - coalesce(c.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(c.clean_text, '') AS clean_text
+FROM d LEFT JOIN clean c ON c.doc_id = d.doc_id
+"""
+
+
 # --- LSH-vs-exact calibration report ---------------------------------------
 
 
@@ -1878,6 +2049,14 @@ QUERIES: dict[str, QuerySpec] = {
         DEDUP_SPAN_SCRUB_ORACLE,
         "exact-substring removal: cross-doc duplicated spans excised "
         "from all but the keeper doc (scrubbed corpus out)",
+    ),
+    "dedup_exactsubstr_scrub": QuerySpec(
+        "dedup_exactsubstr_scrub",
+        dedup_exactsubstr_scrub,
+        DEDUP_EXACTSUBSTR_ORACLE,
+        "ExactSubstr scrub with the Lee et al. ACL'22 policy: within-doc "
+        "occurrences count as duplicates, keeper is the first occurrence "
+        "in corpus order (variable-length via covered-position union)",
     ),
     "dedup_span_exact": QuerySpec(
         "dedup_span_exact",

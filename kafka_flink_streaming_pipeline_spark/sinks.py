@@ -62,6 +62,79 @@ def write_jdbc_upsert(
     )
 
 
+def jdbc_merge_upsert(
+    df: DataFrame,
+    url: str,
+    table: str,
+    keys: list[str],
+    properties: dict[str, str] | None = None,
+    order_col: str | None = None,
+    batch_size: int = 1000,
+) -> None:
+    """S3/S7 live: keyed JDBC upsert via staging table + server-side
+    ANSI MERGE — the executable form of the pattern `write_jdbc_upsert`
+    documents. Mirrors the reference's Flink upsert sink semantics
+    (events_postgres_sink.sql:24-55 — primary-key upsert with
+    `sink.buffer-flush.max-rows'='1000'`): last write per key wins.
+
+    Plan shape: the batch is deduped per key (ANSI MERGE rejects
+    multiple source matches), bulk-appended into `<table>_stage` via
+    Spark's parallel JDBC writer (`batchsize` = the reference's flush
+    size), then ONE server-side `MERGE INTO` moves it atomically —
+    per-row driver round-trips never happen, and the DB applies the
+    upsert as a set operation. Identifiers are quoted, so the statement
+    is valid on every MERGE-capable target (PostgreSQL 15+, Derby
+    10.11+ — the in-container live test runs on embedded Derby since
+    the container ships no network DB).
+
+    Idempotent by construction: re-running the same batch MERGEs the
+    same values onto the same keys."""
+    from kafka_flink_streaming_pipeline_spark.streaming.upsert import dedupe_latest
+
+    if order_col:
+        df = dedupe_latest(df, keys, order_col)
+    else:
+        df = df.dropDuplicates(keys)
+    props = properties or {}
+    stage = f"{table}_stage"
+    (
+        df.write.mode("overwrite")
+        .option("batchsize", str(batch_size))
+        .option("truncate", "true")
+        .jdbc(url, stage, properties=props)
+    )
+    q = '"{}"'.format
+    cols = df.columns
+    non_keys = [c for c in cols if c not in keys]
+    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
+    set_clause = ", ".join(f"{q(c)} = s.{q(c)}" for c in non_keys)
+    insert_cols = ", ".join(q(c) for c in cols)
+    insert_vals = ", ".join(f"s.{q(c)}" for c in cols)
+    merge = (
+        f"MERGE INTO {table} t USING {stage} s ON {on} "
+        + (f"WHEN MATCHED THEN UPDATE SET {set_clause} " if non_keys else "")
+        + f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+    )
+    spark = df.sparkSession
+    jvm = spark._jvm
+    if "driver" in props:
+        jvm.java.lang.Class.forName(props["driver"])
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        try:
+            # first batch: materialize the target with the staging shape
+            # (valid on Derby and PostgreSQL; harmless race with other
+            # writers — the loser's already-exists error is swallowed)
+            st.execute(f"CREATE TABLE {table} AS SELECT * FROM {stage} WITH NO DATA")
+        except Exception:
+            pass
+        st.execute(merge)
+        st.close()
+    finally:
+        conn.close()
+
+
 def foreach_partition_kv_writer(keys_values: DataFrame, writer_factory):
     """S4/S5 done right: per-partition KV-store writes on executors
     (the reference's redis_sink.py collects to the driver — S5 — which

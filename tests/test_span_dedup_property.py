@@ -168,6 +168,86 @@ def test_span_islands_matches_model(spark, docs):
     assert got == _islands_reference(docs)
 
 
+def _exactsubstr_reference(docs: list[str]) -> dict[int, tuple[int, int, str]]:
+    """Pure-Python model of exactsubstr_scrub (Lee et al. policy):
+    every occurrence of a >= 2-occurrence span except the global first
+    (corpus order = (doc_id, start)) masks its positions; within-doc
+    repeats count."""
+    words = [t.split(" ") for t in docs]
+    occs: dict[str, list[tuple[int, int]]] = {}
+    for d, ws in enumerate(words):
+        for j in range(len(ws) - _SPAN_W + 1):
+            occs.setdefault(" ".join(ws[j : j + _SPAN_W]), []).append((d, j + 1))
+    masked: dict[int, set[int]] = {d: set() for d in range(len(docs))}
+    for span, lst in occs.items():
+        if len(lst) >= 2:
+            for d, s in sorted(lst)[1:]:
+                masked[d].update(range(s, s + _SPAN_W))
+    out = {}
+    for d, ws in enumerate(words):
+        kept = [w for i, w in enumerate(ws, start=1) if i not in masked[d]]
+        out[d] = (len(ws), len(ws) - len(kept), " ".join(kept))
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=18).map(" ".join),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_exactsubstr_scrub_matches_model(spark, docs):
+    from kafka_flink_streaming_pipeline_spark.operators.dedup import (
+        exactsubstr_scrub,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_removed, r.clean_text)
+        for r in exactsubstr_scrub(df).collect()
+    }
+    assert got == _exactsubstr_reference(docs)
+
+
+def test_exactsubstr_within_doc_repetition_is_scrubbed(spark):
+    """The semantic daylight vs span_scrub: a document repeating ITSELF
+    is deduplicated (the paper counts occurrences, not distinct docs) —
+    30x 'lone' collapses to the first 8-window's words; and the keeper
+    is the first OCCURRENCE, so a later doc sharing a run with an
+    earlier doc keeps nothing, while span_scrub's doc-level keeper
+    would exempt all of doc 0's copies."""
+    from kafka_flink_streaming_pipeline_spark.operators.dedup import (
+        exactsubstr_scrub,
+        span_scrub,
+    )
+
+    boiler = " ".join(["lone"] * 30)
+    run = " ".join(f"r{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(0, f"{run} mid {run}"), (1, boiler)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in exactsubstr_scrub(docs).collect()}
+    # doc 0: second copy of the run masked; first copy + 'mid' survive
+    assert got[0].n_removed == 12 and got[0].clean_text == f"{run} mid"
+    # doc 1: all 23 windows are the same span; the masked occurrences
+    # at starts 2..23 cover positions 2..30, so ONLY position 1
+    # survives (the kept first occurrence loses its tail to the other
+    # occurrences' masks — the documented overlap semantics)
+    assert got[1].n_removed == 29
+    assert got[1].clean_text == "lone"
+    # span_scrub (distinct-docs >= 2) leaves both docs untouched
+    old = {r.doc_id: r for r in span_scrub(docs).collect()}
+    assert old[0].n_removed == 0 and old[1].n_removed == 0
+
+
 def test_span_islands_planted_run_coalesces(spark):
     """A repeated run of L >= W words must surface as ONE region of
     exactly L words in BOTH docs (the overlapping hit windows merge),
