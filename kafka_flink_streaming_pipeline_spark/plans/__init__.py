@@ -86,63 +86,74 @@ class QuerySpec:
 #: `sim_ann_ivf_persisted`). Done-criterion from the verdict: all
 #: eight named rotations green ⇒ cumulative 216/216 (+5 r8 additions
 #: = 221/221) driver-witnessed, witness-age floor at r4.
+#: r9 window: (a) the one never-driver-checked r9 addition
+#: (`dedup_exactsubstr_scrub` — windowing every same-round addition is
+#: the standing r7 lesson); (b) no value-changed entries this round
+#: (the shared-cache rework changes artifact addressing, not values;
+#: the int8_assign2 k==0 guard is unreachable on real testdata);
+#: (c) witness refresh, oldest-first per the standing rule: ALL 30
+#: remaining r4-era entries — this is the verdict's #1 ask (the eight
+#: named core parity witnesses q2/q3/q4/q6/q7/q8/preprocess_clean_events/
+#: kafka_wire_frame are here, plus the rest of the r4 stratum, raising
+#: the witness-age floor to r5) — then (d) 19 r5-era entries,
+#: preferring the consumers of the reworked shared-cache layer
+#: (sim_topk_cosine — the r8 flagged mover, re-witnessed under the new
+#: cache — the ANN/PQ/LSH families, both streaming twins) and the
+#: exactsubstr sibling `dedup_span_scrub`.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # (a) never driver-checked (r7 close-out additions)
-    "knn_label_agreement",
-    "embedding_norm_profile",
-    # (b) value/plan-changed this round
-    "split_leakage_semantic",
-    "profile_source_mix",
-    # (c) new r8 entries
-    "sim_int8_topk_agreement",
-    "text_ngram_novelty",
-    "curation_diversity_sample",
-    "profile_source_vocab_overlap",
-    "curation_moore_lewis_select",
-    # (d) witness refresh — the two r2-era stragglers…
-    "asof_feature_join",
-    "attrib_click_to_view_5m",
-    # …every r3-era entry…
-    "customer_order_dates_array",
-    "dataset_mixture_expand",
-    "dataset_split_assign",
-    "doc_chunk_overlap",
-    "embedding_l2_normalize",
-    "embedding_quantize_int8",
-    "events_props_variant",
-    "fp_active_users_5m_approx",
-    "fp_doc_counts_5m",
-    "fp_geo_top_5m",
-    "fp_global_features_5m",
-    "funnel_ordered_4step",
-    "fuzzy_match_part_names",
-    "listagg_top_customers",
-    "multimodal_resize",
-    "pii_redact_props",
-    "profile_gapfill_minutely",
-    "range_band_join_tiers",
-    "sketch_rollup_active_users",
-    "skew_salted_join",
-    "stateful_sessions_stream",
-    "stream_enrich_lang_counts",
-    "text_fingerprints",
-    "text_vocabulary",
-    "token_histogram",
-    "tpch_q12_priority_mix",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_share",
-    "tpch_q18_large_orders",
-    "tpch_q19_band_revenue",
-    "tpch_q22_idle_balances",
-    "unpivot_price_components",
-    "winsorize_order_totals",
-    # …and 6 r4-era, cache-touched entries first
-    "dedup_minhash_lsh",
-    "dedup_components",
-    "sim_ann_ivf_persisted",
-    "cdc_latest_state_per_user",
-    "dedup_cluster_size_profile",
-    "fp2_kv_rows",
+    # (a) never driver-checked (r9 addition)
+    "dedup_exactsubstr_scrub",
+    # (c) all 30 remaining r4-era witnesses, incl. the verdict's eight
+    "q1_events_per_min",
+    "q2_top_docs_6h",
+    "q3_geo_pv_24h",
+    "q4_traffic_source_24h",
+    "q5_session_stats_12h",
+    "q5a_session_marks_12h",
+    "session_window_stats",
+    "q6_avg_delay_5m",
+    "q7_heatmap_7d",
+    "q8_hourly_top20_24h",
+    "q9_retention_d7",
+    "fp2_user_features_5m",
+    "fp3_features_20m",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "rfm_customer_segments",
+    "profile_watermark_lateness",
+    "scd2_user_state_history",
+    "fp_hop_trending_docs_10m_5m",
+    "fp_hop_active_users_10m_5m",
+    "fp_geo_top_doc_5m",
+    "fp_active_users_5m",
+    "kafka_wire_frame",
+    "preprocess_clean_events",
+    "text_unigram_logprob",
+    "dedup_simhash_pairs",
+    "multimodal_dedup_exact",
+    "sample_docs_temperature",
+    "sample_orders_hash",
+    "sketch_bottomk_quantiles",
+    # (d) 19 r5-era, shared-cache consumers and streaming twins first
+    "sim_topk_cosine",
+    "sim_topk_cosine_int8",
+    "sim_topk_cosine_pq",
+    "sim_ann_ivf",
+    "sim_ann_ivf_nprobe2",
+    "sim_ann_lsh",
+    "sim_ann_lsh_multiprobe",
+    "embedding_pq_codes",
+    "dedup_embedding_cosine",
+    "hybrid_retrieval_rrf",
+    "hybrid_retrieval_rerank",
+    "dedup_span_scrub",
+    "dedup_containment_lsh",
+    "dedup_incoming_vs_corpus",
+    "dedup_components_lsh",
+    "fp2_stream_materialized",
+    "dedup_gate_stream_materialized",
+    "nation_revenue_share",
+    "cohort_retention_matrix",
 )
 
 

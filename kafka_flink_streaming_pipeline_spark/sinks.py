@@ -62,6 +62,25 @@ def write_jdbc_upsert(
     )
 
 
+def merge_statement(table: str, stage: str, cols: list[str], keys: list[str]) -> str:
+    """The ANSI `MERGE INTO` statement `jdbc_merge_upsert` executes,
+    exposed so tests can run the EXACT production string against real
+    engines (embedded Derby via JDBC in tests/test_jdbc_live.py; a real
+    PostgreSQL 15 server via psql in tests/test_postgres_merge_live.py).
+    Identifiers are quoted — valid on any MERGE-capable target."""
+    q = '"{}"'.format
+    non_keys = [c for c in cols if c not in keys]
+    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
+    set_clause = ", ".join(f"{q(c)} = s.{q(c)}" for c in non_keys)
+    insert_cols = ", ".join(q(c) for c in cols)
+    insert_vals = ", ".join(f"s.{q(c)}" for c in cols)
+    return (
+        f"MERGE INTO {table} t USING {stage} s ON {on} "
+        + (f"WHEN MATCHED THEN UPDATE SET {set_clause} " if non_keys else "")
+        + f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+    )
+
+
 def jdbc_merge_upsert(
     df: DataFrame,
     url: str,
@@ -103,18 +122,7 @@ def jdbc_merge_upsert(
         .option("truncate", "true")
         .jdbc(url, stage, properties=props)
     )
-    q = '"{}"'.format
-    cols = df.columns
-    non_keys = [c for c in cols if c not in keys]
-    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
-    set_clause = ", ".join(f"{q(c)} = s.{q(c)}" for c in non_keys)
-    insert_cols = ", ".join(q(c) for c in cols)
-    insert_vals = ", ".join(f"s.{q(c)}" for c in cols)
-    merge = (
-        f"MERGE INTO {table} t USING {stage} s ON {on} "
-        + (f"WHEN MATCHED THEN UPDATE SET {set_clause} " if non_keys else "")
-        + f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
-    )
+    merge = merge_statement(table, stage, df.columns, keys)
     spark = df.sparkSession
     jvm = spark._jvm
     if "driver" in props:
