@@ -62,21 +62,39 @@ def write_jdbc_upsert(
     )
 
 
-def merge_statement(table: str, stage: str, cols: list[str], keys: list[str]) -> str:
+def merge_statement(
+    table: str,
+    stage: str,
+    cols: list[str],
+    keys: list[str],
+    matched_condition: str | None = None,
+) -> str:
     """The ANSI `MERGE INTO` statement `jdbc_merge_upsert` executes,
     exposed so tests can run the EXACT production string against real
     engines (embedded Derby via JDBC in tests/test_jdbc_live.py; a real
     PostgreSQL 15 server via psql in tests/test_postgres_merge_live.py).
-    Identifiers are quoted — valid on any MERGE-capable target."""
+    Identifiers are quoted — valid on any MERGE-capable target.
+
+    `matched_condition` (referencing t/s, e.g. ``s."ord" > t."ord"``)
+    makes the update CONDITIONAL — the out-of-order-safe upsert: a
+    late-delivered batch cannot overwrite newer state, so correctness
+    stops depending on micro-batch arrival order (the guarantee a
+    changelog consumer like the reference's Flink sink gets from
+    upstream ordering, enforced here in the database instead)."""
     q = '"{}"'.format
     non_keys = [c for c in cols if c not in keys]
     on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
     set_clause = ", ".join(f"{q(c)} = s.{q(c)}" for c in non_keys)
     insert_cols = ", ".join(q(c) for c in cols)
     insert_vals = ", ".join(f"s.{q(c)}" for c in cols)
+    guard = f" AND {matched_condition}" if matched_condition else ""
     return (
         f"MERGE INTO {table} t USING {stage} s ON {on} "
-        + (f"WHEN MATCHED THEN UPDATE SET {set_clause} " if non_keys else "")
+        + (
+            f"WHEN MATCHED{guard} THEN UPDATE SET {set_clause} "
+            if non_keys
+            else ""
+        )
         + f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
     )
 
@@ -122,7 +140,10 @@ def jdbc_merge_upsert(
         .option("truncate", "true")
         .jdbc(url, stage, properties=props)
     )
-    merge = merge_statement(table, stage, df.columns, keys)
+    # when an order column exists, make the UPDATE conditional on it:
+    # a redelivered or out-of-order batch can never regress newer state
+    guard = f's."{order_col}" > t."{order_col}"' if order_col else None
+    merge = merge_statement(table, stage, df.columns, keys, guard)
     spark = df.sparkSession
     jvm = spark._jvm
     if "driver" in props:

@@ -19,6 +19,7 @@ batch read).
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 DERBY_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
 
@@ -91,6 +92,82 @@ def test_jdbc_merge_upsert_latest_wins(spark, derby_url):
     # redelivery of batch 2 (the reference sink's at-least-once case)
     jdbc_merge_upsert(batch2, derby_url, "state", ["k"], DERBY_PROPS, order_col="ts")
     assert snapshot() == expect
+
+
+def test_writestream_foreachbatch_into_live_jdbc(spark, derby_url, tmp_path):
+    """S3 END-TO-END: a real writeStream (file replay source, the
+    Kafka-wire twin) upserting per-user latest state into a LIVE JDBC
+    database via foreachBatch + jdbc_merge_upsert — the reference's
+    Flink events→Postgres upsert sink shape (events_postgres_sink.sql),
+    including a mid-stream stop + checkpoint restart with new data
+    arriving while the query is down. The final DB table must equal the
+    batch-computed latest event per user, exactly once."""
+    import glob
+    import os
+    import shutil
+
+    from kafka_flink_streaming_pipeline_spark.sinks import jdbc_merge_upsert
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+    from kafka_flink_streaming_pipeline_spark.sources.streaming import (
+        prepare_replay_chunks,
+        replay_stream,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    chunks = str(tmp_path / "chunks")
+    prepare_replay_chunks(spark, events, chunks, n_chunks=6)
+    files = sorted(glob.glob(f"{chunks}/*.parquet"))
+    live, ck = str(tmp_path / "live"), str(tmp_path / "ck")
+    os.makedirs(live)
+
+    # total order per event: micros * 1024 + event_id % 1024 stays
+    # far under 2^63 and breaks exact-ts ties deterministically
+    _ord = F.unix_micros(F.col("ts")) * 1024 + F.col("event_id") % 1024
+
+    def sink(batch_df, batch_id):
+        # per-user latest WITHIN the batch; the server-side MERGE then
+        # makes it latest ACROSS batches because replay order is
+        # timestamp order (chunk files are time-sliced)
+        latest = batch_df.select(
+            "user_id", "event_id", "event_type", _ord.alias("ord")
+        )
+        jdbc_merge_upsert(
+            latest, derby_url, "user_state", ["user_id"], DERBY_PROPS, order_col="ord"
+        )
+
+    def run_once():
+        q = (
+            replay_stream(spark, live)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    for f in files[:3]:
+        shutil.copy(f, live)
+    run_once()
+    mid = spark.read.jdbc(derby_url, "user_state", properties=DERBY_PROPS).count()
+    assert mid > 0
+
+    for f in files[3:]:
+        shutil.copy(f, live)
+    run_once()  # restart from the same checkpoint
+
+    got = {
+        (r["user_id"], r["event_id"])
+        for r in spark.read.jdbc(
+            derby_url, "user_state", properties=DERBY_PROPS
+        ).collect()
+    }
+    expect = {
+        (r["user_id"], r["event_id"])
+        for r in events.groupBy("user_id")
+        .agg(F.max_by("event_id", _ord).alias("event_id"))
+        .collect()
+    }
+    assert got == expect
 
 
 def test_jdbc_upsert_as_foreachbatch_sink(spark, derby_url):

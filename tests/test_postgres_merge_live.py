@@ -133,6 +133,28 @@ def test_merge_statement_valid_on_postgres15(pg):
     ]
 
 
+def test_conditional_merge_rejects_out_of_order(pg):
+    """The order-guarded form (what jdbc_merge_upsert emits when
+    order_col is set): a LATE batch with an older ord must not regress
+    newer state, and the newer-ord path still updates."""
+    _sql(pg, 'CREATE TABLE st2 ("k" int, "v" double precision, "ord" bigint)')
+    _sql(pg, 'CREATE TABLE st2_stage ("k" int, "v" double precision, "ord" bigint)')
+    _sql(pg, "INSERT INTO st2 VALUES (1, 10.0, 500)")
+    stmt = merge_statement(
+        "st2", "st2_stage", ["k", "v", "ord"], ["k"], 's."ord" > t."ord"'
+    )
+    _sql(pg, "INSERT INTO st2_stage VALUES (1, 9.0, 400), (2, 20.0, 100)")
+    _sql(pg, stmt)  # late duplicate for k=1: must NOT apply; k=2 inserts
+    assert _sql(pg, "SELECT * FROM st2 ORDER BY 1").splitlines() == [
+        "1|10|500",
+        "2|20|100",
+    ]
+    _sql(pg, "TRUNCATE st2_stage")
+    _sql(pg, "INSERT INTO st2_stage VALUES (1, 11.0, 600)")
+    _sql(pg, stmt)  # newer ord: applies
+    assert _sql(pg, 'SELECT "v" FROM st2 WHERE "k" = 1') == "11"
+
+
 def test_merge_statement_keys_only_insert_only(pg):
     """No non-key columns -> the statement must omit WHEN MATCHED
     entirely (UPDATE SET of nothing is a syntax error on both
