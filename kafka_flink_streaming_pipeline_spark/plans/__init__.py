@@ -101,8 +101,11 @@ class QuerySpec:
 #: cache — the ANN/PQ/LSH families, both streaming twins) and the
 #: exactsubstr sibling `dedup_span_scrub`.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # (a) never driver-checked (r9 addition)
+    # (a) never driver-checked (r9 additions; the kafka round-trip is
+    # the wire-level S1/S11 witness — cohort_retention_matrix rotates
+    # out to r10 to make room in the 50-entry prefix)
     "dedup_exactsubstr_scrub",
+    "kafka_roundtrip_stream_materialized",
     # (c) all 30 remaining r4-era witnesses, incl. the verdict's eight
     "q1_events_per_min",
     "q2_top_docs_6h",
@@ -153,7 +156,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "fp2_stream_materialized",
     "dedup_gate_stream_materialized",
     "nation_revenue_share",
-    "cohort_retention_matrix",
 )
 
 

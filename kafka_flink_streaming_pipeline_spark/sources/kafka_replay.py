@@ -1,0 +1,334 @@
+"""Kafka-wire replay source: the Kafka connector's CONTRACT as a
+first-class Python Data Source (Spark 4), so the S1 consume path can
+execute live in a broker-less container.
+
+The reference consumes JSON frames from Kafka topics
+(`flink-jobs/events_postgres_sink.sql:14-32`) produced by a keyed
+Python producer (`streaming/kafka_stream_producer.py:374-424`). This
+container has no broker and no spark-sql-kafka jar, so
+`sources.streaming.kafka_stream`'s `.format("kafka")` load stage can
+never run here — but everything the engine DOES with a Kafka stream is
+defined by the connector's output contract, and that contract is
+reproducible:
+
+- the 7-column wire schema: ``key binary, value binary, topic string,
+  partition int, offset bigint, timestamp timestamp, timestampType int``
+- per-partition ordered logs with dense monotone offsets
+- ``startingOffsets`` = ``earliest`` | per-partition JSON
+  (``{"topic": {"0": 23}}`` — the connector's exact shape)
+- ``maxOffsetsPerTrigger``-style record caps distributed across
+  partitions proportional to lag
+- offsets checkpointed by the engine; resume is exact
+
+`KafkaReplaySource` implements all five over a partitioned parquet
+"topic log" directory written by `produce_topic_log` (key-hash
+partitioning like the reference's keyed producer; within a partition
+the log order is the producer's send order). Downstream, the SAME
+`parse_kafka_frame` function that `kafka_stream` uses (see
+sources/streaming.py) decodes the frames — so the only line of the S1
+path this source cannot witness is the broker dial itself.
+
+Execution model (the part that matters at scale):
+- The driver holds only OFFSET BOOKKEEPING — a dict of per-partition
+  record positions, O(#partitions) state, exactly like the real
+  source. `latestOffset` reads parquet FOOTERS (row counts), never
+  data.
+- `partitions(start, end)` ships one `InputPartition` per
+  topic-partition with the segment-file slice plan; `read(partition)`
+  opens only the segment files overlapping its offset range ON THE
+  EXECUTOR (pyarrow, streamed record batches). Row data never touches
+  the driver.
+- Offsets are dense per partition, so checkpoint recovery replans
+  exactly the unconsumed suffix; `commit` advances the rate-limit
+  cursor only (segment files are immutable).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+#: The spark-sql-kafka source's output schema, column-for-column
+#: (spark/connector/kafka-0-10-sql KafkaRecordToRowConverter; public
+#: docs "Structured Streaming + Kafka Integration Guide").
+KAFKA_WIRE_DDL = (
+    "key binary, value binary, topic string, partition int, "
+    "offset bigint, timestamp timestamp, timestampType int"
+)
+
+
+def produce_topic_log(
+    frame: DataFrame,
+    log_dir: str,
+    topic: str = "events",
+    n_partitions: int = 4,
+    segment: int = 0,
+    order_cols: tuple[str, ...] = ("ts",),
+) -> None:
+    """S11 producer twin targeting the replay source: write `frame`
+    (columns ``key`` castable to string, ``value`` string JSON, ``ts``
+    timestamp, plus `order_cols` tie-breakers) as one parquet segment
+    file per topic-partition under ``log_dir/p=<pid>/``.
+
+    Partition assignment is key-hash (crc32(key) mod N — same *shape*
+    as Kafka's murmur2 default partitioner: all records for a key land
+    in one partition, so per-key order survives), and rows within a
+    segment are sorted by `order_cols` — the producer's send order.
+    Calling again with a higher `segment` number appends to each
+    partition's log (late-arriving production), exactly like a broker
+    accepting more records: existing offsets never move.
+
+    One shuffle (repartition on pid), one write job; each pid maps to
+    exactly one task so each call emits exactly one file per non-empty
+    partition — at 100 TB the same layout comes from the writer
+    without any driver involvement.
+    """
+    out = frame.select(
+        F.col("key").cast("string").cast("binary").alias("key"),
+        F.col("value").cast("string").cast("binary").alias("value"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.pmod(F.crc32(F.col("key").cast("string").cast("binary")), F.lit(n_partitions))
+        .cast("int")
+        .alias("p"),
+        *[F.col(c).alias(f"_ord_{i}") for i, c in enumerate(order_cols)],
+    )
+    staged = os.path.join(log_dir, f"_stage_{segment}")
+    (
+        out.repartition(n_partitions, "p")
+        .sortWithinPartitions("p", *[f"_ord_{i}" for i in range(len(order_cols))])
+        .drop(*[f"_ord_{i}" for i in range(len(order_cols))])
+        .write.mode("overwrite")
+        .partitionBy("p")
+        .parquet(staged)
+    )
+    import shutil
+
+    for pdir in sorted(glob.glob(os.path.join(staged, "p=*"))):
+        pid = pdir.rsplit("=", 1)[1]
+        dest = os.path.join(log_dir, f"p={pid}")
+        os.makedirs(dest, exist_ok=True)
+        files = sorted(glob.glob(os.path.join(pdir, "*.parquet")))
+        assert len(files) == 1, f"expected one segment file per pid, got {files}"
+        shutil.move(files[0], os.path.join(dest, f"segment_{segment:06d}.parquet"))
+    shutil.rmtree(staged, ignore_errors=True)
+
+
+class _LogSlice(InputPartition):
+    """One topic-partition's offset range for one micro-batch, plus
+    the segment-file plan to read it: (path, first_offset, num_rows)
+    per file, already pruned to the slice on the driver (footer
+    arithmetic only — no data read)."""
+
+    def __init__(
+        self, topic: str, pid: int, lo: int, hi: int, files: list[tuple[str, int, int]]
+    ) -> None:
+        self.topic = topic
+        self.pid = pid
+        self.lo = lo
+        self.hi = hi
+        self.files = files
+
+
+class KafkaReplayStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict) -> None:
+        self._dir = options["path"]
+        self._topic = options.get("topic", "events")
+        self._starting = options.get("startingoffsets", "earliest")
+        cap = options.get("maxoffsetspertrigger", options.get("maxrecordspertrigger"))
+        self._cap = int(cap) if cap is not None else None
+        # rate-limit cursor: the highest end-offset this reader has
+        # planned/committed, per pid. latestOffset() caps relative to
+        # this; partitions()/commit() advance it (so a checkpoint
+        # recovery that replans a pending batch catches the cursor up
+        # before the next cap computation). The Python streaming API
+        # gives latestOffset() no start/limit (no admission-control
+        # handshake — python_streaming_source_runner.py:885), so on a
+        # RESTARTED reader whose last batch committed cleanly the
+        # cursor is unknown at first call; returning anything below
+        # the engine's committed offset would make the engine replan
+        # already-delivered records (duplicates). The safe degradation
+        # is ONE uncapped batch: cursor None -> full log lengths.
+        self._pos: dict[str, int] | None = None
+
+    # -- log introspection (driver side, footers only) -----------------
+    def _segment_files(self, pid: int) -> list[str]:
+        return sorted(glob.glob(os.path.join(self._dir, f"p={pid}", "*.parquet")))
+
+    def _pids(self) -> list[int]:
+        return sorted(
+            int(d.rsplit("=", 1)[1])
+            for d in glob.glob(os.path.join(self._dir, "p=*"))
+        )
+
+    def _log_plan(self, pid: int) -> list[tuple[str, int, int]]:
+        """[(path, first_offset, num_rows)] in log order — parquet
+        footer reads, O(#segments), no row data."""
+        import pyarrow.parquet as pq
+
+        plan, base = [], 0
+        for path in self._segment_files(pid):
+            n = pq.ParquetFile(path).metadata.num_rows
+            plan.append((path, base, n))
+            base += n
+        return plan
+
+    def _log_len(self, pid: int) -> int:
+        plan = self._log_plan(pid)
+        return (plan[-1][1] + plan[-1][2]) if plan else 0
+
+    # -- offset protocol ------------------------------------------------
+    def initialOffset(self) -> dict:
+        if self._starting == "earliest":
+            pos = {str(p): 0 for p in self._pids()}
+        elif self._starting == "latest":
+            pos = {str(p): self._log_len(p) for p in self._pids()}
+        else:  # the connector's JSON shape {"topic": {"0": 23}} (flat dict accepted)
+            parsed = json.loads(self._starting)
+            per_pid = parsed.get(self._topic, parsed)
+            pos = {
+                str(p): int(per_pid.get(str(p), 0)) for p in self._pids()
+            }
+        self._pos = dict(pos)
+        return {self._topic: pos}
+
+    def latestOffset(self) -> dict:
+        lens = {str(p): self._log_len(p) for p in self._pids()}
+        if self._cap is None or self._pos is None:
+            # no cap, or restarted reader with an unknown cursor (see
+            # __init__): offer the full logs — never regress below the
+            # engine's committed offsets
+            self._pos = {
+                k: max(v, (self._pos or {}).get(k, 0)) for k, v in lens.items()
+            }
+            return {self._topic: lens}
+        # distribute the cap across partitions proportional to lag,
+        # remainder round-robin — maxOffsetsPerTrigger semantics
+        cur = {k: self._pos.get(k, 0) for k in lens}
+        lag = {k: max(0, lens[k] - cur[k]) for k in lens}
+        total = sum(lag.values())
+        if total <= self._cap:
+            end = lens
+        else:
+            end, given = {}, 0
+            keys = sorted(lens)
+            for k in keys:
+                share = self._cap * lag[k] // total
+                end[k] = cur[k] + share
+                given += share
+            for k in keys:  # hand out the integer-division remainder
+                if given >= self._cap:
+                    break
+                if end[k] < lens[k]:
+                    end[k] += 1
+                    given += 1
+        self._pos = {k: max(self._pos.get(k, 0), v) for k, v in end.items()}
+        return {self._topic: end}
+
+    def partitions(self, start: dict, end: dict) -> list[_LogSlice]:
+        s, e = start[self._topic], end[self._topic]
+        if self._pos is None:
+            self._pos = {}
+        slices = []
+        for k in sorted(e):
+            lo, hi = int(s.get(k, 0)), int(e[k])
+            self._pos[k] = max(self._pos.get(k, 0), lo, hi)
+            if hi <= lo:
+                continue
+            plan = [
+                (path, base, n)
+                for path, base, n in self._log_plan(int(k))
+                if base < hi and base + n > lo
+            ]
+            slices.append(_LogSlice(self._topic, int(k), lo, hi, plan))
+        return slices
+
+    def read(self, partition: _LogSlice) -> Iterator[tuple]:
+        # executor-side: only the pruned segment files, streamed in
+        # record batches; emit the 7-column Kafka wire tuple
+        from datetime import timezone
+
+        import pyarrow.parquet as pq
+
+        for path, base, _n in partition.files:
+            pf = pq.ParquetFile(path)
+            off = base
+            for batch in pf.iter_batches(columns=["key", "value", "ts"]):
+                rows = len(batch)
+                if off + rows <= partition.lo or off >= partition.hi:
+                    off += rows
+                    continue
+                keys = batch.column("key").to_pylist()
+                vals = batch.column("value").to_pylist()
+                tss = batch.column("ts").to_pylist()
+                for i in range(rows):
+                    o = off + i
+                    if o < partition.lo or o >= partition.hi:
+                        continue
+                    ts = tss[i]
+                    if ts is not None and ts.tzinfo is None:
+                        ts = ts.replace(tzinfo=timezone.utc)
+                    yield (keys[i], vals[i], partition.topic, partition.pid, o, ts, 0)
+                off += rows
+
+    def commit(self, end: dict) -> None:
+        per_pid = end.get(self._topic, {})
+        if self._pos is None:
+            self._pos = {}
+        for k, v in per_pid.items():
+            self._pos[k] = max(self._pos.get(k, 0), int(v))
+
+    def deserialize_offset(self, value: str) -> dict:
+        return json.loads(value)
+
+
+class KafkaReplaySource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "kafka_replay"
+
+    def schema(self) -> str:
+        return KAFKA_WIRE_DDL
+
+    def streamReader(self, schema: StructType) -> KafkaReplayStreamReader:
+        return KafkaReplayStreamReader(self.options)
+
+
+def kafka_replay_stream(
+    spark: SparkSession,
+    log_dir: str,
+    schema,
+    topic: str = "events",
+    starting_offsets: str = "earliest",
+    max_records_per_trigger: int | None = None,
+    watermark: str = "5 seconds",
+) -> DataFrame:
+    """S1/S2 twin over the replay wire: identical to
+    `sources.streaming.kafka_stream` except the load stage reads the
+    `kafka_replay` log instead of dialing a broker — the decode /
+    event-time / watermark stage is literally the same
+    `parse_kafka_frame` call."""
+    from kafka_flink_streaming_pipeline_spark.sources.streaming import (
+        parse_kafka_frame,
+    )
+
+    spark.dataSource.register(KafkaReplaySource)
+    raw = (
+        spark.readStream.format("kafka_replay")
+        .option("path", log_dir)
+        .option("topic", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_records_per_trigger is not None:
+        raw = raw.option("maxRecordsPerTrigger", str(max_records_per_trigger))
+    return parse_kafka_frame(raw.load(), schema, watermark=watermark)

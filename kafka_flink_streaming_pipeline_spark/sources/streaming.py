@@ -39,6 +39,34 @@ WIRE_SCHEMA = T.StructType(
 )
 
 
+def parse_kafka_frame(
+    raw: DataFrame, schema: T.StructType, watermark: str = "5 seconds"
+) -> DataFrame:
+    """The S1/S2 decode stage, shared verbatim by `kafka_stream` (real
+    broker) and `sources.kafka_replay.kafka_replay_stream` (broker-less
+    wire twin): JSON value decoded with the declared schema, event_time
+    derived, watermark assigned. `raw` must carry the Kafka connector's
+    output columns (at least `key binary, value binary`).
+
+    Because both sources route through THIS function, the decode /
+    event-time / watermark logic is live-tested in this container even
+    though `.format("kafka")` itself cannot run (no broker, no jar) —
+    see tests/test_kafka_replay_source.py."""
+    parsed = raw.select(
+        F.col("key").cast("string").alias("kafka_key"),
+        F.from_json(F.col("value").cast("string"), schema).alias("data"),
+    ).select("kafka_key", "data.*")
+    if "timestamp" in parsed.columns:  # reference schema: ms offset + anchor
+        parsed = parsed.withColumn(
+            "event_time", F.timestamp_millis(F.col("timestamp") + F.lit(EPOCH_ANCHOR_MS))
+        )
+    elif "ts" in parsed.columns:  # testdata shape: absolute timestamp
+        parsed = parsed.withColumn("event_time", F.col("ts"))
+    elif "ts_us" in parsed.columns:  # wire-exact shape: unix microseconds
+        parsed = parsed.withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+    return parsed.withWatermark("event_time", watermark)
+
+
 def kafka_stream(
     spark: SparkSession,
     topic: str,
@@ -62,17 +90,7 @@ def kafka_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    parsed = raw.select(
-        F.col("key").cast("string").alias("kafka_key"),
-        F.from_json(F.col("value").cast("string"), schema).alias("data"),
-    ).select("kafka_key", "data.*")
-    if "timestamp" in parsed.columns:  # reference schema: ms offset + anchor
-        parsed = parsed.withColumn(
-            "event_time", F.timestamp_millis(F.col("timestamp") + F.lit(EPOCH_ANCHOR_MS))
-        )
-    elif "ts" in parsed.columns:  # testdata shape: absolute timestamp
-        parsed = parsed.withColumn("event_time", F.col("ts"))
-    return parsed.withWatermark("event_time", watermark)
+    return parse_kafka_frame(raw, schema, watermark=watermark)
 
 
 def assign_time_chunks(events: DataFrame, n_chunks: int) -> DataFrame:

@@ -70,12 +70,20 @@ def test_kafka_source_options_mirrored(source_opts):
     assert source_opts["scan.startup.mode"] == "group-offsets"
     assert source_opts["properties.auto.offset.reset"] == "earliest"
 
+    from kafka_flink_streaming_pipeline_spark.sources.streaming import (
+        parse_kafka_frame,
+    )
+
     src = inspect.getsource(kafka_stream)
     sig = inspect.signature(kafka_stream)
     assert '"kafka"' in src and '"subscribe"' in src
     assert '"kafka.bootstrap.servers"' in src
     assert sig.parameters["starting_offsets"].default == "earliest"
-    assert "from_json" in src  # the 'format'='json' mapping
+    # the 'format'='json' mapping lives in the shared decode stage,
+    # which kafka_stream must route through (the same function the
+    # live kafka_replay wire twin exercises)
+    assert "parse_kafka_frame(" in src
+    assert "from_json" in inspect.getsource(parse_kafka_frame)
 
 
 def test_event_time_anchor_and_watermark_mirrored(ddl):
