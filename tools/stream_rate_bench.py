@@ -150,6 +150,99 @@ def main() -> int:
             stream, index_path, os.path.join(work, "ckpt")
         )
 
+    def run_polled(job_name: str, start_job, expected_rows: int, out_of) -> None:
+        """Like run(), for jobs on sources without availableNow
+        admission control (the kafka_replay wire source): drive with a
+        continuous trigger, poll the sink row count to `expected_rows`,
+        then stop. `out_of(work)` -> sink path to poll."""
+        import time as _t
+
+        listener = RateListener()
+        spark.streams.addListener(listener)
+        work = tempfile.mkdtemp(prefix=f"rate_{job_name}_")
+        try:
+            q = start_job(work)
+            sink = out_of(work)
+            deadline = _t.time() + 600
+            while _t.time() < deadline:
+                try:
+                    if spark.read.parquet(sink).count() >= expected_rows:
+                        break
+                except Exception:
+                    pass
+                _t.sleep(0.5)
+            q.stop()
+            q.awaitTermination(60)
+            got = spark.read.parquet(sink).count()
+            if got < expected_rows:
+                raise TimeoutError(f"{job_name}: {got}/{expected_rows} in 600s")
+            deadline = _t.time() + 30
+            while len(listener.batches) < n_batches and _t.time() < deadline:
+                _t.sleep(0.2)
+        finally:
+            spark.streams.removeListener(listener)
+            shutil.rmtree(work, ignore_errors=True)
+        lat = sorted(b["duration_ms"] or 0 for b in listener.batches)
+        n = len(lat)
+        row = {
+            "job": job_name,
+            "micro_batches": n,
+            "rows": listener.total_rows(),
+            "sustained_rows_per_sec": round(listener.throughput(), 1),
+            "trigger_ms_p50": lat[n // 2] if n else None,
+            "trigger_ms_max": lat[-1] if n else None,
+        }
+        results[job_name] = row
+        print(json.dumps(row), flush=True)
+
+    def start_kafka_wire(work: str):
+        # r9: the Kafka-wire consume path as a RATE — producer frames
+        # through the kafka_replay source (offset-planned delivery,
+        # maxOffsetsPerTrigger-capped micro-batches) and the S1 decode
+        # stage into a parquet sink; compare against the reference
+        # producer's ~536 msg/s Prometheus baseline (BASELINE.md)
+        from kafka_flink_streaming_pipeline_spark.sources.kafka_replay import (
+            kafka_replay_stream,
+            produce_topic_log,
+        )
+
+        events = load_table(spark, sf_dir, "events")
+        frame = events.select(
+            F.col("user_id").cast("string").alias("key"),
+            F.to_json(
+                F.struct(
+                    F.col("event_id"),
+                    F.unix_micros("ts").alias("ts_us"),
+                    F.col("user_id"),
+                    F.col("event_type"),
+                    F.col("value"),
+                    F.col("props"),
+                )
+            ).alias("value"),
+            F.col("ts"),
+            F.col("event_id").alias("seq"),
+        )
+        log = os.path.join(work, "log")
+        produce_topic_log(frame, log, n_partitions=4, order_cols=("ts", "seq"))
+        cap = max(1, events.count() // n_batches)
+        stream = kafka_replay_stream(
+            spark,
+            log,
+            "event_id bigint, ts_us bigint, user_id bigint, "
+            "event_type string, value double, props string",
+            max_records_per_trigger=cap,
+            group_id="rate_bench",  # group cursor => cap binds from batch 0
+        )
+        return (
+            stream.select("event_id", "event_type", "value")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", os.path.join(work, "out"))
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
     # optional argv[3]: comma-separated job filter (sf1 runs are long;
     # lets a scaling probe time one job without paying for the others)
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
@@ -163,6 +256,14 @@ def main() -> int:
     for name, starter in jobs:
         if only is None or name in only:
             run(name, starter)
+    if only is None or "kafka_wire" in only:
+        n_events = load_table(spark, sf_dir, "events").count()
+        run_polled(
+            "kafka_wire",
+            start_kafka_wire,
+            n_events,
+            lambda work: os.path.join(work, "out"),
+        )
 
     print(
         json.dumps(
