@@ -26,6 +26,16 @@ reproducible:
   resumes exactly where its group left off
 - offsets checkpointed by the engine; resume is exact
 
+Contract difference vs the real connector, by API limitation: under
+``trigger(availableNow=True)`` the engine captures this reader's
+``latestOffset()`` ONCE at query start (Python sources get no
+admission-control handshake), so a cap makes an availableNow run
+drain at most ``cap`` records before terminating — the real Kafka
+source instead runs MULTIPLE capped batches to the captured end. Use
+a processing-time trigger for rate-capped draining (what
+tests/test_kafka_replay_source.py and tools/stream_rate_bench.py do),
+or leave the cap unset under availableNow.
+
 `KafkaReplaySource` implements all five over a partitioned parquet
 "topic log" directory written by `produce_topic_log` (key-hash
 partitioning like the reference's keyed producer; within a partition
