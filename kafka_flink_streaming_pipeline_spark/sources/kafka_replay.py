@@ -140,6 +140,39 @@ def produce_topic_log(
     shutil.rmtree(staged, ignore_errors=True)
 
 
+def distribute_cap(
+    cur: dict[str, int], lens: dict[str, int], cap: int
+) -> dict[str, int]:
+    """maxOffsetsPerTrigger admission arithmetic: given per-partition
+    positions `cur` and log lengths `lens`, return end offsets that
+    release at most `cap` records total, distributed across partitions
+    proportional to lag (integer floor shares, remainder handed out in
+    sorted key order to partitions that still have lag).
+
+    Pure function so the invariants are property-tested directly
+    (tests/test_kafka_replay_source.py): never regresses below cur,
+    never exceeds the log, releases exactly min(cap, total lag), and
+    exhausts the cap whenever lag remains.
+    """
+    lag = {k: max(0, lens[k] - cur.get(k, 0)) for k in lens}
+    total = sum(lag.values())
+    if total <= cap:
+        return {k: max(lens[k], cur.get(k, 0)) for k in lens}
+    end, given = {}, 0
+    keys = sorted(lens)
+    for k in keys:
+        share = cap * lag[k] // total
+        end[k] = cur.get(k, 0) + share
+        given += share
+    for k in keys:  # hand out the integer-division remainder
+        if given >= cap:
+            break
+        if end[k] < lens[k]:
+            end[k] += 1
+            given += 1
+    return end
+
+
 class _LogSlice(InputPartition):
     """One topic-partition's offset range for one micro-batch, plus
     the segment-file plan to read it: (path, first_offset, num_rows)
@@ -274,26 +307,8 @@ class KafkaReplayStreamReader(DataSourceStreamReader):
         if self._cap is None:
             self._pos = {k: max(v, self._pos.get(k, 0)) for k, v in lens.items()}
             return {self._topic: lens}
-        # distribute the cap across partitions proportional to lag,
-        # remainder round-robin — maxOffsetsPerTrigger semantics
         cur = {k: self._pos.get(k, 0) for k in lens}
-        lag = {k: max(0, lens[k] - cur[k]) for k in lens}
-        total = sum(lag.values())
-        if total <= self._cap:
-            end = lens
-        else:
-            end, given = {}, 0
-            keys = sorted(lens)
-            for k in keys:
-                share = self._cap * lag[k] // total
-                end[k] = cur[k] + share
-                given += share
-            for k in keys:  # hand out the integer-division remainder
-                if given >= self._cap:
-                    break
-                if end[k] < lens[k]:
-                    end[k] += 1
-                    given += 1
+        end = distribute_cap(cur, lens, self._cap)
         self._pos = {k: max(self._pos.get(k, 0), v) for k, v in end.items()}
         return {self._topic: end}
 

@@ -17,9 +17,13 @@ import json
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
 from kafka_flink_streaming_pipeline_spark.sources.kafka_replay import (
     KafkaReplaySource,
+    distribute_cap,
     kafka_replay_stream,
     produce_topic_log,
 )
@@ -245,6 +249,39 @@ def test_rate_limit_and_checkpoint_restart_exactly_once(spark, tmp_path):
         prev = cur
     over = [s for s in sizes if s > cap]
     assert len(over) <= 2, f"more uncapped batches than reader generations: {sizes}"
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    parts=st.dictionaries(
+        st.integers(min_value=0, max_value=12).map(str),
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),  # cur
+            st.integers(min_value=0, max_value=10_000),  # extra lag
+        ),
+        min_size=1,
+        max_size=13,
+    ),
+    cap=st.integers(min_value=1, max_value=30_000),
+)
+def test_distribute_cap_invariants(parts, cap):
+    """The admission-control arithmetic, property-tested as a pure
+    function (no Spark): never regresses below the current position,
+    never exceeds the log, releases EXACTLY min(cap, total lag) — the
+    cap is fully used whenever lag remains (the single remainder pass
+    is sufficient: at least `remainder` partitions have a nonzero
+    fractional share), and the result is deterministic."""
+    cur = {k: c for k, (c, _) in parts.items()}
+    lens = {k: c + extra for k, (c, extra) in parts.items()}
+    end = distribute_cap(cur, lens, cap)
+
+    assert set(end) == set(lens)
+    for k in lens:
+        assert cur[k] <= end[k] <= lens[k], (k, cur[k], end[k], lens[k])
+    released = sum(end[k] - cur[k] for k in lens)
+    total_lag = sum(lens[k] - cur[k] for k in lens)
+    assert released == min(cap, total_lag), (released, cap, total_lag)
+    assert end == distribute_cap(cur, lens, cap)  # deterministic
 
 
 def test_available_now_with_cap_drains_capped_prefix(spark, tmp_path):
