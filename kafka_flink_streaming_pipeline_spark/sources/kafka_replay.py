@@ -36,7 +36,7 @@ a processing-time trigger for rate-capped draining (what
 tests/test_kafka_replay_source.py and tools/stream_rate_bench.py do),
 or leave the cap unset under availableNow.
 
-`KafkaReplaySource` implements all five over a partitioned parquet
+`KafkaReplaySource` implements all of the above over a partitioned parquet
 "topic log" directory written by `produce_topic_log` (key-hash
 partitioning like the reference's keyed producer; within a partition
 the log order is the producer's send order). Downstream, the SAME
@@ -87,7 +87,6 @@ KAFKA_WIRE_DDL = (
 def produce_topic_log(
     frame: DataFrame,
     log_dir: str,
-    topic: str = "events",
     n_partitions: int = 4,
     segment: int = 0,
     order_cols: tuple[str, ...] = ("ts",),
