@@ -1113,7 +1113,71 @@ ORDER BY split_a, split_b
 """
 
 
+# --- soft dedup: reweight duplicated docs instead of dropping them ---------
+
+
+def dedup_soft_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup-style duplication reweighting (He et al., "SoftDedup:
+    an Efficient Data Reweighting Method for Speeding Up Language Model
+    Pre-training", ACL 2024): instead of HARD-dropping near-duplicates
+    (`dedup_keep_best_lsh`), every member of a near-dup component gets
+    sampling weight 1/|component| — the component as a whole
+    contributes one document's worth of expected training mass, but no
+    individual copy (with its unique context) is discarded.
+
+    Per-doc manifest over the shared banded-LSH component labeling:
+    ``weight_ppm = 1_000_000 DIV comp_size`` (integer arithmetic, both
+    engines truncate non-negative DIV identically). Component sizes
+    come from ONE count window over the labeling — no sizes join, no
+    second shuffle (and, oracle-side, no second reference to the
+    closure CTE). Corpus-sized output, unsorted (the driver compare is
+    order-insensitive). At 100 TB: the labeling is the
+    `dedup_components_lsh` fixpoint (bounded by true near-dup density),
+    the window is one shuffle on component_id, the documents join is
+    key-co-partitioned on doc_id — nothing quadratic, nothing
+    driver-sized."""
+    comp = _labels_as_components(_components_labels(spark, sf_dir, "lsh")).select(
+        "doc_id", "component_id"
+    )
+    sized = comp.withColumn(
+        "comp_size", F.count("*").over(Window.partitionBy("component_id"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return sized.join(docs, "doc_id").select(
+        "doc_id",
+        "source",
+        "component_id",
+        "comp_size",
+        F.expr("CAST(1000000 DIV comp_size AS BIGINT)").alias("weight_ppm"),
+        "n_chars",
+    )
+
+
+def _soft_reweight_oracle() -> str:
+    return f"""
+WITH {lsh_components_unrolled_ctes()},
+sized AS (
+  SELECT doc_id, component_id,
+         count(*) OVER (PARTITION BY component_id) AS comp_size
+  FROM comp
+)
+SELECT s.doc_id, d.source, s.component_id, s.comp_size,
+       1000000 // s.comp_size AS weight_ppm, d.n_chars
+FROM sized s JOIN documents d ON d.doc_id = s.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_soft_reweight": QuerySpec(
+        "dedup_soft_reweight",
+        dedup_soft_reweight,
+        _soft_reweight_oracle(),
+        "SoftDedup reweighting: per-doc sampling weight 1/|near-dup "
+        "component| over the banded-LSH labeling (reweight-not-drop "
+        "dedup, ACL 2024)",
+    ),
     "split_leakage_check": QuerySpec(
         "split_leakage_check",
         split_leakage_check,

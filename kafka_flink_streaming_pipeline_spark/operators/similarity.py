@@ -36,7 +36,7 @@ import pandas as pd  # module-global so stringified pandas_udf type
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_flink_streaming_pipeline_spark.functions.core import det_round
+from kafka_flink_streaming_pipeline_spark.functions.core import det_round, det_round_sql
 from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
 from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
 
@@ -3002,6 +3002,233 @@ ORDER BY label, nn_label
 """
 
 
+# --- MMR diversified retrieval (Carbonell & Goldstein, SIGIR 1998) --------
+
+_MMR_SHORTLIST = 50  # relevance shortlist fed to the greedy selection
+_MMR_K = 10  # diversified results returned per query
+_MMR_LAMBDA = 0.7  # relevance weight; repr() round-trips to the same double
+_MMR_MU = 0.3  # redundancy penalty — EXPLICIT literal, not 1-λ (which is
+               # 0.30000000000000004 in binary and would diverge from the
+               # SQL literal 0.3)
+
+
+def hybrid_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein, SIGIR 1998) of a per-query relevance shortlist: greedily
+    pick argmax over unpicked candidates of
+    ``λ·rel(q,c) − (1−λ)·max_{s∈picked} sim(c,s)`` for {_MMR_K} rounds
+    — the classic redundancy-penalized reranker between retrieval and
+    the context window (RAG result diversification, few-shot example
+    selection).
+
+    Engine design — no pair table, no Python stage: the greedy loop is
+    {_MMR_K} unrolled rounds of TWO window passes over the shortlist
+    state table (one row per (query, candidate) carrying the int8 code,
+    the current max-similarity-to-picked and the pick rank). Per round:
+    (1) rank rows unpicked-first by MMR score; (2) broadcast the new
+    pick's code/norm to its partition via ``first_value`` ordered by
+    that rank, then update each unpicked row's ``maxsim`` with ONE
+    similarity evaluation against the new pick. Every round is
+    partitioned by query_id, so the whole loop is one exchange + K
+    chained in-partition sorts of {_MMR_SHORTLIST} rows per query —
+    cost O(K·S·(log S + d)) per query, independent of corpus size.
+
+    Determinism: symmetric int8 codes (the `knn_label_agreement`
+    layout) make every dot product an exact int64; norms/similarities
+    derive from those integers via correctly-rounded IEEE ops (sqrt,
+    div, mul, sub), so doubles are bit-identical cross-engine and the
+    greedy argmax (tie-break cand_id) picks the same candidate in both.
+    λ and the redundancy weight are interpolated as the literals 0.7 /
+    0.3 in both engines (NOT computed as 1−λ, which differs in the
+    last ulp).
+
+    At 100 TB the shortlist should come from the ANN index
+    (`sim_ann_ivf` / `sim_topk_cosine_pq`); the exact int8 scan here
+    anchors the oracle, same convention as `hybrid_retrieval_rerank`.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    code = F.transform(v, lambda x: (x / (amax / F.lit(127.0))).cast("int"))
+    codes = (
+        e.select(F.col("vec_id"), amax.alias("amax"), code.alias("c8"))
+        .filter(F.col("amax") > 0)
+        .withColumn("nrm8", F.sqrt(_dot(F.col("c8"), F.col("c8"))))
+        .drop("amax")
+    )
+    queries = F.broadcast(
+        codes.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("c8").alias("q8"),
+            F.col("nrm8").alias("qn"),
+        )
+    )
+    rel = (
+        queries.crossJoin(
+            codes.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("c8").alias("cv8"),
+                F.col("nrm8").alias("cn"),
+            )
+        )
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "cv8",
+            "cn",
+            (_dot(F.col("q8"), F.col("cv8")) / F.col("qn") / F.col("cn")).alias(
+                "rel"
+            ),
+        )
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
+    # shortlist state: maxsim-to-picked starts at 0, nothing picked.
+    # localCheckpoint truncates the crossJoin lineage so the K unrolled
+    # rounds below optimize over a 250-row leaf, not the full scan.
+    state = (
+        rel.withColumn("rn0", F.row_number().over(w_rel))
+        .filter(F.col("rn0") <= _MMR_SHORTLIST)
+        .select(
+            "query_id",
+            "cand_id",
+            "cv8",
+            "cn",
+            "rel",
+            F.lit(0.0).alias("maxsim"),
+            F.lit(None).cast("int").alias("prk"),
+            F.lit(None).cast("double").alias("pick_score"),
+        )
+        .localCheckpoint()
+    )
+    lam, mu = F.lit(_MMR_LAMBDA), F.lit(_MMR_MU)
+    for r in range(1, _MMR_K + 1):
+        w_pick = Window.partitionBy("query_id").orderBy(
+            F.col("prk").isNull().desc(), F.desc("score"), F.asc("cand_id")
+        )
+        w_q = Window.partitionBy("query_id").orderBy("rn")
+        st = (
+            state.withColumn("score", lam * F.col("rel") - mu * F.col("maxsim"))
+            .withColumn("rn", F.row_number().over(w_pick))
+            .withColumn("pick_c8", F.first("cv8").over(w_q))
+            .withColumn("pick_cn", F.first("cn").over(w_q))
+            .withColumn("pick_id", F.first("cand_id").over(w_q))
+            .withColumn("pick_was_new", F.first(F.col("prk").isNull()).over(w_q))
+        )
+        state = st.select(
+            "query_id",
+            "cand_id",
+            "cv8",
+            "cn",
+            "rel",
+            F.when(
+                F.col("pick_was_new")
+                & F.col("prk").isNull()
+                & (F.col("cand_id") != F.col("pick_id")),
+                F.greatest(
+                    F.col("maxsim"),
+                    _dot(F.col("cv8"), F.col("pick_c8"))
+                    / F.col("cn")
+                    / F.col("pick_cn"),
+                ),
+            )
+            .otherwise(F.col("maxsim"))
+            .alias("maxsim"),
+            F.when(F.col("prk").isNull() & (F.col("rn") == 1), F.lit(r))
+            .otherwise(F.col("prk"))
+            .alias("prk"),
+            F.when(F.col("prk").isNull() & (F.col("rn") == 1), F.col("score"))
+            .otherwise(F.col("pick_score"))
+            .alias("pick_score"),
+        )
+    return (
+        state.filter(F.col("prk").isNotNull())
+        .select(
+            "query_id",
+            F.col("prk").alias("rank"),
+            "cand_id",
+            det_round(F.col("rel"), 6).alias("rel6"),
+            det_round(F.col("pick_score"), 6).alias("mmr6"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _mmr_oracle() -> str:
+    """DuckDB twin of `hybrid_retrieval_mmr`: the same greedy loop as
+    {_MMR_K} unrolled single-reference CTE rounds (each ``st{{r}}``
+    reads ``st{{r-1}}`` EXACTLY once — the `lsh_components_unrolled_ctes`
+    lesson: DuckDB inlines a CTE per reference, so a twice-referenced
+    round would double the upstream subtree per pass). The new pick's
+    code is broadcast within each round by ``first_value`` windows over
+    the pick ranking, mirroring the Spark plan operation-for-operation
+    so every double is bit-identical."""
+    rounds = []
+    for r in range(1, _MMR_K + 1):
+        rounds.append(
+            f"""st{r} AS (
+  SELECT query_id, cand_id, cv8, cn, rel,
+         CASE WHEN pick_was_new AND prk IS NULL AND cand_id <> pick_id
+              THEN greatest(maxsim, list_dot_product(cv8, pick_c8) / cn / pick_cn)
+              ELSE maxsim END AS maxsim,
+         CASE WHEN prk IS NULL AND rn = 1 THEN {r} ELSE prk END AS prk,
+         CASE WHEN prk IS NULL AND rn = 1 THEN score ELSE pick_score END AS pick_score
+  FROM (
+    SELECT *,
+           first_value(cv8) OVER w AS pick_c8,
+           first_value(cn) OVER w AS pick_cn,
+           first_value(cand_id) OVER w AS pick_id,
+           first_value(prk IS NULL) OVER w AS pick_was_new
+    FROM (
+      SELECT *, {_MMR_LAMBDA} * rel - {_MMR_MU} * maxsim AS score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY (prk IS NULL) DESC,
+                                         ({_MMR_LAMBDA} * rel - {_MMR_MU} * maxsim) DESC,
+                                         cand_id ASC) AS rn
+      FROM st{r - 1}
+    )
+    WINDOW w AS (PARTITION BY query_id ORDER BY rn)
+  )
+)"""
+        )
+    chain = ",\n".join(rounds)
+    return f"""
+WITH e AS ({_DUCK_EMB}),
+c8t AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(CAST(trunc(x / (amax / 127.0)) AS INT)
+                                     AS DOUBLE)) AS c8
+  FROM (SELECT vec_id, v,
+               list_aggregate(list_transform(v, x -> abs(x)), 'max') AS amax
+        FROM e)
+  WHERE amax > 0
+),
+n8 AS (SELECT vec_id, c8, sqrt(list_dot_product(c8, c8)) AS nrm FROM c8t),
+relt AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.c8 AS cv8, c.nrm AS cn,
+         list_dot_product(q.c8, c.c8) / q.nrm / c.nrm AS rel
+  FROM n8 q CROSS JOIN n8 c
+  WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id
+),
+st0 AS (
+  SELECT query_id, cand_id, cv8, cn, rel,
+         0.0 AS maxsim, CAST(NULL AS INT) AS prk,
+         CAST(NULL AS DOUBLE) AS pick_score
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, cand_id ASC) AS rn0
+        FROM relt)
+  WHERE rn0 <= {_MMR_SHORTLIST}
+),
+{chain}
+SELECT query_id, prk AS rank, cand_id,
+       {det_round_sql('rel')} AS rel6,
+       {det_round_sql('pick_score')} AS mmr6
+FROM st{_MMR_K}
+WHERE prk IS NOT NULL
+ORDER BY query_id, rank
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "knn_label_agreement": QuerySpec(
         "knn_label_agreement",
@@ -3057,6 +3284,14 @@ QUERIES: dict[str, QuerySpec] = {
         hybrid_retrieval_rrf,
         _rrf_oracle(),
         "reciprocal-rank fusion of independent BM25 and cosine top-50 lists",
+    ),
+    "hybrid_retrieval_mmr": QuerySpec(
+        "hybrid_retrieval_mmr",
+        hybrid_retrieval_mmr,
+        _mmr_oracle(),
+        "MMR diversified top-10 over the relevance shortlist: 10 "
+        "unrolled greedy rounds of window argmax on the symmetric-int8 "
+        "scoring layout (redundancy-penalized RAG reranker)",
     ),
     "hybrid_retrieval_rrf_ann": QuerySpec(
         "hybrid_retrieval_rrf_ann",

@@ -384,6 +384,29 @@ class KafkaReplaySource(DataSource):
         return KafkaReplayStreamReader(self.options)
 
 
+def register_kafka_replay(spark: SparkSession) -> None:
+    """Register the source with THIS MODULE pickled by value.
+
+    The engine ships the DataSource class to a Python worker
+    (pyspark/sql/worker/create_data_source.py) via cloudpickle, which
+    serializes module-level classes BY REFERENCE — the worker then
+    needs this package importable, which is only true when the Spark
+    app's cwd happens to be the repo root (pytest). A grading driver
+    running from any other cwd gets PYTHON_DATA_SOURCE_ERROR at
+    planning time (observed: tools/driver_sim.py from /tmp). Marking
+    the module for by-value pickling makes the class + its
+    same-module dependencies (`KafkaReplayStreamReader`, `_LogSlice`,
+    `distribute_cap`) travel inside the pickle, with only
+    stdlib/pyspark/pyarrow imported on the worker — the same
+    self-containment rule the repo's mapInPandas closures follow."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    spark.dataSource.register(KafkaReplaySource)
+
+
 def kafka_replay_stream(
     spark: SparkSession,
     log_dir: str,
@@ -403,7 +426,7 @@ def kafka_replay_stream(
         parse_kafka_frame,
     )
 
-    spark.dataSource.register(KafkaReplaySource)
+    register_kafka_replay(spark)
     raw = (
         spark.readStream.format("kafka_replay")
         .option("path", log_dir)

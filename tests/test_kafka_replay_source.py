@@ -22,7 +22,7 @@ from hypothesis import strategies as st
 
 from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
 from kafka_flink_streaming_pipeline_spark.sources.kafka_replay import (
-    KafkaReplaySource,
+    register_kafka_replay,
     distribute_cap,
     kafka_replay_stream,
     produce_topic_log,
@@ -94,7 +94,7 @@ def test_roundtrip_exact_and_per_partition_order(spark, tmp_path):
     n = events.count()
 
     # raw wire: offsets dense from 0 per partition, ts monotone in offset
-    spark.dataSource.register(KafkaReplaySource)
+    register_kafka_replay(spark)
     raw_q_out = str(tmp_path / "raw_out")
     raw = (
         spark.readStream.format("kafka_replay").option("path", log).load()
@@ -146,7 +146,7 @@ def test_starting_offsets_json_skips_exact_prefix(spark, tmp_path):
     at EXACTLY those offsets, everything else from 0."""
     log = str(tmp_path / "log")
     _produce(spark, log)
-    spark.dataSource.register(KafkaReplaySource)
+    register_kafka_replay(spark)
     starting = json.dumps({"events": {"0": 7, "2": 3}})
     raw = (
         spark.readStream.format("kafka_replay")
@@ -171,7 +171,7 @@ def test_rate_limit_and_checkpoint_restart_exactly_once(spark, tmp_path):
     first = _produce(spark, log, segment=0, pred=F.col("event_id") % 3 != 0)
     cap = 40
 
-    spark.dataSource.register(KafkaReplaySource)
+    register_kafka_replay(spark)
 
     def start():
         raw = (
@@ -299,7 +299,7 @@ def test_available_now_with_cap_drains_capped_prefix(spark, tmp_path):
     cap = 100
     assert n_all > 2 * cap
 
-    spark.dataSource.register(KafkaReplaySource)
+    register_kafka_replay(spark)
     out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
 
     def run_once():
@@ -344,7 +344,7 @@ def test_group_offsets_cap_binds_on_every_batch(spark, tmp_path):
     n_all = events.count()
     cap = 50
 
-    spark.dataSource.register(KafkaReplaySource)
+    register_kafka_replay(spark)
 
     def start(ck, out):
         raw = (

@@ -1,0 +1,68 @@
+"""Semantic invariants of the r9 late additions — `hybrid_retrieval_mmr`
+and `dedup_soft_reweight` — beyond the oracle hash-compare (which checks
+cross-engine agreement, not that the math means what the docstring
+claims).
+
+MMR (Carbonell & Goldstein 1998) invariants:
+- rank 1 is the pure-relevance argmax (maxsim starts at 0, so round 1's
+  score ordering is λ·rel ≡ rel ordering);
+- picks are distinct candidates;
+- pick-time MMR scores are non-increasing in rank: each candidate's
+  maxsim only ever grows, so the pool's best achievable score cannot
+  increase between rounds.
+
+SoftDedup (He et al., ACL 2024) invariants:
+- every document appears exactly once;
+- singleton components carry weight exactly 1_000_000 ppm;
+- per component, sum(weight_ppm) = size·(1e6 DIV size) — within one
+  comp_size of 1e6 from below (integer-DIV floor), i.e. each component
+  contributes ~one document of expected mass.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from tests.conftest import SF_CORRECT
+
+
+def test_mmr_greedy_invariants(spark):
+    from kafka_flink_streaming_pipeline_spark.operators.similarity import (
+        _MMR_K,
+        hybrid_retrieval_mmr,
+        topk_cosine_int8,
+    )
+
+    rows = hybrid_retrieval_mmr(spark, SF_CORRECT).collect()
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r.query_id].append(r)
+    assert len(by_q) == 5
+    # int8 relevance top-1 (same scoring layout, symmetric codes differ
+    # from topk_cosine_int8's asymmetric float-query side — so recompute
+    # rank-1 from the MMR output itself: rank 1 must have max rel6)
+    for q, picks in by_q.items():
+        picks.sort(key=lambda r: r.rank)
+        assert [p.rank for p in picks] == list(range(1, _MMR_K + 1))
+        assert len({p.cand_id for p in picks}) == _MMR_K
+        assert picks[0].rel6 == max(p.rel6 for p in picks), q
+        scores = [p.mmr6 for p in picks]
+        assert all(a >= b for a, b in zip(scores, scores[1:])), (q, scores)
+
+
+def test_soft_reweight_mass_conservation(spark):
+    from kafka_flink_streaming_pipeline_spark.operators.datasets import (
+        dedup_soft_reweight,
+    )
+
+    rows = dedup_soft_reweight(spark, SF_CORRECT).collect()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    comp_mass = defaultdict(int)
+    comp_size = {}
+    for r in rows:
+        assert r.weight_ppm == 1_000_000 // r.comp_size
+        comp_mass[r.component_id] += r.weight_ppm
+        comp_size[r.component_id] = r.comp_size
+    assert any(s > 1 for s in comp_size.values()), "testdata lost its near-dups"
+    for cid, mass in comp_mass.items():
+        assert 1_000_000 - comp_size[cid] < mass <= 1_000_000, cid
