@@ -3022,16 +3022,18 @@ def hybrid_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection).
 
     Engine design — no pair table, no Python stage: the greedy loop is
-    {_MMR_K} unrolled rounds of TWO window passes over the shortlist
-    state table (one row per (query, candidate) carrying the int8 code,
-    the current max-similarity-to-picked and the pick rank). Per round:
-    (1) rank rows unpicked-first by MMR score; (2) broadcast the new
-    pick's code/norm to its partition via ``first_value`` ordered by
-    that rank, then update each unpicked row's ``maxsim`` with ONE
-    similarity evaluation against the new pick. Every round is
-    partitioned by query_id, so the whole loop is one exchange + K
-    chained in-partition sorts of {_MMR_SHORTLIST} rows per query —
-    cost O(K·S·(log S + d)) per query, independent of corpus size.
+    {_MMR_K} unrolled rounds of ONE unordered window aggregate over the
+    shortlist state table (one row per (query, candidate) carrying the
+    int8 code, the current max-similarity-to-picked and the pick rank).
+    Per round, ``max(struct(unpicked, score, -cand_id, code, norm))``
+    over the query partition is a map-side-combinable argmax (the
+    `_keep_best` pattern) that simultaneously ELECTS the new pick and
+    BROADCASTS its code/norm to every row of the partition; each
+    unpicked row then updates its ``maxsim`` with ONE similarity
+    evaluation against that pick. The whole loop is one exchange on
+    query_id + K chained whole-partition aggregates of
+    {_MMR_SHORTLIST} rows per query — no per-round sort, no join, cost
+    O(K·S·d) per query, independent of corpus size.
 
     Determinism: symmetric int8 codes (the `knn_label_agreement`
     layout) make every dot product an exact int64; norms/similarities
@@ -3102,18 +3104,29 @@ def hybrid_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     lam, mu = F.lit(_MMR_LAMBDA), F.lit(_MMR_MU)
+    w_q = Window.partitionBy("query_id")
     for r in range(1, _MMR_K + 1):
-        w_pick = Window.partitionBy("query_id").orderBy(
-            F.col("prk").isNull().desc(), F.desc("score"), F.asc("cand_id")
+        # struct-max argmax: unpicked-first, then score, then min
+        # cand_id (via max of the negation); the winner's code/norm
+        # ride along in the struct so no second pass is needed
+        st = state.withColumn(
+            "score", lam * F.col("rel") - mu * F.col("maxsim")
+        ).withColumn(
+            "best",
+            F.max(
+                F.struct(
+                    F.col("prk").isNull().alias("u"),
+                    F.col("score").alias("s"),
+                    (-F.col("cand_id")).alias("nid"),
+                    F.col("cv8").alias("c8"),
+                    F.col("cn").alias("n"),
+                )
+            ).over(w_q),
         )
-        w_q = Window.partitionBy("query_id").orderBy("rn")
-        st = (
-            state.withColumn("score", lam * F.col("rel") - mu * F.col("maxsim"))
-            .withColumn("rn", F.row_number().over(w_pick))
-            .withColumn("pick_c8", F.first("cv8").over(w_q))
-            .withColumn("pick_cn", F.first("cn").over(w_q))
-            .withColumn("pick_id", F.first("cand_id").over(w_q))
-            .withColumn("pick_was_new", F.first(F.col("prk").isNull()).over(w_q))
+        is_pick = (
+            F.col("best.u")
+            & F.col("prk").isNull()
+            & (F.col("cand_id") == -F.col("best.nid"))
         )
         state = st.select(
             "query_id",
@@ -3122,22 +3135,20 @@ def hybrid_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cn",
             "rel",
             F.when(
-                F.col("pick_was_new")
+                F.col("best.u")
                 & F.col("prk").isNull()
-                & (F.col("cand_id") != F.col("pick_id")),
+                & (F.col("cand_id") != -F.col("best.nid")),
                 F.greatest(
                     F.col("maxsim"),
-                    _dot(F.col("cv8"), F.col("pick_c8"))
+                    _dot(F.col("cv8"), F.col("best.c8"))
                     / F.col("cn")
-                    / F.col("pick_cn"),
+                    / F.col("best.n"),
                 ),
             )
             .otherwise(F.col("maxsim"))
             .alias("maxsim"),
-            F.when(F.col("prk").isNull() & (F.col("rn") == 1), F.lit(r))
-            .otherwise(F.col("prk"))
-            .alias("prk"),
-            F.when(F.col("prk").isNull() & (F.col("rn") == 1), F.col("score"))
+            F.when(is_pick, F.lit(r)).otherwise(F.col("prk")).alias("prk"),
+            F.when(is_pick, F.col("score"))
             .otherwise(F.col("pick_score"))
             .alias("pick_score"),
         )
@@ -3159,35 +3170,33 @@ def _mmr_oracle() -> str:
     {_MMR_K} unrolled single-reference CTE rounds (each ``st{{r}}``
     reads ``st{{r-1}}`` EXACTLY once — the `lsh_components_unrolled_ctes`
     lesson: DuckDB inlines a CTE per reference, so a twice-referenced
-    round would double the upstream subtree per pass). The new pick's
-    code is broadcast within each round by ``first_value`` windows over
-    the pick ranking, mirroring the Spark plan operation-for-operation
-    so every double is bit-identical."""
+    round would double the upstream subtree per pass). Each round's
+    pick election + code broadcast is the same unordered
+    ``max(struct(unpicked, score, -cand_id, code, norm))`` window
+    aggregate the Spark plan runs (struct comparison is lexicographic
+    in both engines, booleans order false < true in both), so every
+    double is bit-identical."""
     rounds = []
     for r in range(1, _MMR_K + 1):
         rounds.append(
             f"""st{r} AS (
   SELECT query_id, cand_id, cv8, cn, rel,
-         CASE WHEN pick_was_new AND prk IS NULL AND cand_id <> pick_id
-              THEN greatest(maxsim, list_dot_product(cv8, pick_c8) / cn / pick_cn)
+         CASE WHEN best.u AND prk IS NULL AND cand_id <> -best.nid
+              THEN greatest(maxsim, list_dot_product(cv8, best.c8) / cn / best.n)
               ELSE maxsim END AS maxsim,
-         CASE WHEN prk IS NULL AND rn = 1 THEN {r} ELSE prk END AS prk,
-         CASE WHEN prk IS NULL AND rn = 1 THEN score ELSE pick_score END AS pick_score
+         CASE WHEN best.u AND prk IS NULL AND cand_id = -best.nid
+              THEN {r} ELSE prk END AS prk,
+         CASE WHEN best.u AND prk IS NULL AND cand_id = -best.nid
+              THEN score ELSE pick_score END AS pick_score
   FROM (
     SELECT *,
-           first_value(cv8) OVER w AS pick_c8,
-           first_value(cn) OVER w AS pick_cn,
-           first_value(cand_id) OVER w AS pick_id,
-           first_value(prk IS NULL) OVER w AS pick_was_new
+           max({{'u': prk IS NULL, 's': score, 'nid': -cand_id,
+                 'c8': cv8, 'n': cn}})
+             OVER (PARTITION BY query_id) AS best
     FROM (
-      SELECT *, {_MMR_LAMBDA} * rel - {_MMR_MU} * maxsim AS score,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY (prk IS NULL) DESC,
-                                         ({_MMR_LAMBDA} * rel - {_MMR_MU} * maxsim) DESC,
-                                         cand_id ASC) AS rn
+      SELECT *, {_MMR_LAMBDA} * rel - {_MMR_MU} * maxsim AS score
       FROM st{r - 1}
     )
-    WINDOW w AS (PARTITION BY query_id ORDER BY rn)
   )
 )"""
         )
