@@ -204,6 +204,12 @@ HEADLINE = [
     "curation_diversity_sample",
     "profile_source_vocab_overlap",
     "curation_moore_lewis_select",
+    # round-9 late additions (dedup_exactsubstr_scrub is already listed
+    # above; kafka_roundtrip_stream_materialized is a writeStream twin
+    # and stays out of the battery like its six siblings)
+    "hybrid_retrieval_mmr",
+    "dedup_soft_reweight",
+    "hybrid_retrieval_mmr_ann",
 ]
 
 

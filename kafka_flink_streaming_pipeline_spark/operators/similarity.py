@@ -3044,20 +3044,12 @@ def hybrid_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.3 in both engines (NOT computed as 1−λ, which differs in the
     last ulp).
 
-    At 100 TB the shortlist should come from the ANN index
-    (`sim_ann_ivf` / `sim_topk_cosine_pq`); the exact int8 scan here
-    anchors the oracle, same convention as `hybrid_retrieval_rerank`.
+    At 100 TB the shortlist should come from the ANN index — that
+    composition is registered as `hybrid_retrieval_mmr_ann` (PQ-ADC
+    shortlist, shared greedy core); the exact int8 scan here anchors
+    the oracle, same convention as `hybrid_retrieval_rerank`.
     """
-    e = load_table(spark, sf_dir, "embeddings")
-    v = F.transform("embedding", lambda x: x.cast("double"))
-    amax = F.array_max(F.transform(v, F.abs))
-    code = F.transform(v, lambda x: (x / (amax / F.lit(127.0))).cast("int"))
-    codes = (
-        e.select(F.col("vec_id"), amax.alias("amax"), code.alias("c8"))
-        .filter(F.col("amax") > 0)
-        .withColumn("nrm8", F.sqrt(_dot(F.col("c8"), F.col("c8"))))
-        .drop("amax")
-    )
+    codes = _int8_scoring_codes(load_table(spark, sf_dir, "embeddings"))
     queries = F.broadcast(
         codes.filter(F.col("vec_id") < _N_QUERIES).select(
             F.col("vec_id").alias("query_id"),
@@ -3085,24 +3077,46 @@ def hybrid_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w_rel = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
-    # shortlist state: maxsim-to-picked starts at 0, nothing picked.
-    # localCheckpoint truncates the crossJoin lineage so the K unrolled
-    # rounds below optimize over a 250-row leaf, not the full scan.
-    state = (
+    shortlist = (
         rel.withColumn("rn0", F.row_number().over(w_rel))
         .filter(F.col("rn0") <= _MMR_SHORTLIST)
-        .select(
-            "query_id",
-            "cand_id",
-            "cv8",
-            "cn",
-            "rel",
-            F.lit(0.0).alias("maxsim"),
-            F.lit(None).cast("int").alias("prk"),
-            F.lit(None).cast("double").alias("pick_score"),
-        )
-        .localCheckpoint()
+        .drop("rn0")
     )
+    return _mmr_greedy(shortlist)
+
+
+def _int8_scoring_codes(e: DataFrame) -> DataFrame:
+    """(vec_id, c8, nrm8): the symmetric int8 scoring layout shared by
+    the MMR family — integer codes so every dot is an exact int64."""
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    code = F.transform(v, lambda x: (x / (amax / F.lit(127.0))).cast("int"))
+    return (
+        e.select(F.col("vec_id"), amax.alias("amax"), code.alias("c8"))
+        .filter(F.col("amax") > 0)
+        .withColumn("nrm8", F.sqrt(_dot(F.col("c8"), F.col("c8"))))
+        .drop("amax")
+    )
+
+
+def _mmr_greedy(shortlist: DataFrame) -> DataFrame:
+    """The shared {_MMR_K}-round greedy core over a shortlist of
+    (query_id, cand_id, cv8, cn, rel) rows — both the exact anchor and
+    the ANN-armed variant run THIS loop, so the greedy semantics cannot
+    drift between them."""
+    # shortlist state: maxsim-to-picked starts at 0, nothing picked.
+    # localCheckpoint truncates the upstream lineage so the K unrolled
+    # rounds below optimize over a tiny leaf, not the full scan.
+    state = shortlist.select(
+        "query_id",
+        "cand_id",
+        "cv8",
+        "cn",
+        "rel",
+        F.lit(0.0).alias("maxsim"),
+        F.lit(None).cast("int").alias("prk"),
+        F.lit(None).cast("double").alias("pick_score"),
+    ).localCheckpoint()
     lam, mu = F.lit(_MMR_LAMBDA), F.lit(_MMR_MU)
     w_q = Window.partitionBy("query_id")
     for r in range(1, _MMR_K + 1):
@@ -3165,17 +3179,18 @@ def hybrid_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mmr_oracle() -> str:
-    """DuckDB twin of `hybrid_retrieval_mmr`: the same greedy loop as
-    {_MMR_K} unrolled single-reference CTE rounds (each ``st{{r}}``
-    reads ``st{{r-1}}`` EXACTLY once — the `lsh_components_unrolled_ctes`
-    lesson: DuckDB inlines a CTE per reference, so a twice-referenced
-    round would double the upstream subtree per pass). Each round's
-    pick election + code broadcast is the same unordered
-    ``max(struct(unpicked, score, -cand_id, code, norm))`` window
-    aggregate the Spark plan runs (struct comparison is lexicographic
-    in both engines, booleans order false < true in both), so every
-    double is bit-identical."""
+def _mmr_round_ctes() -> str:
+    """The {_MMR_K} unrolled greedy rounds as single-reference CTEs
+    (each ``st{{r}}`` reads ``st{{r-1}}`` EXACTLY once — the
+    `lsh_components_unrolled_ctes` lesson: DuckDB inlines a CTE per
+    reference, so a twice-referenced round would double the upstream
+    subtree per pass). Each round's pick election + code broadcast is
+    the same unordered ``max(struct(unpicked, score, -cand_id, code,
+    norm))`` window aggregate the Spark `_mmr_greedy` loop runs
+    (struct comparison is lexicographic in both engines, booleans
+    order false < true in both), so every double is bit-identical.
+    Shared by the exact anchor and the ANN-armed variant, mirroring
+    the shared Spark core."""
     rounds = []
     for r in range(1, _MMR_K + 1):
         rounds.append(
@@ -3200,9 +3215,11 @@ def _mmr_oracle() -> str:
   )
 )"""
         )
-    chain = ",\n".join(rounds)
-    return f"""
-WITH e AS ({_DUCK_EMB}),
+    return ",\n".join(rounds)
+
+
+#: symmetric-int8 scoring codes (DuckDB twin of `_int8_scoring_codes`)
+_MMR_CODES_SQL = f"""e AS ({_DUCK_EMB}),
 c8t AS (
   SELECT vec_id,
          list_transform(v, x -> CAST(CAST(trunc(x / (amax / 127.0)) AS INT)
@@ -3212,7 +3229,19 @@ c8t AS (
         FROM e)
   WHERE amax > 0
 ),
-n8 AS (SELECT vec_id, c8, sqrt(list_dot_product(c8, c8)) AS nrm FROM c8t),
+n8 AS (SELECT vec_id, c8, sqrt(list_dot_product(c8, c8)) AS nrm FROM c8t)"""
+
+_MMR_TAIL_SQL = f"""SELECT query_id, prk AS rank, cand_id,
+       {det_round_sql('rel')} AS rel6,
+       {det_round_sql('pick_score')} AS mmr6
+FROM st{_MMR_K}
+WHERE prk IS NOT NULL
+ORDER BY query_id, rank"""
+
+
+def _mmr_oracle() -> str:
+    return f"""
+WITH {_MMR_CODES_SQL},
 relt AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.c8 AS cv8, c.nrm AS cn,
          list_dot_product(q.c8, c.c8) / q.nrm / c.nrm AS rel
@@ -3228,13 +3257,113 @@ st0 AS (
         FROM relt)
   WHERE rn0 <= {_MMR_SHORTLIST}
 ),
-{chain}
-SELECT query_id, prk AS rank, cand_id,
-       {det_round_sql('rel')} AS rel6,
-       {det_round_sql('pick_score')} AS mmr6
-FROM st{_MMR_K}
-WHERE prk IS NOT NULL
-ORDER BY query_id, rank
+{_mmr_round_ctes()}
+{_MMR_TAIL_SQL}
+"""
+
+
+def hybrid_retrieval_mmr_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`hybrid_retrieval_mmr`'s corpus-scale composition (the
+    `hybrid_retrieval_rrf_ann` convention — every exact anchor gets its
+    scale path registered beside it): the shortlist comes from the
+    PQ-ADC integer scan (`sim_topk_cosine_pq`'s packed-code stage — the
+    M-byte-per-vector code table is the only corpus-wide scan; the
+    full-precision store is never touched), then the SAME 10-round
+    greedy core (`_mmr_greedy`) diversifies it on the symmetric-int8
+    scoring layout. Relevance inside the greedy is the int8 cosine —
+    identical arithmetic to the anchor, so anchor-vs-ANN diffs isolate
+    the shortlist, never the reranker."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qsub = _pq_subvecs(
+        _pq_normalized(e).filter(F.col("vec_id") < _N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qv"))
+    lut = qsub.join(_pq_anchors(spark, sf_dir), "m").select(
+        "query_id",
+        "m",
+        "anchor_id",
+        F.floor(_dot(F.col("qv"), F.col("av")) * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("dot_micro"),
+    )
+    scored = _packed_adc_scores(
+        _pq_codes_packed(spark, sf_dir), _pq_query_lut_arrays(lut)
+    ).select("query_id", F.col("vec_id").alias("cand_id"), "adc_micro")
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_micro"), F.asc("cand_id")
+    )
+    shortlist_ids = (
+        scored.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= _PQ_SHORTLIST)
+        .select("query_id", "cand_id")
+    )
+    codes = _int8_scoring_codes(e)
+    queries = F.broadcast(
+        codes.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("c8").alias("q8"),
+            F.col("nrm8").alias("qn"),
+        )
+    )
+    shortlist = (
+        shortlist_ids.join(
+            codes.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("c8").alias("cv8"),
+                F.col("nrm8").alias("cn"),
+            ),
+            "cand_id",
+        )
+        .join(queries, "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            "cv8",
+            "cn",
+            (_dot(F.col("q8"), F.col("cv8")) / F.col("qn") / F.col("cn")).alias(
+                "rel"
+            ),
+        )
+    )
+    return _mmr_greedy(shortlist)
+
+
+def _mmr_ann_oracle() -> str:
+    return f"""
+WITH
+{_PQ_SUB_SQL},
+lut AS (
+  SELECT s.vec_id AS query_id, s.m, a.anchor_id,
+         CAST(floor(list_dot_product(s.sv, a.av) * 1000000.0 + 0.5) AS BIGINT)
+           AS dot_micro
+  FROM sub s JOIN anch a USING (m)
+  WHERE s.vec_id < {_N_QUERIES}
+),
+adc AS (
+  SELECT l.query_id, c.vec_id AS cand_id,
+         CAST(sum(l.dot_micro) AS BIGINT) AS adc_micro
+  FROM codes c JOIN lut l ON l.m = c.m AND l.anchor_id = c.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY l.query_id, c.vec_id
+),
+sl AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_micro DESC, cand_id ASC) AS rn
+    FROM adc
+  ) WHERE rn <= {_PQ_SHORTLIST}
+),
+{_MMR_CODES_SQL},
+st0 AS (
+  SELECT sl.query_id, sl.cand_id, c.c8 AS cv8, c.nrm AS cn,
+         list_dot_product(q.c8, c.c8) / q.nrm / c.nrm AS rel,
+         0.0 AS maxsim, CAST(NULL AS INT) AS prk,
+         CAST(NULL AS DOUBLE) AS pick_score
+  FROM sl
+  JOIN n8 q ON q.vec_id = sl.query_id
+  JOIN n8 c ON c.vec_id = sl.cand_id
+),
+{_mmr_round_ctes()}
+{_MMR_TAIL_SQL}
 """
 
 
@@ -3301,6 +3430,13 @@ QUERIES: dict[str, QuerySpec] = {
         "MMR diversified top-10 over the relevance shortlist: 10 "
         "unrolled greedy rounds of window argmax on the symmetric-int8 "
         "scoring layout (redundancy-penalized RAG reranker)",
+    ),
+    "hybrid_retrieval_mmr_ann": QuerySpec(
+        "hybrid_retrieval_mmr_ann",
+        hybrid_retrieval_mmr_ann,
+        _mmr_ann_oracle(),
+        "MMR over the PQ-ADC integer shortlist (the anchor's "
+        "corpus-scale path: code-table scan only, shared greedy core)",
     ),
     "hybrid_retrieval_rrf_ann": QuerySpec(
         "hybrid_retrieval_rrf_ann",

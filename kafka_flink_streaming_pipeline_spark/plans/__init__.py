@@ -104,14 +104,16 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # (a) never driver-checked (r9 additions; the kafka round-trip is
     # the wire-level S1/S11 witness — cohort_retention_matrix rotates
     # out to r10 to make room in the 50-entry prefix; the two
-    # late-session r9 additions hybrid_retrieval_mmr and
-    # dedup_soft_reweight are fronted per the standing r7 lesson,
-    # displacing dedup_gate_stream_materialized and
-    # nation_revenue_share to r10)
+    # late-session r9 additions hybrid_retrieval_mmr,
+    # dedup_soft_reweight and hybrid_retrieval_mmr_ann are fronted per
+    # the standing r7 lesson, displacing
+    # dedup_gate_stream_materialized, nation_revenue_share and
+    # fp2_stream_materialized to r10)
     "dedup_exactsubstr_scrub",
     "kafka_roundtrip_stream_materialized",
     "hybrid_retrieval_mmr",
     "dedup_soft_reweight",
+    "hybrid_retrieval_mmr_ann",
     # (c) all 30 remaining r4-era witnesses, incl. the verdict's eight
     "q1_events_per_min",
     "q2_top_docs_6h",
@@ -159,7 +161,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_containment_lsh",
     "dedup_incoming_vs_corpus",
     "dedup_components_lsh",
-    "fp2_stream_materialized",
 )
 
 

@@ -50,6 +50,43 @@ def test_mmr_greedy_invariants(spark):
         assert all(a >= b for a, b in zip(scores, scores[1:])), (q, scores)
 
 
+def test_mmr_ann_same_greedy_contract(spark):
+    """The ANN-armed variant returns the same shape under the same
+    greedy contract (ranks 1..K per query, distinct picks, pick scores
+    non-increasing), and its picks agree with the exact anchor's in
+    aggregate — the shortlist is approximate, the reranker identical,
+    so disagreement is bounded by ADC shortlist recall. Measured on the
+    driver testdata: per-query overlap 7/7/2/7/7 of 10 — one query sits
+    in a tight cluster where ADC collapses within-cluster order (the
+    documented `sim_topk_cosine_pq` behavior), so the floor is a
+    MAJORITY ACROSS ALL PICKS plus per-query non-disjointness, not a
+    per-query majority."""
+    from kafka_flink_streaming_pipeline_spark.operators.similarity import (
+        _MMR_K,
+        hybrid_retrieval_mmr,
+        hybrid_retrieval_mmr_ann,
+    )
+
+    exact = defaultdict(set)
+    for r in hybrid_retrieval_mmr(spark, SF_CORRECT).collect():
+        exact[r.query_id].add(r.cand_id)
+    by_q = defaultdict(list)
+    for r in hybrid_retrieval_mmr_ann(spark, SF_CORRECT).collect():
+        by_q[r.query_id].append(r)
+    assert set(by_q) == set(exact)
+    total_overlap = 0
+    for q, picks in by_q.items():
+        picks.sort(key=lambda r: r.rank)
+        assert [p.rank for p in picks] == list(range(1, _MMR_K + 1))
+        assert len({p.cand_id for p in picks}) == _MMR_K
+        scores = [p.mmr6 for p in picks]
+        assert all(a >= b for a, b in zip(scores, scores[1:])), (q, scores)
+        overlap = len({p.cand_id for p in picks} & exact[q])
+        assert overlap >= 1, q
+        total_overlap += overlap
+    assert total_overlap >= (len(by_q) * _MMR_K) // 2, total_overlap
+
+
 def test_soft_reweight_mass_conservation(spark):
     from kafka_flink_streaming_pipeline_spark.operators.datasets import (
         dedup_soft_reweight,
