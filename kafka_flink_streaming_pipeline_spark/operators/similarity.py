@@ -1042,6 +1042,67 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_SHORTLIST = 50  # ADC shortlist width fed to the exact refine stage
 
 
+def _adc_shortlist_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, cand_id): the width-{_PQ_SHORTLIST} per-query PQ-ADC
+    shortlist — broadcast query LUT, packed-code integer fold, rank
+    window with cand_id tiebreak. Shared by `topk_cosine_pq` (exact
+    refine consumer) and `hybrid_retrieval_mmr_ann` (greedy-MMR
+    consumer) so the shortlist definition cannot drift between them;
+    `hybrid_retrieval_rrf_ann` keeps its own single-query
+    (vec_id == 0) TakeOrdered variant of the same stages."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qsub = _pq_subvecs(
+        _pq_normalized(e).filter(F.col("vec_id") < _N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qv"))
+    lut = qsub.join(_pq_anchors(spark, sf_dir), "m").select(
+        "query_id",
+        "m",
+        "anchor_id",
+        F.floor(_dot(F.col("qv"), F.col("av")) * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("dot_micro"),
+    )
+    scored = _packed_adc_scores(
+        _pq_codes_packed(spark, sf_dir), _pq_query_lut_arrays(lut)
+    ).select("query_id", F.col("vec_id").alias("cand_id"), "adc_micro")
+    from pyspark.sql import Window as _W
+
+    w_adc = _W.partitionBy("query_id").orderBy(
+        F.desc("adc_micro"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= _PQ_SHORTLIST)
+        .select("query_id", "cand_id")
+    )
+
+
+#: the shortlist's DuckDB twin (lut → adc → ``adc_shortlist``) —
+#: composes after `_PQ_SUB_SQL`; shared by TOPK_PQ_ORACLE and
+#: `_mmr_ann_oracle` exactly as `_adc_shortlist_ids` is Spark-side
+_PQ_ADC_SL_SQL = f"""lut AS (
+  SELECT s.vec_id AS query_id, s.m, a.anchor_id,
+         CAST(floor(list_dot_product(s.sv, a.av) * 1000000.0 + 0.5) AS BIGINT)
+           AS dot_micro
+  FROM sub s JOIN anch a USING (m)
+  WHERE s.vec_id < {_N_QUERIES}
+),
+adc AS (
+  SELECT l.query_id, c.vec_id AS cand_id,
+         CAST(sum(l.dot_micro) AS BIGINT) AS adc_micro
+  FROM codes c JOIN lut l ON l.m = c.m AND l.anchor_id = c.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY l.query_id, c.vec_id
+),
+adc_shortlist AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_micro DESC, cand_id ASC) AS rn
+    FROM adc
+  ) WHERE rn <= {_PQ_SHORTLIST}
+)"""
+
+
 def topk_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC shortlist + exact refine (the FAISS IVFPQ+refine shape):
     the query's M×K dot-product LUT (micro-unit BIGINTs)
@@ -1067,31 +1128,7 @@ def topk_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings")
-    qsub = _pq_subvecs(
-        _pq_normalized(e).filter(F.col("vec_id") < _N_QUERIES)
-    ).select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qv"))
-    lut = (
-        qsub.join(_pq_anchors(spark, sf_dir), "m")
-        .select(
-            "query_id",
-            "m",
-            "anchor_id",
-            F.floor(_dot(F.col("qv"), F.col("av")) * F.lit(1_000_000.0) + F.lit(0.5))
-            .cast("long")
-            .alias("dot_micro"),
-        )
-    )
-    scored = _packed_adc_scores(
-        _pq_codes_packed(spark, sf_dir), _pq_query_lut_arrays(lut)
-    ).select("query_id", F.col("vec_id").alias("cand_id"), "adc_micro")
-    w_adc = Window.partitionBy("query_id").orderBy(
-        F.desc("adc_micro"), F.asc("cand_id")
-    )
-    shortlist = (
-        scored.withColumn("rn", F.row_number().over(w_adc))
-        .filter(F.col("rn") <= _PQ_SHORTLIST)
-        .select("query_id", "cand_id")
-    )
+    shortlist = _adc_shortlist_ids(spark, sf_dir)
     # exact refine: decode ONLY the shortlist (key-lookup join into the
     # full-precision store), never the corpus
     cands = _with_norm(e, "cand_id", "cv")
@@ -1158,31 +1195,11 @@ GROUP BY vec_id
 TOPK_PQ_ORACLE = f"""
 WITH
 {_PQ_SUB_SQL},
-lut AS (
-  SELECT s.vec_id AS query_id, s.m, a.anchor_id,
-         CAST(floor(list_dot_product(s.sv, a.av) * 1000000.0 + 0.5) AS BIGINT)
-           AS dot_micro
-  FROM sub s JOIN anch a USING (m)
-  WHERE s.vec_id < {_N_QUERIES}
-),
-adc AS (
-  SELECT l.query_id, c.vec_id AS cand_id,
-         CAST(sum(l.dot_micro) AS BIGINT) AS adc_micro
-  FROM codes c JOIN lut l ON l.m = c.m AND l.anchor_id = c.code
-  WHERE c.vec_id <> l.query_id
-  GROUP BY l.query_id, c.vec_id
-),
-shortlist AS (
-  SELECT query_id, cand_id FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id
-                                 ORDER BY adc_micro DESC, cand_id ASC) AS rn
-    FROM adc
-  ) WHERE rn <= {_PQ_SHORTLIST}
-),
+{_PQ_ADC_SL_SQL},
 e AS ({_DUCK_EMB}),
 refined AS (
   SELECT s.query_id, s.cand_id, {_DUCK_COS} AS cosine
-  FROM shortlist s
+  FROM adc_shortlist s
   JOIN e q ON q.vec_id = s.query_id
   JOIN e c ON c.vec_id = s.cand_id
 ),
@@ -1253,14 +1270,10 @@ def topk_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring time. Candidate codes are exact integers, so cross-engine
     determinism is strictly better than the float path."""
     e = load_table(spark, sf_dir, "embeddings")
-    v = F.transform("embedding", lambda x: x.cast("double"))
-    amax = F.array_max(F.transform(v, F.abs))
-    code = F.transform(v, lambda x: (x / (amax / F.lit(127.0))).cast("int"))
-    cands = (
-        e.select(F.col("vec_id").alias("cand_id"), amax.alias("amax"), code.alias("cv8"))
-        .filter(F.col("amax") > 0)
-        .withColumn("c_nrm8", F.sqrt(_dot(F.col("cv8"), F.col("cv8"))))
-        .drop("amax")
+    cands = _int8_scoring_codes(e).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("c8").alias("cv8"),
+        F.col("nrm8").alias("c_nrm8"),
     )
     queries = F.broadcast(
         _with_norm(e.filter(F.col("vec_id") < _N_QUERIES), "query_id", "qv")
@@ -3086,8 +3099,11 @@ def hybrid_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _int8_scoring_codes(e: DataFrame) -> DataFrame:
-    """(vec_id, c8, nrm8): the symmetric int8 scoring layout shared by
-    the MMR family — integer codes so every dot is an exact int64."""
+    """(vec_id, c8, nrm8): the symmetric int8 scoring layout — integer
+    codes so every dot is an exact int64. Shared by the MMR family and
+    `topk_cosine_int8`'s candidate side; `int8_assign2` builds the same
+    quantization inline because it carries `label` and defers norms to
+    its BLAS assigner (change the scale rule there in lockstep)."""
     v = F.transform("embedding", lambda x: x.cast("double"))
     amax = F.array_max(F.transform(v, F.abs))
     code = F.transform(v, lambda x: (x / (amax / F.lit(127.0))).cast("int"))
@@ -3103,8 +3119,17 @@ def _mmr_greedy(shortlist: DataFrame) -> DataFrame:
     """The shared {_MMR_K}-round greedy core over a shortlist of
     (query_id, cand_id, cv8, cn, rel) rows — both the exact anchor and
     the ANN-armed variant run THIS loop, so the greedy semantics cannot
-    drift between them."""
-    # shortlist state: maxsim-to-picked starts at 0, nothing picked.
+    drift between them.
+
+    ``maxsim`` is the TRUE max over picked similarities — NULL until
+    the candidate has any picked neighbor (exactly round 1, where the
+    paper's max-over-empty-set convention makes the first pick the
+    pure relevance argmax), and thereafter allowed to be NEGATIVE:
+    cosines to the picked set below zero must BOOST the candidate
+    (−μ·maxsim > 0), which a 0-floored accumulator would silently
+    clamp away (caught in review — the first cut initialized maxsim
+    to 0.0). The NULL/greatest handling is explicit CASE/COALESCE in
+    both engines, never greatest-ignores-NULL semantics."""
     # localCheckpoint truncates the upstream lineage so the K unrolled
     # rounds below optimize over a tiny leaf, not the full scan.
     state = shortlist.select(
@@ -3113,7 +3138,7 @@ def _mmr_greedy(shortlist: DataFrame) -> DataFrame:
         "cv8",
         "cn",
         "rel",
-        F.lit(0.0).alias("maxsim"),
+        F.lit(None).cast("double").alias("maxsim"),
         F.lit(None).cast("int").alias("prk"),
         F.lit(None).cast("double").alias("pick_score"),
     ).localCheckpoint()
@@ -3124,7 +3149,10 @@ def _mmr_greedy(shortlist: DataFrame) -> DataFrame:
         # cand_id (via max of the negation); the winner's code/norm
         # ride along in the struct so no second pass is needed
         st = state.withColumn(
-            "score", lam * F.col("rel") - mu * F.col("maxsim")
+            "score",
+            F.when(F.col("maxsim").isNull(), lam * F.col("rel")).otherwise(
+                lam * F.col("rel") - mu * F.col("maxsim")
+            ),
         ).withColumn(
             "best",
             F.max(
@@ -3152,11 +3180,18 @@ def _mmr_greedy(shortlist: DataFrame) -> DataFrame:
                 F.col("best.u")
                 & F.col("prk").isNull()
                 & (F.col("cand_id") != -F.col("best.nid")),
-                F.greatest(
-                    F.col("maxsim"),
+                F.when(
+                    F.col("maxsim").isNull(),
                     _dot(F.col("cv8"), F.col("best.c8"))
                     / F.col("cn")
                     / F.col("best.n"),
+                ).otherwise(
+                    F.greatest(
+                        F.col("maxsim"),
+                        _dot(F.col("cv8"), F.col("best.c8"))
+                        / F.col("cn")
+                        / F.col("best.n"),
+                    )
                 ),
             )
             .otherwise(F.col("maxsim"))
@@ -3197,7 +3232,11 @@ def _mmr_round_ctes() -> str:
             f"""st{r} AS (
   SELECT query_id, cand_id, cv8, cn, rel,
          CASE WHEN best.u AND prk IS NULL AND cand_id <> -best.nid
-              THEN greatest(maxsim, list_dot_product(cv8, best.c8) / cn / best.n)
+              THEN CASE WHEN maxsim IS NULL
+                        THEN list_dot_product(cv8, best.c8) / cn / best.n
+                        ELSE greatest(maxsim,
+                                      list_dot_product(cv8, best.c8) / cn / best.n)
+                   END
               ELSE maxsim END AS maxsim,
          CASE WHEN best.u AND prk IS NULL AND cand_id = -best.nid
               THEN {r} ELSE prk END AS prk,
@@ -3209,7 +3248,9 @@ def _mmr_round_ctes() -> str:
                  'c8': cv8, 'n': cn}})
              OVER (PARTITION BY query_id) AS best
     FROM (
-      SELECT *, {_MMR_LAMBDA} * rel - {_MMR_MU} * maxsim AS score
+      SELECT *, CASE WHEN maxsim IS NULL THEN {_MMR_LAMBDA} * rel
+                     ELSE {_MMR_LAMBDA} * rel - {_MMR_MU} * maxsim
+                END AS score
       FROM st{r - 1}
     )
   )
@@ -3250,7 +3291,7 @@ relt AS (
 ),
 st0 AS (
   SELECT query_id, cand_id, cv8, cn, rel,
-         0.0 AS maxsim, CAST(NULL AS INT) AS prk,
+         CAST(NULL AS DOUBLE) AS maxsim, CAST(NULL AS INT) AS prk,
          CAST(NULL AS DOUBLE) AS pick_score
   FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                      ORDER BY rel DESC, cand_id ASC) AS rn0
@@ -3274,28 +3315,7 @@ def hybrid_retrieval_mmr_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical arithmetic to the anchor, so anchor-vs-ANN diffs isolate
     the shortlist, never the reranker."""
     e = load_table(spark, sf_dir, "embeddings")
-    qsub = _pq_subvecs(
-        _pq_normalized(e).filter(F.col("vec_id") < _N_QUERIES)
-    ).select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qv"))
-    lut = qsub.join(_pq_anchors(spark, sf_dir), "m").select(
-        "query_id",
-        "m",
-        "anchor_id",
-        F.floor(_dot(F.col("qv"), F.col("av")) * F.lit(1_000_000.0) + F.lit(0.5))
-        .cast("long")
-        .alias("dot_micro"),
-    )
-    scored = _packed_adc_scores(
-        _pq_codes_packed(spark, sf_dir), _pq_query_lut_arrays(lut)
-    ).select("query_id", F.col("vec_id").alias("cand_id"), "adc_micro")
-    w_adc = Window.partitionBy("query_id").orderBy(
-        F.desc("adc_micro"), F.asc("cand_id")
-    )
-    shortlist_ids = (
-        scored.withColumn("rn", F.row_number().over(w_adc))
-        .filter(F.col("rn") <= _PQ_SHORTLIST)
-        .select("query_id", "cand_id")
-    )
+    shortlist_ids = _adc_shortlist_ids(spark, sf_dir)
     codes = _int8_scoring_codes(e)
     queries = F.broadcast(
         codes.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -3331,34 +3351,14 @@ def _mmr_ann_oracle() -> str:
     return f"""
 WITH
 {_PQ_SUB_SQL},
-lut AS (
-  SELECT s.vec_id AS query_id, s.m, a.anchor_id,
-         CAST(floor(list_dot_product(s.sv, a.av) * 1000000.0 + 0.5) AS BIGINT)
-           AS dot_micro
-  FROM sub s JOIN anch a USING (m)
-  WHERE s.vec_id < {_N_QUERIES}
-),
-adc AS (
-  SELECT l.query_id, c.vec_id AS cand_id,
-         CAST(sum(l.dot_micro) AS BIGINT) AS adc_micro
-  FROM codes c JOIN lut l ON l.m = c.m AND l.anchor_id = c.code
-  WHERE c.vec_id <> l.query_id
-  GROUP BY l.query_id, c.vec_id
-),
-sl AS (
-  SELECT query_id, cand_id FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id
-                                 ORDER BY adc_micro DESC, cand_id ASC) AS rn
-    FROM adc
-  ) WHERE rn <= {_PQ_SHORTLIST}
-),
+{_PQ_ADC_SL_SQL},
 {_MMR_CODES_SQL},
 st0 AS (
   SELECT sl.query_id, sl.cand_id, c.c8 AS cv8, c.nrm AS cn,
          list_dot_product(q.c8, c.c8) / q.nrm / c.nrm AS rel,
-         0.0 AS maxsim, CAST(NULL AS INT) AS prk,
+         CAST(NULL AS DOUBLE) AS maxsim, CAST(NULL AS INT) AS prk,
          CAST(NULL AS DOUBLE) AS pick_score
-  FROM sl
+  FROM adc_shortlist sl
   JOIN n8 q ON q.vec_id = sl.query_id
   JOIN n8 c ON c.vec_id = sl.cand_id
 ),

@@ -8,7 +8,7 @@ and implements the producer as a FIRST-CLASS Spark source — the
 engine-native answer when a stream's transport has no built-in
 connector (proprietary queue, REST feed, replay archive):
 
-    spark.dataSource.register(ReplayDataSource)
+    register_replay_source(spark)
     df = (spark.readStream.format("clickstream_replay")
           .option("path", chunk_dir).load())
 
@@ -123,3 +123,18 @@ class ReplayDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> ReplayStreamReader:
         return ReplayStreamReader(self.options)
+
+
+def register_replay_source(spark) -> None:
+    """Register the source with THIS MODULE pickled by value — the same
+    cwd-independence fix as `kafka_replay.register_kafka_replay`: the
+    engine ships the DataSource class to a Python worker via
+    cloudpickle, which serializes module-level classes BY REFERENCE, so
+    without this the package must be importable from the Spark app's
+    cwd (true under pytest, false for an arbitrary driver)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    spark.dataSource.register(ReplayDataSource)

@@ -4,12 +4,16 @@ cross-engine agreement, not that the math means what the docstring
 claims).
 
 MMR (Carbonell & Goldstein 1998) invariants:
-- rank 1 is the pure-relevance argmax (maxsim starts at 0, so round 1's
-  score ordering is λ·rel ≡ rel ordering);
+- rank 1 is the pure-relevance argmax (empty picked set → the paper's
+  convention drops the penalty term, so round 1's score ordering is
+  λ·rel ≡ rel ordering);
 - picks are distinct candidates;
-- pick-time MMR scores are non-increasing in rank: each candidate's
-  maxsim only ever grows, so the pool's best achievable score cannot
-  increase between rounds.
+- pick-time MMR scores are non-increasing FROM RANK 2 ON: each
+  candidate's max-sim-to-picked only ever grows once it exists, so the
+  pool's best achievable score cannot increase between penalized
+  rounds. Rank 1 carries no penalty term and maxsim may be NEGATIVE
+  (anti-similar candidates get boosted, per the paper), so rank 2's
+  score may legitimately exceed rank 1's.
 
 SoftDedup (He et al., ACL 2024) invariants:
 - every document appears exactly once;
@@ -30,7 +34,6 @@ def test_mmr_greedy_invariants(spark):
     from kafka_flink_streaming_pipeline_spark.operators.similarity import (
         _MMR_K,
         hybrid_retrieval_mmr,
-        topk_cosine_int8,
     )
 
     rows = hybrid_retrieval_mmr(spark, SF_CORRECT).collect()
@@ -47,16 +50,16 @@ def test_mmr_greedy_invariants(spark):
         assert len({p.cand_id for p in picks}) == _MMR_K
         assert picks[0].rel6 == max(p.rel6 for p in picks), q
         scores = [p.mmr6 for p in picks]
-        assert all(a >= b for a, b in zip(scores, scores[1:])), (q, scores)
+        assert all(a >= b for a, b in zip(scores[1:], scores[2:])), (q, scores)
 
 
 def test_mmr_ann_same_greedy_contract(spark):
     """The ANN-armed variant returns the same shape under the same
     greedy contract (ranks 1..K per query, distinct picks, pick scores
-    non-increasing), and its picks agree with the exact anchor's in
+    non-increasing from rank 2), and its picks agree with the exact anchor's in
     aggregate — the shortlist is approximate, the reranker identical,
     so disagreement is bounded by ADC shortlist recall. Measured on the
-    driver testdata: per-query overlap 7/7/2/7/7 of 10 — one query sits
+    driver testdata: per-query overlap 5/5/2/7/7 of 10 — one query sits
     in a tight cluster where ADC collapses within-cluster order (the
     documented `sim_topk_cosine_pq` behavior), so the floor is a
     MAJORITY ACROSS ALL PICKS plus per-query non-disjointness, not a
@@ -80,7 +83,7 @@ def test_mmr_ann_same_greedy_contract(spark):
         assert [p.rank for p in picks] == list(range(1, _MMR_K + 1))
         assert len({p.cand_id for p in picks}) == _MMR_K
         scores = [p.mmr6 for p in picks]
-        assert all(a >= b for a, b in zip(scores, scores[1:])), (q, scores)
+        assert all(a >= b for a, b in zip(scores[1:], scores[2:])), (q, scores)
         overlap = len({p.cand_id for p in picks} & exact[q])
         assert overlap >= 1, q
         total_overlap += overlap
@@ -92,8 +95,13 @@ def test_soft_reweight_mass_conservation(spark):
         dedup_soft_reweight,
     )
 
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
     rows = dedup_soft_reweight(spark, SF_CORRECT).collect()
     assert len({r.doc_id for r in rows}) == len(rows)
+    # full corpus coverage, not just uniqueness-on-the-survivors: the
+    # labeling seeds every doc and nothing downstream may drop rows
+    assert len(rows) == load_table(spark, SF_CORRECT, "documents").count()
     comp_mass = defaultdict(int)
     comp_size = {}
     for r in rows:

@@ -914,7 +914,7 @@ def test_python_datasource_replay_source(spark, tmp_path):
     downstream pipeline — output must equal the batch table exactly
     (every row, no dupes), with offsets checkpointed by the engine."""
     from kafka_flink_streaming_pipeline_spark.sources.replay_datasource import (
-        ReplayDataSource,
+        register_replay_source,
     )
 
     events = load_table(spark, SF_SMOKE, "events")
@@ -922,7 +922,7 @@ def test_python_datasource_replay_source(spark, tmp_path):
     chunk_dir = str(tmp_path / "chunks")
     prepare_replay_chunks(spark, events, chunk_dir, n_chunks=4)
 
-    spark.dataSource.register(ReplayDataSource)
+    register_replay_source(spark)
     stream = (
         spark.readStream.format("clickstream_replay")
         .option("path", chunk_dir)
