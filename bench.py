@@ -213,6 +213,130 @@ HEADLINE = [
 ]
 
 
+# Documented-quadratic oracle anchors (exact all-pairs / within-block
+# pairwise) and the entries that compose them. At sf >= 1 these are
+# auto-skipped unless SPARK_GRAFT_BENCH_EXACT=1: the r9 100x run died
+# on disk (shared_exact_graph_build's all-pairs shuffle > 77 GB free)
+# before the manual skip knob was applied — the policy now lives here
+# instead of in tribal knowledge. The skip list is printed.
+EXACT_ANCHORS = (
+    "shared_exact_graph_build",
+    "dedup_components",
+    "dedup_keep_best_per_component",
+    "split_leakage_check",
+    "dedup_lsh_calibration",
+    "dedup_containment",
+    "fuzzy_match_part_names",
+)
+
+# Session-shared pre-builds and the battery entries that compose them.
+# Skipping a pre-build while measuring one of its consumers silently
+# moves the one-time build cost inside that consumer's timing window
+# (the r9 comment acknowledged this; nothing enforced it) — fail fast.
+PREBUILD_CONSUMERS = {
+    "shared_exact_graph_build": (
+        "dedup_components",
+        "dedup_keep_best_per_component",
+        "split_leakage_check",
+        "dedup_lsh_calibration",
+    ),
+    "shared_lsh_graph_build": (
+        "dedup_components_lsh",
+        "dedup_keep_best_lsh",
+        "split_leakage_check_lsh",
+        "dedup_cluster_size_profile",
+        "dedup_soft_reweight",
+    ),
+    "shared_ann_index_build": ("sim_ann_ivf_persisted",),
+    "shared_pq_codes_build": (
+        "embedding_pq_codes",
+        "sim_topk_cosine_pq",
+        "sim_ann_ivfpq",
+        "hybrid_retrieval_mmr_ann",
+    ),
+    "shared_power_iteration": ("embedding_top_pc", "embedding_anisotropy"),
+}
+
+
+def _check_prebuild_skips(skip: set[str]) -> None:
+    for build, consumers in PREBUILD_CONSUMERS.items():
+        if build in skip:
+            live = [c for c in consumers if c not in skip]
+            assert not live, (
+                f"{build} is skipped but its consumers {live} are still "
+                f"measured — they would lazily rebuild it inside their own "
+                f"timing window; add them to SPARK_GRAFT_BENCH_SKIP"
+            )
+
+
+def _current_round() -> int:
+    """The in-progress round = 1 + the newest CORRECTNESS_r{N}.json the
+    grading driver has written (override: SPARK_GRAFT_ROUND). Used to
+    pick the mover-policy baseline from a PRIOR round — an r10 session
+    comparing against an r10-family snapshot is self-comparison and
+    never fires (the r9 loophole)."""
+    env = os.environ.get("SPARK_GRAFT_ROUND", "")
+    if env:
+        return int(env)
+    rounds = [
+        int(m.group(1))
+        for p in Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json")
+        if (m := re.search(r"r(\d+)", p.name))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def _prev_snapshot(sf: float | None) -> str:
+    """Mover-policy baseline: the newest plain BENCH_DETAIL_r{N}.json
+    whose round is strictly BEFORE the current round and whose sf
+    matches this run. r9's pick (lexicographically-last detail file of
+    any flavor) selected same-round/other-sf files, so the min-of-3
+    re-measure could never fire against the previous round."""
+    cur = _current_round()
+    best: tuple[int, int, str] | None = None
+    for p in Path(__file__).resolve().parent.glob("BENCH_DETAIL_r*.json"):
+        m = re.fullmatch(r"BENCH_DETAIL_r(\d+)(_[a-z0-9_]+)?\.json", p.name)
+        # exclude *_cold: a warm run compared against a cold baseline
+        # flags every cache-elided build as a "mover"
+        if not m or int(m.group(1)) >= cur or p.stem.endswith("_cold"):
+            continue
+        try:
+            doc = json.loads(p.read_text())
+        except Exception:
+            continue
+        if doc.get("sf") != sf:
+            continue
+        # plain snapshot outranks a suffixed variant of the same round
+        key = (int(m.group(1)), 0 if m.group(2) else 1)
+        if best is None or key > best[:2]:
+            best = (*key, str(p))
+    return best[2] if best else ""
+
+
+def _canary(spark) -> float:
+    """Boot-calibration canary: a fixed scan→shuffle→agg job over a
+    constant range DF, min-of-3. Timed at battery start and end and
+    recorded in the detail file, so cross-round comparisons can
+    separate 'this box/boot is slower' from 'this plan regressed'
+    (the r9 battery drifted 1.13x vs r8 with only a narrative
+    attribution to boot context)."""
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        n = (
+            spark.range(8_000_000)
+            .selectExpr("id % 997 AS k")
+            .groupBy("k")
+            .count()
+            .selectExpr("sum(count) AS n", "count(*) AS g")
+            .collect()[0]["n"]
+        )
+        assert n == 8_000_000
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -238,7 +362,24 @@ def main() -> None:
     # within-block pair count is the measured wall — see PERF.md);
     # the driver's default run sets nothing and measures everything
     skip = set(filter(None, os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",")))
+    if sf is not None and sf >= 1 and os.environ.get("SPARK_GRAFT_BENCH_EXACT") != "1":
+        auto = [n for n in EXACT_ANCHORS if n not in skip]
+        skip.update(auto)
+        print(
+            json.dumps(
+                {
+                    "note": "exact-anchor family auto-skipped at sf>=1 "
+                    "(documented quadratics; SPARK_GRAFT_BENCH_EXACT=1 overrides)",
+                    "auto_skipped": auto,
+                }
+            )
+        )
+    # fail fast BEFORE any timing: a skipped pre-build with a measured
+    # consumer would rebuild the shared subtree inside the consumer's
+    # timing window, silently corrupting its per-entry number
+    _check_prebuild_skips(skip)
     per_query: dict[str, float] = {}
+    canary_start = _canary(spark)
 
     # The near-dup pair graphs (exact inverted-index jaccard; banded
     # LSH + label propagation) are session-shared materializations
@@ -361,20 +502,14 @@ def main() -> None:
     # moved >1.3x in either direction vs the last committed snapshot
     # gets one extra measured run folded into its min, and the per-entry
     # sample count ships in the detail file as `min_of`.
-    prev_file = os.environ.get("SPARK_GRAFT_BENCH_PREV", "")
-    if not prev_file:
-        # exclude *_cold snapshots: a warm run compared against a cold
-        # baseline flags every cache-elided build as a "mover"
-        cands = sorted(
-            p
-            for p in Path(__file__).resolve().parent.glob("BENCH_DETAIL_r*.json")
-            if not p.stem.endswith("_cold")
-        )
-        prev_file = str(cands[-1]) if cands else ""
+    prev_file = os.environ.get("SPARK_GRAFT_BENCH_PREV", "") or _prev_snapshot(sf)
+    prev_round = None
     if prev_file and Path(prev_file).exists():
         prev_doc = json.loads(Path(prev_file).read_text())
         # only compare like-for-like snapshots (same scale factor)
         prev = prev_doc.get("queries", {}) if prev_doc.get("sf") == sf else {}
+        mr = re.search(r"r(\d+)", Path(prev_file).name)
+        prev_round = int(mr.group(1)) if mr else None
         for name, val in list(per_query.items()):
             old = prev.get(name)
             # shared_* one-time-build pseudo-entries are timed inline
@@ -385,6 +520,7 @@ def main() -> None:
             if ratio > 1.3 or ratio < 1 / 1.3:
                 per_query[name] = round(min(val, _measure(name, 1)), 3)
                 min_of[name] = n_meas + 1
+    canary_end = _canary(spark)
     total = round(sum(per_query.values()), 3)
     # 1-min load average at battery end: the r3 driver total ran 1.2x
     # the idle-box total purely from machine contention — recording
@@ -399,6 +535,13 @@ def main() -> None:
         "sf": sf,
         "loadavg_1m": load1,
         "min_of": min_of,
+        # fixed-job machine calibration at battery start/end: divide a
+        # cross-round per-entry ratio by (canary_r10 / canary_r9) to
+        # separate boot context from plan regression
+        "canary_s": {"start": canary_start, "end": canary_end},
+        "mover_baseline": Path(prev_file).name if prev_file else None,
+        "mover_baseline_round": prev_round,
+        "skipped": sorted(skip) or None,
     }
     # full per-query map: file + an early stdout line (NOT the last line)
     Path(__file__).resolve().parent.joinpath("BENCH_DETAIL.json").write_text(
