@@ -1065,9 +1065,7 @@ def _adc_shortlist_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _packed_adc_scores(
         _pq_codes_packed(spark, sf_dir), _pq_query_lut_arrays(lut)
     ).select("query_id", F.col("vec_id").alias("cand_id"), "adc_micro")
-    from pyspark.sql import Window as _W
-
-    w_adc = _W.partitionBy("query_id").orderBy(
+    w_adc = Window.partitionBy("query_id").orderBy(
         F.desc("adc_micro"), F.asc("cand_id")
     )
     return (

@@ -384,6 +384,10 @@ class KafkaReplaySource(DataSource):
         return KafkaReplayStreamReader(self.options)
 
 
+#: once-guard for the process-global register_pickle_by_value side effect
+_PICKLED_BY_VALUE = False
+
+
 def register_kafka_replay(spark: SparkSession) -> None:
     """Register the source with THIS MODULE pickled by value.
 
@@ -398,12 +402,23 @@ def register_kafka_replay(spark: SparkSession) -> None:
     same-module dependencies (`KafkaReplayStreamReader`, `_LogSlice`,
     `distribute_cap`) travel inside the pickle, with only
     stdlib/pyspark/pyarrow imported on the worker — the same
-    self-containment rule the repo's mapInPandas closures follow."""
-    import sys
+    self-containment rule the repo's mapInPandas closures follow.
 
-    from pyspark import cloudpickle
+    GLOBAL SIDE EFFECT (guarded to run once): register_pickle_by_value
+    is process-global — after it, EVERY cloudpickle use that reaches
+    into this module serializes it by value (snapshot semantics), not
+    just the DataSource registration. The once-flag keeps repeated
+    register calls from re-walking the registration and makes the
+    global nature explicit; nothing outside this module should hold
+    closures over its internals for exactly this reason."""
+    global _PICKLED_BY_VALUE
+    if not _PICKLED_BY_VALUE:
+        import sys
 
-    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+        _PICKLED_BY_VALUE = True
     spark.dataSource.register(KafkaReplaySource)
 
 

@@ -125,16 +125,28 @@ class ReplayDataSource(DataSource):
         return ReplayStreamReader(self.options)
 
 
+#: once-guard for the process-global register_pickle_by_value side effect
+_PICKLED_BY_VALUE = False
+
+
 def register_replay_source(spark) -> None:
     """Register the source with THIS MODULE pickled by value — the same
     cwd-independence fix as `kafka_replay.register_kafka_replay`: the
     engine ships the DataSource class to a Python worker via
     cloudpickle, which serializes module-level classes BY REFERENCE, so
     without this the package must be importable from the Spark app's
-    cwd (true under pytest, false for an arbitrary driver)."""
-    import sys
+    cwd (true under pytest, false for an arbitrary driver).
 
-    from pyspark import cloudpickle
+    GLOBAL SIDE EFFECT (guarded to run once): register_pickle_by_value
+    switches ALL cloudpickle serialization touching this module to
+    by-value snapshot semantics for the whole process — see
+    `kafka_replay.register_kafka_replay` for the full note."""
+    global _PICKLED_BY_VALUE
+    if not _PICKLED_BY_VALUE:
+        import sys
 
-    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+        _PICKLED_BY_VALUE = True
     spark.dataSource.register(ReplayDataSource)

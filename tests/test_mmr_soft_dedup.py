@@ -87,7 +87,13 @@ def test_mmr_ann_same_greedy_contract(spark):
         overlap = len({p.cand_id for p in picks} & exact[q])
         assert overlap >= 1, q
         total_overlap += overlap
-    assert total_overlap >= (len(by_q) * _MMR_K) // 2, total_overlap
+    # 40% floor, not 50%: the measured overlap at this SF is 26/50 — a
+    # 50% floor passes by a single pick, so any testdata regeneration
+    # or shortlist tweak would flip it into a confusing failure. The
+    # semantic contract (same greedy core, per-query overlap >= 1,
+    # monotone mmr6, exact rank ladder) is asserted above; this floor
+    # only guards against the ANN shortlist degenerating wholesale.
+    assert total_overlap >= (len(by_q) * _MMR_K * 2) // 5, total_overlap
 
 
 def test_soft_reweight_mass_conservation(spark):
