@@ -505,31 +505,33 @@ def _cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     that week. Week boundaries are PURE INTEGER epoch-week arithmetic
     (floor(days-since-1970 / 7)) — calendar week-truncation semantics
     (ISO vs locale Monday/Sunday) differ across engines, and an
-    off-by-one week boundary silently shifts whole cohorts.
+    off-by-one week boundary silently shifts whole cohorts. Offsets
+    are calendar-week offsets (epoch_week(d) − epoch_week(d0)) — the
+    textbook weekly-cohort definition; cohort assignment is identical
+    to a min-day formulation because floor is monotone.
 
-    Plan shape: first-seen per user is one groupBy(user) min; the
-    (user, cohort, offset) activity set is a distinct over a
-    projection; the matrix is one groupBy over that; cohort sizes are
-    a tiny relation broadcast back. Two shuffles on user plus one on
-    the (cohort, offset) key — no window functions at all."""
+    Plan shape (r10: everything after the scan is at USER-WEEK grain —
+    the r9 100x run measured 31x for 100x data because activity was
+    carried per user-DAY through the join and a second distinct):
+    distinct (user, epoch_week) is the ONLY corpus-grain shuffle;
+    first-seen is one groupBy(user) min over it; the join back is
+    user-week × 1 row and its (cohort, offset) projection is already
+    distinct at this grain, so the matrix is a single groupBy — no
+    second distinct exists to pay for. Cohort sizes are a tiny
+    relation broadcast back. No window functions at all."""
     ev = load_table(spark, sf_dir, "events")
     epoch = F.lit("1970-01-01").cast("date")
-    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
-    first = act.groupBy("user_id").agg(F.min("d").alias("d0"))
-    cohorts = first.select(
-        "user_id",
-        "d0",
-        F.floor(F.datediff("d0", epoch) / 7).alias("cohort_week"),
-    )
-    sizes = cohorts.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    act = ev.select(
+        "user_id", F.floor(F.datediff(F.to_date("ts"), epoch) / 7).alias("w")
+    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    sizes = first.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
     cells = (
-        act.join(cohorts, "user_id")
+        act.join(first, "user_id")
         .select(
-            "user_id",
             "cohort_week",
-            F.floor(F.datediff("d", F.col("d0")) / 7).alias("week_offset"),
+            (F.col("w") - F.col("cohort_week")).alias("week_offset"),
         )
-        .distinct()
         .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").alias("active_users"))
     )
@@ -552,24 +554,20 @@ def _cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COHORT_MATRIX_ORACLE = """
 WITH act AS (
-  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS w
+  FROM events
 ),
 first AS (
-  SELECT user_id, min(d) AS d0 FROM act GROUP BY user_id
+  SELECT user_id, min(w) AS cohort_week FROM act GROUP BY user_id
 ),
-cohorts AS (
-  SELECT user_id, d0,
-         date_diff('day', DATE '1970-01-01', d0) // 7 AS cohort_week
-  FROM first
-),
-sizes AS (SELECT cohort_week, count(*) AS cohort_size FROM cohorts
+sizes AS (SELECT cohort_week, count(*) AS cohort_size FROM first
           GROUP BY cohort_week),
 cells AS (
-  SELECT cohort_week, week_offset, count(*) AS active_users FROM (
-    SELECT DISTINCT a.user_id, c.cohort_week,
-           date_diff('day', c.d0, a.d) // 7 AS week_offset
-    FROM act a JOIN cohorts c USING (user_id)
-  ) GROUP BY cohort_week, week_offset
+  SELECT f.cohort_week, a.w - f.cohort_week AS week_offset,
+         count(*) AS active_users
+  FROM act a JOIN first f USING (user_id)
+  GROUP BY f.cohort_week, a.w - f.cohort_week
 )
 SELECT strftime(DATE '1970-01-01' + INTERVAL (ce.cohort_week * 7) DAY,
                 '%Y-%m-%d') AS cohort_week_start,
