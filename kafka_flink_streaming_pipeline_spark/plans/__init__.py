@@ -100,67 +100,74 @@ class QuerySpec:
 #: (sim_topk_cosine — the r8 flagged mover, re-witnessed under the new
 #: cache — the ANN/PQ/LSH families, both streaming twins) and the
 #: exactsubstr sibling `dedup_span_scrub`.
+#: r10 window: (a) value-changed `cohort_retention_matrix` (user-week
+#: grain rewrite) fronted; (b) all 28 remaining r5-era witnesses —
+#: the oldest cohort, so the witness-age floor rises to r6 (verdict
+#: ask #4); (c) 21 of the 48 r6-era entries, preferring shared-layer
+#: consumers (ANN/PQ/kmeans, LSH dedup composites, all four r6
+#: streaming twins) and the correctness rows behind the two r9 bench
+#: movers. No never-checked entries exist (226/226 witnessed).
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # (a) never driver-checked (r9 additions; the kafka round-trip is
-    # the wire-level S1/S11 witness — cohort_retention_matrix rotates
-    # out to r10 to make room in the 50-entry prefix; the two
-    # late-session r9 additions hybrid_retrieval_mmr,
-    # dedup_soft_reweight and hybrid_retrieval_mmr_ann are fronted per
-    # the standing r7 lesson, displacing
-    # dedup_gate_stream_materialized, nation_revenue_share and
-    # fp2_stream_materialized to r10)
-    "dedup_exactsubstr_scrub",
-    "kafka_roundtrip_stream_materialized",
-    "hybrid_retrieval_mmr",
-    "dedup_soft_reweight",
-    "hybrid_retrieval_mmr_ann",
-    # (c) all 30 remaining r4-era witnesses, incl. the verdict's eight
-    "q1_events_per_min",
-    "q2_top_docs_6h",
-    "q3_geo_pv_24h",
-    "q4_traffic_source_24h",
-    "q5_session_stats_12h",
-    "q5a_session_marks_12h",
-    "session_window_stats",
-    "q6_avg_delay_5m",
-    "q7_heatmap_7d",
-    "q8_hourly_top20_24h",
-    "q9_retention_d7",
-    "fp2_user_features_5m",
-    "fp3_features_20m",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "rfm_customer_segments",
-    "profile_watermark_lateness",
-    "scd2_user_state_history",
-    "fp_hop_trending_docs_10m_5m",
-    "fp_hop_active_users_10m_5m",
-    "fp_geo_top_doc_5m",
-    "fp_active_users_5m",
-    "kafka_wire_frame",
-    "preprocess_clean_events",
-    "text_unigram_logprob",
-    "dedup_simhash_pairs",
-    "multimodal_dedup_exact",
-    "sample_docs_temperature",
-    "sample_orders_hash",
-    "sketch_bottomk_quantiles",
-    # (d) 19 r5-era, shared-cache consumers and streaming twins first
-    "sim_topk_cosine",
-    "sim_topk_cosine_int8",
-    "sim_topk_cosine_pq",
-    "sim_ann_ivf",
-    "sim_ann_ivf_nprobe2",
-    "sim_ann_lsh",
-    "sim_ann_lsh_multiprobe",
-    "embedding_pq_codes",
-    "dedup_embedding_cosine",
-    "hybrid_retrieval_rrf",
-    "hybrid_retrieval_rerank",
-    "dedup_span_scrub",
-    "dedup_containment_lsh",
-    "dedup_incoming_vs_corpus",
-    "dedup_components_lsh",
+    # (a) VALUE-CHANGED this round: cohort_retention_matrix moved to
+    # user-week-grain calendar-week offsets (the r9 verdict's scale
+    # ask #5) — fronted so the new semantics get a driver witness
+    "cohort_retention_matrix",
+    # (b) the remaining 28 r5-era witnesses (oldest cohort; raises
+    # the witness-age floor to r6 per the r9 verdict's ask #4)
+    "nation_revenue_share",
+    "pagerank_event_graph",
+    "event_transition_matrix",
+    "profile_category_drift",
+    "dq_expectations",
+    "profile_functional_deps",
+    "profile_session_gap_quantiles",
+    "profile_equidepth_histogram",
+    "profile_anomalous_hours",
+    "profile_key_skew",
+    "profile_histogram_order_totals",
+    "profile_orders_one_pass",
+    "dedup_gate_stream_materialized",
+    "fp2_stream_materialized",
+    "text_repetition_stats",
+    "text_bm25_search",
+    "text_gopher_rules",
+    "text_token_stats",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_prefix",
+    "corpus_chunk_windows",
+    "corpus_pack_sequences",
+    "curation_decontaminate",
+    "skew_salted_counts",
+    "curation_adaptive_quality_gate",
+    "curation_pipeline",
+    "curation_stratified_cap",
+    "sample_docs_weighted",
+    # (c) 21 r6-era, preferring consumers of the shared layers that
+    # churned since (disk cache, int8 layout, ADC single-sourcing):
+    # the four streaming twins, the ANN/PQ/kmeans family, the LSH
+    # dedup composites, and the two r9 bench movers'
+    # correctness rows (dedup_bloom_gate; containment's exact anchor)
+    "ann_ingest_stream_materialized",
+    "bloom_gate_stream_materialized",
+    "erasure_stream_materialized",
+    "rollup_stream_materialized",
+    "sim_ann_ivf_trained",
+    "sim_ann_ivfpq",
+    "sim_ann_recall_report",
+    "sim_kmeans_train",
+    "sim_kmeans_centroids",
+    "sim_matryoshka_recall",
+    "sim_topk_cosine_pandas",
+    "hybrid_retrieval_rrf_ann",
+    "dedup_bloom_gate",
+    "dedup_containment",
+    "dedup_keep_best_lsh",
+    "dedup_keep_best_per_component",
+    "dedup_lsh_calibration",
+    "dedup_minhash_bbit",
+    "dedup_semantic_clusters",
+    "dedup_span_exact",
+    "dedup_word_jaccard",
 )
 
 
