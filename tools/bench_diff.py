@@ -40,6 +40,24 @@ def main() -> int:
         f"total: {a.get('value')} s / {len(qa)} -> {b.get('value')} s / {len(qb)}"
         f"   loadavg_1m: {a.get('loadavg_1m')} -> {b.get('loadavg_1m')}"
     )
+    # canary normalization (r10): when BOTH snapshots carry the fixed
+    # boot-calibration job, the machine-context drift between them is a
+    # measured number — per-entry ratios below are divided by it, so a
+    # "regression" that is just a slower boot normalizes back to ~1x
+    cal = 1.0
+
+    def _canary(doc: dict) -> float | None:
+        c = doc.get("canary_s") or {}
+        vals = [v for v in (c.get("start"), c.get("end")) if v]
+        return min(vals) if vals else None
+
+    ca, cb = _canary(a), _canary(b)
+    if ca and cb:
+        cal = cb / ca
+        print(
+            f"canary: {ca} -> {cb} s (machine-context factor {cal:.3f}x; "
+            f"per-entry ratios below are canary-normalized)"
+        )
     added = sorted(set(qb) - set(qa))
     removed = sorted(set(qa) - set(qb))
     if added:
@@ -62,21 +80,21 @@ def main() -> int:
         (k, qa[k], qb[k])
         for k in common
         if qa[k] > 0
-        and qb[k] / qa[k] > args.ratio
+        and qb[k] / qa[k] / cal > args.ratio
         and qb[k] - qa[k] >= args.min_abs
     ]
     imp = [
         (k, qa[k], qb[k])
         for k in common
         if qb[k] > 0
-        and qa[k] / qb[k] > args.ratio
+        and qa[k] * cal / qb[k] > args.ratio
         and qa[k] - qb[k] >= args.min_abs
     ]
     for title, rows in (("regressed", reg), ("improved", imp)):
         if rows:
-            print(f"{title} (> {args.ratio}x and >= {args.min_abs}s):")
+            print(f"{title} (> {args.ratio}x canary-normalized and >= {args.min_abs}s):")
             for k, x, y in sorted(rows, key=lambda r: r[2] - r[1], reverse=True):
-                print(f"  {k}: {x} -> {y} s ({y / x:.2f}x)")
+                print(f"  {k}: {x} -> {y} s ({y / x:.2f}x raw, {y / x / cal:.2f}x normalized)")
     if not reg:
         print("no per-query regressions beyond the noise ratio")
     carried_a = sum(qa[k] for k in common)
