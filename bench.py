@@ -235,12 +235,19 @@ EXACT_ANCHORS = (
 # (the r9 comment acknowledged this; nothing enforced it) — fail fast.
 PREBUILD_CONSUMERS = {
     "shared_exact_graph_build": (
+        # exact_ngram_pairs + exact components labeling (datasets.py)
         "dedup_components",
         "dedup_keep_best_per_component",
         "split_leakage_check",
-        "dedup_lsh_calibration",
+        "dedup_lsh_calibration",  # exact side is the calibration truth
     ),
     "shared_lsh_graph_build": (
+        # dedup_minhash_lsh pair set + LSH components labeling: every
+        # direct dedup_minhash_lsh() caller plus the labeling composites
+        "dedup_minhash_lsh",
+        "dedup_minhash_bbit",
+        "dedup_containment_lsh",
+        "dedup_lsh_calibration",  # LSH side is the thing calibrated
         "dedup_components_lsh",
         "dedup_keep_best_lsh",
         "split_leakage_check_lsh",
@@ -249,24 +256,30 @@ PREBUILD_CONSUMERS = {
     ),
     "shared_ann_index_build": ("sim_ann_ivf_persisted",),
     "shared_pq_codes_build": (
+        # _pq_codes/_pq_codes_packed direct callers + topk_cosine_pq
+        # composites (recall_report runs pq_adc_refine as one method)
         "embedding_pq_codes",
         "sim_topk_cosine_pq",
         "sim_ann_ivfpq",
         "hybrid_retrieval_mmr_ann",
+        "hybrid_retrieval_rrf_ann",
+        "sim_ann_recall_report",
     ),
     "shared_power_iteration": ("embedding_top_pc", "embedding_anisotropy"),
 }
 
 
 def _check_prebuild_skips(skip: set[str]) -> None:
+    # raise, not assert: the fail-fast must survive python -O
     for build, consumers in PREBUILD_CONSUMERS.items():
         if build in skip:
             live = [c for c in consumers if c not in skip]
-            assert not live, (
-                f"{build} is skipped but its consumers {live} are still "
-                f"measured — they would lazily rebuild it inside their own "
-                f"timing window; add them to SPARK_GRAFT_BENCH_SKIP"
-            )
+            if live:
+                raise RuntimeError(
+                    f"{build} is skipped but its consumers {live} are still "
+                    f"measured — they would lazily rebuild it inside their own "
+                    f"timing window; add them to SPARK_GRAFT_BENCH_SKIP"
+                )
 
 
 def _current_round() -> int:
@@ -306,11 +319,13 @@ def _prev_snapshot(sf: float | None) -> str:
             continue
         if doc.get("sf") != sf:
             continue
-        # plain snapshot outranks a suffixed variant of the same round
-        key = (int(m.group(1)), 0 if m.group(2) else 1)
-        if best is None or key > best[:2]:
+        # plain snapshot outranks a suffixed variant of the same round;
+        # among suffixed variants the name breaks ties deterministically
+        # (glob order is os.scandir order, i.e. not portable)
+        key = (int(m.group(1)), 0 if m.group(2) else 1, p.name)
+        if best is None or key > best[:3]:
             best = (*key, str(p))
-    return best[2] if best else ""
+    return best[3] if best else ""
 
 
 def _canary(spark) -> float:
@@ -405,39 +420,46 @@ def main() -> None:
         per_query[f"shared_{kind}_graph_build"] = round(time.time() - t0, 3)
 
     # same policy for the on-disk IVF index: built once per session,
-    # probed by sim_ann_ivf_persisted — the build is its own entry
-    from kafka_flink_streaming_pipeline_spark.operators.similarity import (
-        ann_index_path,
-    )
+    # probed by sim_ann_ivf_persisted — the build is its own entry.
+    # All shared pre-builds honor the skip list uniformly (r10: the
+    # first cut only honored it for the two graph builds, so naming
+    # e.g. shared_pq_codes_build in SPARK_GRAFT_BENCH_SKIP was silently
+    # ignored while the detail file reported it skipped)
+    if "shared_ann_index_build" not in skip:
+        from kafka_flink_streaming_pipeline_spark.operators.similarity import (
+            ann_index_path,
+        )
 
-    t0 = time.time()
-    ann_index_path(spark, sf_dir)
-    per_query["shared_ann_index_build"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        ann_index_path(spark, sf_dir)
+        per_query["shared_ann_index_build"] = round(time.time() - t0, 3)
 
     # and the PQ code table (the third persisted index artifact): the
     # encode is session-shared; the codes entry and ADC search then
     # show their true steady-state marginals
-    from kafka_flink_streaming_pipeline_spark.operators.similarity import (
-        _pq_codes,
-        _pq_codes_packed,
-    )
+    if "shared_pq_codes_build" not in skip:
+        from kafka_flink_streaming_pipeline_spark.operators.similarity import (
+            _pq_codes,
+            _pq_codes_packed,
+        )
 
-    t0 = time.time()
-    _pq_codes(spark, sf_dir).count()
-    _pq_codes_packed(spark, sf_dir).count()  # r6: the packed ADC layout
-    per_query["shared_pq_codes_build"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _pq_codes(spark, sf_dir).count()
+        _pq_codes_packed(spark, sf_dir).count()  # r6: the packed ADC layout
+        per_query["shared_pq_codes_build"] = round(time.time() - t0, 3)
 
     # and the power-iteration direction (r7): `_PI_CACHE` memoizes the
     # converged vector per sf_dir, so embedding_top_pc/anisotropy time
     # their steady-state marginal (emit / Rayleigh pass); the 6-round
     # iteration itself is this one-time entry — same policy as the
     # graphs and indexes above
-    from kafka_flink_streaming_pipeline_spark.operators import linalg
+    if "shared_power_iteration" not in skip:
+        from kafka_flink_streaming_pipeline_spark.operators import linalg
 
-    t0 = time.time()
-    linalg._PI_CACHE.clear()
-    linalg._power_iterate(spark, sf_dir)
-    per_query["shared_power_iteration"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        linalg._PI_CACHE.clear()
+        linalg._power_iterate(spark, sf_dir)
+        per_query["shared_power_iteration"] = round(time.time() - t0, 3)
     # Materialization (round-5 methodology fix): `.count()` is NOT a
     # valid benchmark action for projection- or LEFT-join-shaped
     # outputs — Catalyst prunes every column the count doesn't need,

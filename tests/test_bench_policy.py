@@ -60,9 +60,17 @@ def test_round_env_override(monkeypatch):
 
 
 def test_prebuild_skip_fail_fast():
-    # skipping a pre-build without its consumers must refuse to run
-    with pytest.raises(AssertionError, match="dedup_components"):
+    # skipping a pre-build without its consumers must refuse to run;
+    # RuntimeError (not assert) so the check survives python -O
+    with pytest.raises(RuntimeError, match="dedup_components"):
         bench._check_prebuild_skips({"shared_exact_graph_build"})
+    with pytest.raises(RuntimeError, match="dedup_minhash_lsh"):
+        bench._check_prebuild_skips({"shared_lsh_graph_build"})
+    with pytest.raises(RuntimeError, match="sim_ann_recall_report"):
+        bench._check_prebuild_skips(
+            {"shared_pq_codes_build", "embedding_pq_codes", "sim_topk_cosine_pq",
+             "sim_ann_ivfpq", "hybrid_retrieval_mmr_ann", "hybrid_retrieval_rrf_ann"}
+        )
     # the full consumer set makes it legal
     ok = {"shared_exact_graph_build", *bench.PREBUILD_CONSUMERS["shared_exact_graph_build"]}
     bench._check_prebuild_skips(ok)
