@@ -11,6 +11,11 @@ green witnesses. The tool prints exactly that priority order so the
 next rotation is mechanical.
 
 Run:  python tools/witness_report.py
+      python tools/witness_report.py --emit-window   # ready-to-paste
+          50-entry tuple in priority order (never-checked first, then
+          stalest greens oldest-round-first, registry order within a
+          round). VALUE-CHANGED entries cannot be detected here — front
+          them by hand before pasting.
 """
 
 from __future__ import annotations
@@ -40,6 +45,20 @@ def main() -> int:
     plans = merged()
     window = set(PRIORITY_WINDOW)
     never = [n for n in plans if n not in latest]
+
+    if "--emit-window" in sys.argv:
+        ranked = never + [
+            n
+            for _, n in sorted(
+                ((latest[n][0], n) for n in plans if n in latest),
+                key=lambda t: (t[0], list(plans).index(t[1])),
+            )
+        ]
+        print("PRIORITY_WINDOW: tuple[str, ...] = (")
+        for n in ranked[:50]:
+            print(f'    "{n}",')
+        print(")")
+        return 0
     red = [n for n, (r, ok) in latest.items() if not ok and n in plans]
     by_round: dict[int, list[str]] = {}
     for n in plans:
