@@ -243,7 +243,13 @@ PREBUILD_CONSUMERS = {
     ),
     "shared_lsh_graph_build": (
         # dedup_minhash_lsh pair set + LSH components labeling: every
-        # direct dedup_minhash_lsh() caller plus the labeling composites
+        # direct dedup_minhash_lsh() caller, the labeling composites,
+        # and the curation composites that keep one doc per LSH
+        # component (dedup_keep_best_lsh inside curation_pipeline_v2;
+        # the token-budget family builds on v2's survivor set).
+        # NOTE dedup_exact / curation_pipeline (v1) are NOT here: v1's
+        # dedup stage is the exact-FINGERPRINT hash groupBy, not the
+        # exact ngram-jaccard graph.
         "dedup_minhash_lsh",
         "dedup_minhash_bbit",
         "dedup_containment_lsh",
@@ -253,6 +259,11 @@ PREBUILD_CONSUMERS = {
         "split_leakage_check_lsh",
         "dedup_cluster_size_profile",
         "dedup_soft_reweight",
+        "curation_pipeline_v2",
+        "curation_filter_audit",
+        "curation_token_budget",
+        "curation_token_budget_parts",
+        "curation_token_budget_rows",
     ),
     "shared_ann_index_build": ("sim_ann_ivf_persisted",),
     "shared_pq_codes_build": (
