@@ -357,10 +357,30 @@ def _canary(spark) -> float:
             .selectExpr("sum(count) AS n", "count(*) AS g")
             .collect()[0]["n"]
         )
-        assert n == 8_000_000
+        if n != 8_000_000:  # RuntimeError, not assert: must survive -O
+            raise RuntimeError(f"canary job returned {n}, expected 8000000")
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     return round(best, 3)
+
+
+#: Dirty-start detection (VERDICT r10 #6): the r10 sf1 battery started
+#: on a contaminated box (canary 6.52 s vs 0.365 settled) and nothing
+#: flagged it until the detail file was read back. A start canary >3x
+#: the end canary means the early entries ran under a materially
+#: different machine context than the late ones — warn at RUN time so
+#: the operator can rerun before the file is graded.
+_DIRTY_START_FACTOR = 3.0
+
+
+def _dirty_start_warning(canary_start: float, canary_end: float) -> str | None:
+    if canary_end > 0 and canary_start > _DIRTY_START_FACTOR * canary_end:
+        return (
+            f"WARNING: dirty battery start — canary start {canary_start}s > "
+            f"{_DIRTY_START_FACTOR}x end {canary_end}s; early entries were "
+            "measured under load, rerun advised"
+        )
+    return None
 
 
 def main() -> None:
@@ -554,6 +574,9 @@ def main() -> None:
                 per_query[name] = round(min(val, _measure(name, 1)), 3)
                 min_of[name] = n_meas + 1
     canary_end = _canary(spark)
+    warn = _dirty_start_warning(canary_start, canary_end)
+    if warn:
+        print(warn, file=sys.stderr)
     total = round(sum(per_query.values()), 3)
     # 1-min load average at battery end: the r3 driver total ran 1.2x
     # the idle-box total purely from machine contention — recording

@@ -92,3 +92,50 @@ def test_prebuild_consumers_are_registry_entries():
     for n in bench.EXACT_ANCHORS:
         if not n.startswith("shared_"):
             assert n in plans
+
+
+def test_dirty_start_warning_fires_only_on_contaminated_start():
+    # the r10 sf1 case: 6.52 s start vs 0.365 settled -> warn
+    w = bench._dirty_start_warning(6.52, 0.365)
+    assert w is not None and "dirty battery start" in w
+    # clean boots (r10 sf0.1: 0.619 -> 0.387) stay silent
+    assert bench._dirty_start_warning(0.619, 0.387) is None
+    # exactly at the factor is NOT dirty (strict >), and a zero end
+    # canary must not divide/flag
+    assert bench._dirty_start_warning(1.2, 0.4) is None
+    assert bench._dirty_start_warning(0.5, 0.0) is None
+
+
+def test_bench_diff_min_abs_is_canary_normalized(tmp_path):
+    # A raw +0.25 s "regression" that is fully explained by a 2x slower
+    # boot (canary 0.4 -> 0.8) must NOT pass the min_abs gate once the
+    # delta is normalized: 0.75/2 - 0.5 = -0.125 s (ADVICE r10 #3 —
+    # previously the ratio gate normalized but the abs-delta gate
+    # compared raw seconds, so the two gates could disagree).
+    import subprocess
+
+    old = {"value": 0.5, "queries": {"q": 0.5}, "canary_s": {"start": 0.4, "end": 0.5}}
+    new = {"value": 0.75, "queries": {"q": 0.75}, "canary_s": {"start": 0.8, "end": 0.9}}
+    (tmp_path / "old.json").write_text(json.dumps(old))
+    (tmp_path / "new.json").write_text(json.dumps(new))
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "bench_diff.py"),
+         str(tmp_path / "old.json"), str(tmp_path / "new.json"),
+         "--ratio", "1.2", "--min-abs", "0.2"],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    assert "no per-query regressions" in out
+    # and a REAL regression that survives normalization still fires:
+    # 2.0 -> 6.0 with the same 2x boot factor is 3.0 normalized seconds
+    # vs 2.0 -> delta 1.0 >= 0.2 and ratio 1.5x > 1.2
+    old["queries"]["q"] = 2.0
+    new["queries"]["q"] = 6.0
+    (tmp_path / "old.json").write_text(json.dumps(old))
+    (tmp_path / "new.json").write_text(json.dumps(new))
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "bench_diff.py"),
+         str(tmp_path / "old.json"), str(tmp_path / "new.json"),
+         "--ratio", "1.2", "--min-abs", "0.2"],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    assert "regressed" in out and "q: 2.0 -> 6.0" in out

@@ -94,6 +94,12 @@ def test_mmr_ann_same_greedy_contract(spark):
     # monotone mmr6, exact rank ladder) is asserted above; this floor
     # only guards against the ANN shortlist degenerating wholesale.
     assert total_overlap >= (len(by_q) * _MMR_K * 2) // 5, total_overlap
+    # Pinned snapshot on top of the floor: both arms are deterministic
+    # on fixed testdata, so ANY drift (26 -> 25 as much as 26 -> 20) is
+    # a behavior change that should be seen, not absorbed by the floor.
+    # Re-baseline this value deliberately when testdata is regenerated
+    # or the ANN shortlist parameters change.
+    assert total_overlap == 26, total_overlap
 
 
 def test_soft_reweight_mass_conservation(spark):

@@ -76,19 +76,23 @@ def main() -> int:
               + f"  (sum {sum(qb[k] for k in builds):.2f} s)")
 
     common = sorted(set(qa) & set(qb))
+    # min_abs is canary-normalized like the ratio gate: qb/cal is the
+    # "what B would have cost on A's boot" estimate, so both gates see
+    # the same normalized delta (raw-second deltas on a boot with cal
+    # far from 1 would let the two gates disagree on the same entry).
     reg = [
         (k, qa[k], qb[k])
         for k in common
         if qa[k] > 0
         and qb[k] / qa[k] / cal > args.ratio
-        and qb[k] - qa[k] >= args.min_abs
+        and qb[k] / cal - qa[k] >= args.min_abs
     ]
     imp = [
         (k, qa[k], qb[k])
         for k in common
         if qb[k] > 0
         and qa[k] * cal / qb[k] > args.ratio
-        and qa[k] - qb[k] >= args.min_abs
+        and qa[k] - qb[k] / cal >= args.min_abs
     ]
     for title, rows in (("regressed", reg), ("improved", imp)):
         if rows:
