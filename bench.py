@@ -253,6 +253,7 @@ PREBUILD_CONSUMERS = {
         "dedup_minhash_lsh",
         "dedup_minhash_bbit",
         "dedup_containment_lsh",
+        "dedup_containment_profile",
         "dedup_lsh_calibration",  # LSH side is the thing calibrated
         "dedup_components_lsh",
         "dedup_keep_best_lsh",

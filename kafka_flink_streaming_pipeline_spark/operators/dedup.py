@@ -889,10 +889,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _containment_dirs(_common_counts(_doc_shingles(spark, sf_dir), "shingle"))
 
 
-def _containment_dirs(counts: DataFrame) -> DataFrame:
+def _containment_dirs(counts: DataFrame, threshold: float = _CONTAIN_T) -> DataFrame:
     """(d1, d2, common, c1, c2) → both containment directions via one
-    map-side explode, thresholded at {_CONTAIN_T} — shared by the exact
-    and LSH-candidate containment variants."""
+    map-side explode, thresholded at `threshold` (default {_CONTAIN_T})
+    — shared by the exact and LSH-candidate containment variants; the
+    profile passes 0.0 to keep the full distribution (common >= 1
+    already, so nothing at exactly 0 exists to include)."""
     both_dirs = F.array(
         F.struct(
             F.col("d1").alias("contained_doc"),
@@ -912,7 +914,7 @@ def _containment_dirs(counts: DataFrame) -> DataFrame:
     return (
         counts.select(F.explode(both_dirs).alias("p"))
         .select("p.contained_doc", "p.container_doc", "p.containment")
-        .filter(F.col("containment") >= _CONTAIN_T)
+        .filter(F.col("containment") >= threshold)
     )
 
 
@@ -944,11 +946,18 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     r4). Two hash joins on doc_id replace one doc_id join plus one
     (doc_id, shingle) join, so shuffle volume DROPS to
     |docs| + 2|cand| rows."""
+    return _containment_dirs(_lsh_verified_counts(spark, sf_dir))
+
+
+def _lsh_verified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(d1, d2, common, c1, c2) for every LSH band-collision candidate
+    with >= 1 common shingle — the shared verify stage behind
+    `dedup_containment_lsh` and `dedup_containment_profile`."""
     cand = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
     sh = _doc_shingles(spark, sf_dir)
     # shingles are already distinct per doc → collect_set size == |set|
     sets_ = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sset"))
-    counts = (
+    return (
         cand.join(
             sets_.select(F.col("doc_id").alias("d1"), F.col("sset").alias("s1")), "d1"
         )
@@ -964,7 +973,6 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("common") > 0)
     )
-    return _containment_dirs(counts)
 
 
 DEDUP_CONTAINMENT_ORACLE = f"""
@@ -987,6 +995,91 @@ SELECT contained_doc, container_doc, containment
 FROM dirs WHERE containment >= {_CONTAIN_T}
 """
 
+def dedup_containment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile ESTIMATED-containment profile over the LSH candidate
+    pairs — the scale-battery face of `dedup_containment_lsh` (r10
+    verdict ask #4). The row-level sibling's 45× at 100× is NOT the
+    output rows: component timing (PERF.md r11) shows the exact verify
+    (two array-carrying joins + `array_intersect` per candidate) costs
+    ~119 s at sf10 while the cached candidate set and the per-doc
+    shingle counts cost ~2.5 s — so an aggregate that still verifies
+    exactly would inherit the whole tail. A threshold-tuning pass needs
+    the DISTRIBUTION, and a distribution is exactly where the minhash
+    ESTIMATE is the right tool: est_jaccard is already carried on every
+    candidate row (shared subtree, zero marginal cost), and containment
+    follows from it via |A∩B| = J/(1+J)·(|A|+|B|), capped at
+    min(|A|,|B|). No shingle arrays move; the plan is the cached
+    candidate pairs + two narrow BIGINT count joins + a two-level
+    map-side-combinable rollup. The row-level entry stays registered
+    as the exact anchor; this entry is the screening statistic.
+
+    UNTHRESHOLDED on purpose: the {_CONTAIN_T}-filtered row set lives
+    entirely in decile 9, which would make a "profile" a single row —
+    the tuning signal is the full candidate distribution (band
+    collision implies ≥1 matching band, so est_jaccard > 0 on every
+    row; deciles 0–9, with [0.9, ∞) capped into bucket 9 because the
+    jaccard→containment inversion can overshoot min(|A|,|B|)/|A|).
+
+    Integer-exact aggregation: each directed estimate (det-rounded to
+    6 dp, an exact multiple of 1e-6) is carried as BIGINT ppm;
+    `decile` = ppm DIV 100000 capped at 9 — pure non-negative integer
+    ops that agree bit-for-bit with the DuckDB oracle — and the rollup
+    is (decile, doc) partials then decile totals, so there is no
+    count-distinct Expand and no float mean for partition order to
+    move.
+
+    Output: (decile, n_pairs, n_contained_docs, sum_containment_ppm),
+    ≤10 rows at any corpus size."""
+    cand = dedup_minhash_lsh(spark, sf_dir)
+    cnt = (
+        _doc_shingles(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    j = cand.join(
+        cnt.select(F.col("doc_id").alias("d1"), F.col("c").alias("c1")), "d1"
+    ).join(cnt.select(F.col("doc_id").alias("d2"), F.col("c").alias("c2")), "d2")
+    common_est = F.least(
+        F.col("est_jaccard")
+        / (F.lit(1.0) + F.col("est_jaccard"))
+        * (F.col("c1") + F.col("c2")),
+        F.col("c1").cast("double"),
+        F.col("c2").cast("double"),
+    )
+    dirs = j.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("d1").alias("contained_doc"),
+                    det_round(common_est / F.col("c1"), 6).alias("containment"),
+                ),
+                F.struct(
+                    F.col("d2").alias("contained_doc"),
+                    det_round(common_est / F.col("c2"), 6).alias("containment"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.contained_doc", "p.containment")
+    per_doc = (
+        dirs.select(
+            "contained_doc",
+            F.floor(F.col("containment") * F.lit(1_000_000) + F.lit(0.5))
+            .cast("bigint")
+            .alias("ppm"),
+        )
+        .select(
+            "contained_doc", "ppm", F.expr("least(ppm DIV 100000, 9)").alias("decile")
+        )
+        .groupBy("decile", "contained_doc")
+        .agg(F.count(F.lit(1)).alias("np"), F.sum("ppm").alias("sp"))
+    )
+    return per_doc.groupBy("decile").agg(
+        F.sum("np").alias("n_pairs"),
+        F.count(F.lit(1)).alias("n_contained_docs"),
+        F.sum("sp").alias("sum_containment_ppm"),
+    )
+
+
 DEDUP_CONTAINMENT_LSH_ORACLE = f"""
 WITH
 {LSH_EST_SQL},
@@ -1008,6 +1101,44 @@ dirs AS (
 )
 SELECT contained_doc, container_doc, containment
 FROM dirs WHERE containment >= {_CONTAIN_T}
+"""
+
+DEDUP_CONTAINMENT_PROFILE_ORACLE = f"""
+WITH
+{LSH_EST_SQL},
+cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+sized AS (
+  SELECT e.d1, e.d2, e.est_jaccard, c1.c AS c1, c2.c AS c2
+  FROM est e
+  JOIN cnt c1 ON c1.doc_id = e.d1
+  JOIN cnt c2 ON c2.doc_id = e.d2
+),
+dirs AS (
+  SELECT d1 AS contained_doc,
+         {det_round_sql('LEAST(est_jaccard / (1.0 + est_jaccard) * (c1 + c2), CAST(c1 AS DOUBLE), CAST(c2 AS DOUBLE)) / c1', 6)} AS containment
+  FROM sized
+  UNION ALL
+  SELECT d2,
+         {det_round_sql('LEAST(est_jaccard / (1.0 + est_jaccard) * (c1 + c2), CAST(c1 AS DOUBLE), CAST(c2 AS DOUBLE)) / c2', 6)}
+  FROM sized
+),
+ppm AS (
+  -- unthresholded: the full candidate distribution (band collision
+  -- implies est_jaccard > 0 on every row)
+  SELECT contained_doc,
+         CAST(floor(containment * 1000000.0 + 0.5) AS BIGINT) AS ppm
+  FROM dirs
+),
+per_doc AS (
+  SELECT LEAST(ppm // 100000, 9) AS decile, contained_doc,
+         count(*) AS np, CAST(sum(ppm) AS BIGINT) AS sp
+  FROM ppm GROUP BY decile, contained_doc
+)
+SELECT decile,
+       CAST(sum(np) AS BIGINT) AS n_pairs,
+       count(*) AS n_contained_docs,
+       CAST(sum(sp) AS BIGINT) AS sum_containment_ppm
+FROM per_doc GROUP BY decile
 """
 
 
@@ -2075,6 +2206,13 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_containment_lsh,
         DEDUP_CONTAINMENT_LSH_ORACLE,
         "containment verified over banded-LSH candidate pairs (corpus-scale path)",
+    ),
+    "dedup_containment_profile": QuerySpec(
+        "dedup_containment_profile",
+        dedup_containment_profile,
+        DEDUP_CONTAINMENT_PROFILE_ORACLE,
+        "per-decile minhash-estimated containment distribution over the "
+        "LSH candidates (aggregate scale face of dedup_containment_lsh)",
     ),
     "dedup_incoming_vs_corpus": QuerySpec(
         "dedup_incoming_vs_corpus",

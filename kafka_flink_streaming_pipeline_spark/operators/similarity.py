@@ -2113,6 +2113,27 @@ ORDER BY dim
 #: assignment N²/cell — quadratic.
 _SEM_PAIR_WEIGHT = 8
 
+#: per-(sub)cell population cap (r10 verdict ask #3): auto-K bounds the
+#: AVERAGE cell to √(8N), but a skewed store can still put Θ(N) vectors
+#: in one cell (N² pairs), and even the balanced case pays N·√(8N) pair
+#: rows — the measured 44× tail at 100×. Capping every pairwise group
+#: at CAP members bounds TOTAL pair mass to N·CAP/2 — linear in N,
+#: skew-proof. Oversized cells are re-split into ceil(|cell|/CAP)
+#: sub-cells by a multiplicative id-hash ((id mod 2^32)·1103515245
+#: mod 2^32 — pure BIGINT ops that agree bit-for-bit in Spark and
+#: DuckDB, decorrelated from any id stride the near-dup replication
+#: uses, and overflow-safe under ANSI mode: the pre-reduction keeps
+#: the product < 2^63 for any BIGINT id, where a 2^31-sized Knuth
+#: multiplier on a raw 1e11-range id would overflow).
+#: Pairs across sub-cells of an oversized cell are forgone — the same
+#: recall trade SemDeDup already makes across cells, applied
+#: recursively; production would re-split by a sub-quantizer (the
+#: FAISS IMI move), the id-hash keeps the operator deterministic and
+#: oracle-checkable. 48 ≈ the sf0.01 oracle's mean cell (500/8), so
+#: the split path is exercised — and driver-hashed — at oracle scale.
+_SEM_CELL_CAP = 48
+_SEM_HASH_MULT = 1103515245
+
 
 def dedup_semantic_clusters(
     spark: SparkSession, sf_dir: str, n_cells: int | None = None
@@ -2125,25 +2146,33 @@ def dedup_semantic_clusters(
     tractable on billion-vector corpora (cross-cell near-dups are
     forgone by design; tighten K/nprobe to trade recall for cost).
 
-    `n_cells` is the COST KNOB: within-cell candidates ∝ N²/K, so K
-    must grow with the corpus (SemDeDup itself uses 50k clusters for 5B
-    embeddings). When `n_cells` is None (the registered default) K is
-    AUTO-DERIVED as ceil(√(N/{_SEM_PAIR_WEIGHT})) from a one-row count
-    — the balanced-cost choice (see `_SEM_PAIR_WEIGHT`) that keeps both
-    the centroid assignment (N·K) and the within-cell pairwise stage
-    (N²/K) at O(N^1.5), making the registered entry scale-safe by
-    default: measured at 100× testdata (500k vectors) a pinned K=8
-    diverges (>20 min) while K=64 → 228 s and K=256 → 76 s with
-    99.97%-identical drop lists (PERF.md round 3); the derivation lands
-    at K=250, the measured sweet-spot regime.
+    `n_cells` is the GRANULARITY KNOB: K must grow with the corpus
+    (SemDeDup itself uses 50k clusters for 5B embeddings). When
+    `n_cells` is None (the registered default) K is AUTO-DERIVED as
+    ceil(√(N/{_SEM_PAIR_WEIGHT})) from a one-row count — the
+    balanced-cost choice (see `_SEM_PAIR_WEIGHT`) that keeps the
+    centroid assignment (N·K) at O(N^1.5): measured at 100× testdata
+    (500k vectors) a pinned K=8 diverges (>20 min) while K=64 → 228 s
+    and K=256 → 76 s with 99.97%-identical drop lists (PERF.md round
+    3); the derivation lands at K=250, the measured sweet-spot regime.
+
+    The PAIRWISE stage is additionally bounded by `_SEM_CELL_CAP`:
+    every cell is re-split into ceil(|cell|/CAP) sub-cells by a
+    deterministic multiplicative id-hash before the within-cell join,
+    so total candidate-pair mass is ≤ N·CAP/2 — LINEAR in N and
+    immune to cell skew (pre-cap, the 100× battery spent ~69 of 76 s
+    in ~500M within-cell pair rows; see `_SEM_CELL_CAP` for the
+    recall trade and why the hash agrees bit-for-bit with DuckDB).
 
     ORACLE SCOPE: `DEDUP_SEMANTIC_ORACLE` derives the SAME K from a
     count(*) inside the SQL (sqrt is IEEE-correctly-rounded in both
-    engines, so ceil(√(N/8)) agrees bit-for-bit), so parity holds for
-    the registered default at ANY scale — verified at sf0.01 (K=8) and
-    sf0.1 (K=25). An EXPLICIT n_cells override is outside oracle
-    coverage unless it happens to equal the derived K; never
-    hash-compare an override run.
+    engines, so ceil(√(N/8)) agrees bit-for-bit) AND mirrors the
+    cap re-split (per-cell counts + the pure-BIGINT id-hash), so
+    parity holds for the registered default at ANY scale — verified
+    at sf0.01 (K=8, cells split 2-way at CAP=48) and sf0.1 (K=25).
+    An EXPLICIT n_cells override is outside oracle coverage unless it
+    happens to equal the derived K; never hash-compare an override
+    run.
 
     Output: one row per DROPPED vector — (vec_id, centroid_id, dup_of
     = lowest-id same-cell vector with cosine ≥ t, n_similar)."""
@@ -2157,20 +2186,35 @@ def dedup_semantic_clusters(
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
     m = _ivf_assign(with_norm, k=n_cells).join(with_norm, "vec_id")
+    # cap enforcement: K-row size table broadcast back onto the
+    # assignment, then a pure-BIGINT hash split — no extra shuffle of
+    # the vectors (the pair join's shuffle key just widens to include
+    # sub_id)
+    sizes = m.groupBy("centroid_id").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(float(_SEM_CELL_CAP))).alias("n_sub")
+    )
+    m = m.join(F.broadcast(sizes), "centroid_id").withColumn(
+        "sub_id",
+        (((F.col("vec_id") % F.lit(4294967296)) * F.lit(_SEM_HASH_MULT))
+         % F.lit(4294967296))
+        % F.col("n_sub"),
+    )
     a = m.select(
         F.col("vec_id").alias("v1"),
         "centroid_id",
+        "sub_id",
         F.col("embedding").alias("e1"),
         F.col("nrm").alias("n1"),
     )
     b = m.select(
         F.col("vec_id").alias("v2"),
         "centroid_id",
+        "sub_id",
         F.col("embedding").alias("e2"),
         F.col("nrm").alias("n2"),
     )
     return (
-        a.join(b, "centroid_id")
+        a.join(b, ["centroid_id", "sub_id"])
         .filter(F.col("v1") < F.col("v2"))
         .select(
             "centroid_id",
@@ -2212,10 +2256,21 @@ assigned AS (
     FROM assign_scored
   ) WHERE rn = 1
 ),
+sized AS (
+  SELECT centroid_id, CAST(ceil(count(*) / {_SEM_CELL_CAP}.0) AS BIGINT) AS n_sub
+  FROM assigned GROUP BY centroid_id
+),
+subbed AS (
+  SELECT a.vec_id, a.centroid_id,
+         (((a.vec_id % 4294967296) * {_SEM_HASH_MULT}) % 4294967296)
+           % s.n_sub AS sub_id
+  FROM assigned a JOIN sized s USING (centroid_id)
+),
 pairs AS (
   SELECT a1.centroid_id, a1.vec_id AS v1, a2.vec_id AS v2, {_DUCK_COS} AS cosine
-  FROM assigned a1
-  JOIN assigned a2 ON a1.centroid_id = a2.centroid_id AND a1.vec_id < a2.vec_id
+  FROM subbed a1
+  JOIN subbed a2 ON a1.centroid_id = a2.centroid_id
+               AND a1.sub_id = a2.sub_id AND a1.vec_id < a2.vec_id
   JOIN e q ON q.vec_id = a1.vec_id
   JOIN e c ON c.vec_id = a2.vec_id
 )

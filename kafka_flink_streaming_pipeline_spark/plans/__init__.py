@@ -107,67 +107,73 @@ class QuerySpec:
 #: consumers (ANN/PQ/kmeans, LSH dedup composites, all four r6
 #: streaming twins) and the correctness rows behind the two r9 bench
 #: movers. No never-checked entries exist (226/226 witnessed).
+#: r11 window: (a) VALUE-CHANGED `dedup_semantic_clusters` fronted
+#: (per-cell cap + id-hash re-split, the r10 verdict's scale ask #3 —
+#: drop list changed at every SF) and the one NEW entry
+#: `dedup_containment_profile` (estimated-containment decile rollup,
+#: ask #4 — same-round windowing is the standing r7 lesson); (b) ALL
+#: 27 remaining r6-era witnesses — the oldest cohort, raising the
+#: official witness-age floor to r7 (the r10 verdict's #1 ask: these
+#: include the tokenizer/curation/leakage families whose shared
+#: subtrees churned r7–r10); (c) the 21 stalest r7-era entries as
+#: emitted by `tools/witness_report.py --emit-window` (the TPC-H
+#: parity block + join-shape family), truncated to keep the window at
+#: 50 (rolling_revenue_30d and tpch_q2_max_balance_supplier rotate
+#: into r12's window).
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # (a) VALUE-CHANGED this round: cohort_retention_matrix moved to
-    # user-week-grain calendar-week offsets (the r9 verdict's scale
-    # ask #5) — fronted so the new semantics get a driver witness
-    "cohort_retention_matrix",
-    # (b) the remaining 28 r5-era witnesses (oldest cohort; raises
-    # the witness-age floor to r6 per the r9 verdict's ask #4)
-    "nation_revenue_share",
-    "pagerank_event_graph",
-    "event_transition_matrix",
-    "profile_category_drift",
-    "dq_expectations",
-    "profile_functional_deps",
-    "profile_session_gap_quantiles",
-    "profile_equidepth_histogram",
-    "profile_anomalous_hours",
-    "profile_key_skew",
-    "profile_histogram_order_totals",
-    "profile_orders_one_pass",
-    "dedup_gate_stream_materialized",
-    "fp2_stream_materialized",
-    "text_repetition_stats",
-    "text_bm25_search",
-    "text_gopher_rules",
-    "text_token_stats",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_prefix",
-    "corpus_chunk_windows",
-    "corpus_pack_sequences",
-    "curation_decontaminate",
-    "skew_salted_counts",
-    "curation_adaptive_quality_gate",
-    "curation_pipeline",
-    "curation_stratified_cap",
-    "sample_docs_weighted",
-    # (c) 21 r6-era, preferring consumers of the shared layers that
-    # churned since (disk cache, int8 layout, ADC single-sourcing):
-    # the four streaming twins, the ANN/PQ/kmeans family, the LSH
-    # dedup composites, and the two r9 bench movers'
-    # correctness rows (dedup_bloom_gate; containment's exact anchor)
-    "ann_ingest_stream_materialized",
-    "bloom_gate_stream_materialized",
-    "erasure_stream_materialized",
-    "rollup_stream_materialized",
-    "sim_ann_ivf_trained",
-    "sim_ann_ivfpq",
-    "sim_ann_recall_report",
-    "sim_kmeans_train",
-    "sim_kmeans_centroids",
-    "sim_matryoshka_recall",
-    "sim_topk_cosine_pandas",
-    "hybrid_retrieval_rrf_ann",
-    "dedup_bloom_gate",
-    "dedup_containment",
-    "dedup_keep_best_lsh",
-    "dedup_keep_best_per_component",
-    "dedup_lsh_calibration",
-    "dedup_minhash_bbit",
+    # (a) value-changed + new this round
     "dedup_semantic_clusters",
-    "dedup_span_exact",
-    "dedup_word_jaccard",
+    "dedup_containment_profile",
+    # (b) the 27 remaining r6-era witnesses (oldest cohort)
+    "customer_activity_full_outer_join",
+    "tpch_q10_returned_items",
+    "profile_embedding_drift",
+    "privacy_erasure_audit",
+    "profile_psi_drift",
+    "privacy_k_anonymity",
+    "text_zipf_head_share",
+    "tokenizer_bpe_pair_counts",
+    "text_bigram_logprob",
+    "tokenizer_fertility",
+    "tokenizer_bpe_train",
+    "tokenizer_bpe_apply",
+    "dedup_exact",
+    "dataset_interleave_shards",
+    "curation_quality_classifier",
+    "curation_threshold_sweep",
+    "curation_classifier_calibration",
+    "curation_ccnet_buckets",
+    "curation_dsir_select",
+    "curation_dsir_weights",
+    "curation_pipeline_v2",
+    "split_leakage_check",
+    "split_leakage_check_lsh",
+    "dataset_mixture_temperature",
+    "dataset_mixture_apply",
+    "sample_docs_weighted_stratified",
+    "zscore_order_totals",
+    # (c) the 21 stalest r7-era entries
+    "q1_views_per_min",
+    "fp3_features_20m_day",
+    "q2_sql_api_variant",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q5_regional_revenue",
+    "top_supplier_per_nation",
+    "order_priority_semi_join",
+    "customers_without_orders_anti_join",
+    "customer_order_counts_left_join",
+    "order_items_right_join",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier_cnt",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_orders",
+    "grouping_sets_revenue",
 )
 
 
