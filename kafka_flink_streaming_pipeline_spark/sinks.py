@@ -164,7 +164,9 @@ def jdbc_merge_upsert(
         conn.close()
 
 
-def foreach_partition_kv_writer(keys_values: DataFrame, writer_factory):
+def foreach_partition_kv_writer(
+    keys_values: DataFrame, writer_factory, ttl_seconds: int | None = None
+):
     """S4/S5 done right: per-partition KV-store writes on executors
     (the reference's redis_sink.py collects to the driver — S5 — which
     SURVEY.md flags as the anti-pattern; `foreachPartition` keeps
@@ -172,6 +174,14 @@ def foreach_partition_kv_writer(keys_values: DataFrame, writer_factory):
 
     `writer_factory` → a callable returning an object with
     `.hset(key, mapping)` and `.close()`; created once per partition.
+
+    `ttl_seconds`: when set, each written key is expired via
+    `.expire(key, ttl_seconds)` right after its `.hset` — the
+    reference's feature-store design TTLs its keys (600 s user/item,
+    300 s global features; `flink-jobs/redis_sink copy.sql:167-168`)
+    so a stalled pipeline ages out of serving instead of serving stale
+    features forever. Optional so non-expiring stores (or servers
+    without EXPIRE) keep the old two-method contract.
     """
 
     def _write(partition):
@@ -179,6 +189,8 @@ def foreach_partition_kv_writer(keys_values: DataFrame, writer_factory):
         try:
             for row in partition:
                 client.hset(row["redis_key"], mapping=row["redis_hash"])
+                if ttl_seconds is not None:
+                    client.expire(row["redis_key"], ttl_seconds)
         finally:
             client.close()
 
