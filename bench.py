@@ -128,6 +128,7 @@ HEADLINE = [
     "sketch_bottomk_quantiles",
     "rfm_customer_segments",
     "dedup_containment_lsh",
+    "dedup_containment_profile",
     "split_leakage_check_lsh",
     "dedup_keep_best_lsh",
     "sim_ann_ivf_persisted",
