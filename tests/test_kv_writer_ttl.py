@@ -90,3 +90,4 @@ def test_kv_writer_without_ttl_never_calls_expire(spark, tmp_path):
     ops = [op for part in _read_ops(log_dir) for op in part]
     assert {op[0] for op in ops} == {"hset"}
     assert {op[1]: op[2] for op in ops} == {"k1": {"a": "1"}, "k2": {"b": "2"}}
+
