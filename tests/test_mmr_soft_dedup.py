@@ -123,3 +123,44 @@ def test_soft_reweight_mass_conservation(spark):
     assert any(s > 1 for s in comp_size.values()), "testdata lost its near-dups"
     for cid, mass in comp_mass.items():
         assert 1_000_000 - comp_size[cid] < mass <= 1_000_000, cid
+
+
+def test_semantic_cap_bounds_pairwise_groups(spark):
+    """The r11 cap claim: after the 2xLCG high-bits re-split, no
+    pairwise group (centroid_id, sub_id) materially exceeds
+    `_SEM_CELL_CAP` — multinomial balance, not worst-case 1-cell
+    concentration. 2x slack absorbs binomial variance at tiny cell
+    counts; the sub-cell count per cell must be exactly
+    ceil(|cell|/CAP)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kafka_flink_streaming_pipeline_spark.operators import similarity as S
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+    e = load_table(spark, SF_CORRECT, "embeddings")
+    n = e.count()
+    k = int(min(65536, max(1, math.ceil(math.sqrt(n / S._SEM_PAIR_WEIGHT)))))
+    wn = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(S._dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    m = S._ivf_assign(wn, k=k).select("vec_id", "centroid_id")
+    sizes = m.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.ceil(F.count(F.lit(1)) / F.lit(float(S._SEM_CELL_CAP))).alias("n_sub"),
+    )
+    for r in sizes.collect():
+        assert r.n_sub == math.ceil(r.cnt / S._SEM_CELL_CAP), r
+    x = F.col("vec_id") % F.lit(4294967296)
+    for _ in range(2):
+        x = (x * F.lit(S._SEM_HASH_MULT) + F.lit(S._SEM_HASH_INC)) % F.lit(4294967296)
+    sub = m.join(F.broadcast(sizes), "centroid_id").withColumn(
+        "sub_id", F.shiftright(x, 16) % F.col("n_sub")
+    )
+    max_group = (
+        sub.groupBy("centroid_id", "sub_id").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_group <= 2 * S._SEM_CELL_CAP, max_group
