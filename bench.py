@@ -255,6 +255,7 @@ PREBUILD_CONSUMERS = {
         "dedup_minhash_bbit",
         "dedup_containment_lsh",
         "dedup_containment_profile",
+        "dedup_containment_bounded",
         "dedup_lsh_calibration",  # LSH side is the thing calibrated
         "dedup_components_lsh",
         "dedup_keep_best_lsh",
@@ -268,6 +269,14 @@ PREBUILD_CONSUMERS = {
         "curation_token_budget_rows",
     ),
     "shared_ann_index_build": ("sim_ann_ivf_persisted",),
+    "shared_exact_topk_build": (
+        # session-shared exact cosine top-k anchor (r12): its own entry
+        # plus every QA report that scores a method against the truth
+        "sim_topk_cosine",
+        "sim_ann_recall_report",
+        "sim_int8_topk_agreement",
+        "sim_matryoshka_recall",
+    ),
     "shared_pq_codes_build": (
         # _pq_codes/_pq_codes_packed direct callers + topk_cosine_pq
         # composites (recall_report runs pq_adc_refine as one method)
@@ -480,6 +489,18 @@ def main() -> None:
         _pq_codes(spark, sf_dir).count()
         _pq_codes_packed(spark, sf_dir).count()  # r6: the packed ADC layout
         per_query["shared_pq_codes_build"] = round(time.time() - t0, 3)
+
+    # and the exact top-k anchor (r12): session-shared truth side of
+    # the recall/agreement/matryoshka QA reports — the one-time
+    # corpus×queries scan is its own entry, consumers show marginals
+    if "shared_exact_topk_build" not in skip:
+        from kafka_flink_streaming_pipeline_spark.operators.similarity import (
+            topk_cosine,
+        )
+
+        t0 = time.time()
+        topk_cosine(spark, sf_dir).count()
+        per_query["shared_exact_topk_build"] = round(time.time() - t0, 3)
 
     # and the power-iteration direction (r7): `_PI_CACHE` memoizes the
     # converged vector per sf_dir, so embedding_top_pc/anisotropy time

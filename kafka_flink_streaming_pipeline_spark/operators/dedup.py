@@ -1142,6 +1142,123 @@ FROM per_doc GROUP BY decile
 """
 
 
+_CONTAIN_SCREEN_T = 0.8  # estimated-containment admission floor (margin
+# below the 0.9 exact threshold absorbs minhash estimate error)
+
+
+def dedup_containment_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-output exact containment (r11 verdict ask #3): the
+    corpus-scale EXACT path the estimate-based
+    `dedup_containment_profile` screens for. `dedup_containment_lsh`
+    exact-verifies EVERY band collision — component timing (PERF.md
+    r11) put ~119 s of its 125 s cold sf10 wall in the verify (two
+    array-carrying joins + `array_intersect` per candidate) and it
+    materializes 54.5 M unthresholded containment rows. This variant
+    inserts the profile's zero-marginal-cost ESTIMATE between the
+    candidate set and the verify: a pair reaches `collect_set` only
+    when its minhash-estimated max-direction containment
+    (|A∩B|_est / min(|A|,|B|), est via J/(1+J)·(|A|+|B|) capped at
+    min) is ≥ {_CONTAIN_SCREEN_T}, so verify cost and output rows
+    track the true high-containment density instead of the full
+    collision count.
+
+    The shingle arrays are additionally built ONLY for docs that
+    appear in a screened pair (a narrow semi-join on doc_id BEFORE
+    `collect_set`), so array rows never shuffle for the corpus bulk —
+    at 100 TB the heavy stage is |screened docs|, not |docs|.
+
+    RECALL SCOPE (the documented trade, mirrored bit-for-bit by the
+    oracle): on top of the LSH candidate recall gap this variant also
+    forgoes pairs whose ESTIMATE undershoots {_CONTAIN_SCREEN_T} while
+    exact containment is ≥ {_CONTAIN_T} — the screen margin
+    ({_CONTAIN_T} − {_CONTAIN_SCREEN_T}) absorbs typical
+    {_N_PERM}-perm estimate error. `dedup_containment_lsh` stays
+    registered as the unscreened row-level anchor.
+
+    Output: (contained_doc, container_doc, containment) with EXACT
+    containment ≥ {_CONTAIN_T} — same schema/threshold as the anchor,
+    restricted to screened candidates."""
+    cand = dedup_minhash_lsh(spark, sf_dir)
+    sh = _doc_shingles(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    j = cand.join(
+        cnt.select(F.col("doc_id").alias("d1"), F.col("c").alias("c1")), "d1"
+    ).join(cnt.select(F.col("doc_id").alias("d2"), F.col("c").alias("c2")), "d2")
+    # identical arithmetic to dedup_containment_profile's common_est —
+    # det-rounded so the >= comparison is an exact-ppm-multiple compare
+    # in both engines
+    common_est = F.least(
+        F.col("est_jaccard")
+        / (F.lit(1.0) + F.col("est_jaccard"))
+        * (F.col("c1") + F.col("c2")),
+        F.col("c1").cast("double"),
+        F.col("c2").cast("double"),
+    )
+    screened = j.filter(
+        det_round(common_est / F.least("c1", "c2"), 6) >= _CONTAIN_SCREEN_T
+    ).select("d1", "d2")
+    ids = screened.select(
+        F.explode(F.array("d1", "d2")).alias("doc_id")
+    ).distinct()
+    sets_ = (
+        sh.join(ids, "doc_id", "semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sset"))
+    )
+    counts = (
+        screened.join(
+            sets_.select(F.col("doc_id").alias("d1"), F.col("sset").alias("s1")), "d1"
+        )
+        .join(
+            sets_.select(F.col("doc_id").alias("d2"), F.col("sset").alias("s2")), "d2"
+        )
+        .select(
+            "d1",
+            "d2",
+            F.size(F.array_intersect("s1", "s2")).alias("common"),
+            F.size("s1").alias("c1"),
+            F.size("s2").alias("c2"),
+        )
+        .filter(F.col("common") > 0)
+    )
+    return _containment_dirs(counts)
+
+
+DEDUP_CONTAINMENT_BOUNDED_ORACLE = f"""
+WITH
+{LSH_EST_SQL},
+cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+sized AS (
+  SELECT e.d1, e.d2, e.est_jaccard, c1.c AS c1, c2.c AS c2
+  FROM est e
+  JOIN cnt c1 ON c1.doc_id = e.d1
+  JOIN cnt c2 ON c2.doc_id = e.d2
+),
+screened AS (
+  SELECT d1, d2 FROM sized
+  WHERE {det_round_sql('LEAST(est_jaccard / (1.0 + est_jaccard) * (c1 + c2), CAST(c1 AS DOUBLE), CAST(c2 AS DOUBLE)) / LEAST(c1, c2)', 6)}
+        >= {_CONTAIN_SCREEN_T}
+),
+common AS (
+  SELECT s.d1, s.d2, count(*) AS common
+  FROM screened s
+  JOIN sh a ON a.doc_id = s.d1
+  JOIN sh b ON b.doc_id = s.d2 AND b.shingle = a.shingle
+  GROUP BY s.d1, s.d2
+),
+dirs AS (
+  SELECT d1 AS contained_doc, d2 AS container_doc,
+         (floor((CAST(common AS DOUBLE) / c1.c) * 1000000.0 + 0.5) / 1000000.0) AS containment
+  FROM common JOIN cnt c1 ON c1.doc_id = d1
+  UNION ALL
+  SELECT d2, d1, (floor((CAST(common AS DOUBLE) / c2.c) * 1000000.0 + 0.5) / 1000000.0)
+  FROM common JOIN cnt c2 ON c2.doc_id = d2
+)
+SELECT contained_doc, container_doc, containment
+FROM dirs WHERE containment >= {_CONTAIN_T}
+"""
+
+
 # --- cross-doc duplicated-span fraction (substring dedup signal) ----------
 
 _SPAN_W = 8  # words per span — the "memorization-length" window
@@ -2213,6 +2330,13 @@ QUERIES: dict[str, QuerySpec] = {
         DEDUP_CONTAINMENT_PROFILE_ORACLE,
         "per-decile minhash-estimated containment distribution over the "
         "LSH candidates (aggregate scale face of dedup_containment_lsh)",
+    ),
+    "dedup_containment_bounded": QuerySpec(
+        "dedup_containment_bounded",
+        dedup_containment_bounded,
+        DEDUP_CONTAINMENT_BOUNDED_ORACLE,
+        "exact containment verified only for candidates whose minhash "
+        "estimate >= 0.8 (bounded-output corpus-scale exact path)",
     ),
     "dedup_incoming_vs_corpus": QuerySpec(
         "dedup_incoming_vs_corpus",

@@ -120,60 +120,72 @@ class QuerySpec:
 #: parity block + join-shape family), truncated to keep the window at
 #: 50 (rolling_revenue_30d and tpch_q2_max_balance_supplier rotate
 #: into r12's window).
+#: r12 window: (a) the one NEW entry `dedup_containment_bounded`
+#: (estimate-screened exact containment, r11 verdict ask #3) plus the
+#: four consumers of the newly session-shared/disk-cached exact top-k
+#: anchor (ask #5 — values are unchanged by construction, but their
+#: materialization path now crosses the parquet cache round-trip, so
+#: they get fresh witnesses under the new plumbing, the standing r7
+#: lesson); (b) ALL 28 remaining r7-era witnesses — the oldest cohort,
+#: raising the official witness-age floor to r8 (verdict ask #1:
+#: these sit on the shared subtrees — disk cache, int8 layout, DSIR
+#: chain — that churned r8–r11); (c) the 17 stalest r8-era entries as
+#: emitted by `tools/witness_report.py --emit-window`, truncated to
+#: keep the window at 50.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # (a) value-changed + new this round
-    "dedup_semantic_clusters",
-    "dedup_containment_profile",
-    # (b) the 27 remaining r6-era witnesses (oldest cohort)
-    "customer_activity_full_outer_join",
-    "tpch_q10_returned_items",
-    "profile_embedding_drift",
-    "privacy_erasure_audit",
-    "profile_psi_drift",
-    "privacy_k_anonymity",
-    "text_zipf_head_share",
-    "tokenizer_bpe_pair_counts",
-    "text_bigram_logprob",
-    "tokenizer_fertility",
-    "tokenizer_bpe_train",
-    "tokenizer_bpe_apply",
-    "dedup_exact",
-    "dataset_interleave_shards",
-    "curation_quality_classifier",
-    "curation_threshold_sweep",
-    "curation_classifier_calibration",
-    "curation_ccnet_buckets",
-    "curation_dsir_select",
-    "curation_dsir_weights",
-    "curation_pipeline_v2",
-    "split_leakage_check",
-    "split_leakage_check_lsh",
-    "dataset_mixture_temperature",
-    "dataset_mixture_apply",
-    "sample_docs_weighted_stratified",
-    "zscore_order_totals",
-    # (c) the 21 stalest r7-era entries
-    "q1_views_per_min",
-    "fp3_features_20m_day",
-    "q2_sql_api_variant",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q5_regional_revenue",
-    "top_supplier_per_nation",
-    "order_priority_semi_join",
-    "customers_without_orders_anti_join",
-    "customer_order_counts_left_join",
-    "order_items_right_join",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q15_top_supplier",
-    "tpch_q16_parts_supplier_cnt",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q20_part_promotion",
-    "tpch_q21_waiting_orders",
-    "grouping_sets_revenue",
+    # (a) new this round + shared-exact-anchor consumers
+    "dedup_containment_bounded",
+    "sim_topk_cosine",
+    "sim_int8_topk_agreement",
+    "sim_ann_recall_report",
+    "sim_matryoshka_recall",
+    # (b) the 28 remaining r7-era witnesses (oldest cohort)
+    "rolling_revenue_30d",
+    "tpch_q2_max_balance_supplier",
+    "set_ops_customer_cohorts",
+    "rollup_revenue_region_nation",
+    "cube_order_status_priority",
+    "pivot_priority_by_status",
+    "percentiles_order_totals",
+    "window_analytics_suite",
+    "manifest_stream_materialized",
+    "text_quality_scores",
+    "text_langid_confusion",
+    "dedup_span_islands",
+    "dedup_simhash",
+    "multimodal_media_features",
+    "multimodal_frame_samples",
+    "curation_dsir_resample",
+    "curation_filter_audit",
+    "curation_token_budget",
+    "curation_token_budget_parts",
+    "curation_token_budget_rows",
+    "embedding_top_pc",
+    "embedding_anisotropy",
+    "corpus_release_manifest",
+    "corpus_shuffle_manifest",
+    "pack_docs_to_budget",
+    "user_event_sequences",
+    "decontaminate_against_eval",
+    "sketch_cms_heavy_hitters",
+    # (c) the 17 stalest r8-era entries (registry order)
+    "range_band_join_tiers",
+    "customer_order_dates_array",
+    "tpch_q12_priority_mix",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q18_large_orders",
+    "tpch_q19_band_revenue",
+    "tpch_q22_idle_balances",
+    "events_props_variant",
+    "funnel_ordered_4step",
+    "unpivot_price_components",
+    "listagg_top_customers",
+    "profile_source_mix",
+    "profile_gapfill_minutely",
+    "cdc_latest_state_per_user",
+    "fp_doc_counts_5m",
+    "fp_geo_top_5m",
 )
 
 

@@ -32,3 +32,33 @@ def test_containment_profile_conserves_pair_mass(spark):
         assert r.sum_containment_ppm >= lo * r.n_pairs
         if r.decile < 9:
             assert r.sum_containment_ppm < hi * r.n_pairs
+
+
+def test_containment_bounded_subset_of_anchor(spark):
+    """The bounded variant (estimate-screened exact verify, r12) must be
+    a SUBSET of the unscreened anchor `dedup_containment_lsh` with
+    IDENTICAL containment values on the surviving rows — the screen may
+    only remove rows (estimate undershoot), never change or add one.
+    At this SF the screen margin loses nothing (subset == equal), which
+    also exercises the screen's pass path end-to-end."""
+    from kafka_flink_streaming_pipeline_spark.operators.dedup import (
+        dedup_containment_bounded,
+        dedup_containment_lsh,
+    )
+
+    anchor = {
+        (r.contained_doc, r.container_doc): r.containment
+        for r in dedup_containment_lsh(spark, SF_CORRECT).collect()
+    }
+    bounded = {
+        (r.contained_doc, r.container_doc): r.containment
+        for r in dedup_containment_bounded(spark, SF_CORRECT).collect()
+    }
+    assert bounded, "screen must admit the high-containment pairs"
+    assert set(bounded) <= set(anchor)
+    for k, v in bounded.items():
+        assert v == anchor[k], k
+    # measured at this SF: the 0.8 estimate screen admits every >=0.9
+    # exact pair (no recall loss at oracle scale) — a deliberate
+    # change-detector like the MMR overlap pin
+    assert set(bounded) == set(anchor)

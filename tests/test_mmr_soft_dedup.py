@@ -87,18 +87,15 @@ def test_mmr_ann_same_greedy_contract(spark):
         overlap = len({p.cand_id for p in picks} & exact[q])
         assert overlap >= 1, q
         total_overlap += overlap
-    # 40% floor, not 50%: the measured overlap at this SF is 26/50 — a
-    # 50% floor passes by a single pick, so any testdata regeneration
-    # or shortlist tweak would flip it into a confusing failure. The
-    # semantic contract (same greedy core, per-query overlap >= 1,
-    # monotone mmr6, exact rank ladder) is asserted above; this floor
-    # only guards against the ANN shortlist degenerating wholesale.
-    assert total_overlap >= (len(by_q) * _MMR_K * 2) // 5, total_overlap
-    # Pinned snapshot on top of the floor: both arms are deterministic
-    # on fixed testdata, so ANY drift (26 -> 25 as much as 26 -> 20) is
-    # a behavior change that should be seen, not absorbed by the floor.
-    # Re-baseline this value deliberately when testdata is regenerated
-    # or the ANN shortlist parameters change.
+    # Pinned snapshot (single source of truth — r11 ADVICE retired the
+    # 40% floor it subsumed): both arms are deterministic on fixed
+    # testdata, so ANY drift (26 -> 25 as much as 26 -> 20) is a
+    # behavior change that should be seen, not absorbed by a floor.
+    # Re-baseline deliberately when testdata is regenerated or the ANN
+    # shortlist parameters change; sanity context: 26/50 picks overlap
+    # the exact arm at this SF (the semantic contract — same greedy
+    # core, per-query overlap >= 1, monotone mmr6, exact rank ladder —
+    # is asserted above and is scale-independent).
     assert total_overlap == 26, total_overlap
 
 
