@@ -58,6 +58,38 @@ def main() -> int:
             f"canary: {ca} -> {cb} s (machine-context factor {cal:.3f}x; "
             f"per-entry ratios below are canary-normalized)"
         )
+
+    # data-canary pair (r12): the CPU canary is blind to page-cache
+    # state on data files. When both snapshots carry canary_data_s,
+    # print the warm-scan I/O factor and each battery's start
+    # cold-ratio (first pass / warm min on a fixed parquet shard) —
+    # a data-bound "regression" whose side shows a much higher
+    # cold-ratio is cache state, not code (the r11
+    # dataset_interleave_shards adjudication, now a printed number).
+    def _dcanary(doc: dict):
+        c = doc.get("canary_data_s") or {}
+        s, e = c.get("start") or {}, c.get("end") or {}
+        warm = [v for v in (s.get("min"), e.get("min")) if v]
+        cold = (
+            round(s["first"] / s["min"], 2)
+            if s.get("first") and s.get("min")
+            else None
+        )
+        return (min(warm) if warm else None), cold
+
+    (wa, colda), (wb, coldb) = _dcanary(a), _dcanary(b)
+    if wa and wb:
+        note = ""
+        if colda and coldb and max(colda, coldb) / min(colda, coldb) > 1.5:
+            side = "NEW" if coldb > colda else "OLD"
+            note = (
+                f"  <- {side} battery started page-cache-cold; data-bound "
+                "deltas on that side may be cache state, not code"
+            )
+        print(
+            f"data canary: warm scan {wa} -> {wb} s (I/O factor {wb / wa:.3f}x); "
+            f"start cold-ratio {colda}x -> {coldb}x{note}"
+        )
     added = sorted(set(qb) - set(qa))
     removed = sorted(set(qa) - set(qb))
     if added:

@@ -85,6 +85,28 @@ def main() -> int:
         stale_out = [n for n in by_round[stale_round] if n not in window]
         if stale_out:
             print(f"\nstalest NOT in current window (r{stale_round}): {stale_out}")
+
+    # witness-age floor telemetry (r11 verdict ask #6): a ready-to-paste
+    # PERF.md table of (min, median, histogram) so rotation debt is a
+    # printed number each round instead of a judge recomputation.
+    # Age is measured in rounds-behind the newest CORRECTNESS file;
+    # never-checked entries are listed separately (age = infinite).
+    cur = max((r for r, _ in latest.values()), default=0)
+    ages = sorted(cur - latest[n][0] for n in plans if n in latest)
+    if ages:
+        med = ages[len(ages) // 2]
+        print("\nPERF.md paste (witness-age floor telemetry):")
+        print(f"| witnessed | floor (oldest) | median age | never-checked |")
+        print(f"|---|---|---|---|")
+        print(
+            f"| {len(ages)}/{len(plans)} | r{stale_round} "
+            f"({cur - (stale_round or cur)} rounds behind r{cur}) "
+            f"| {med} rounds | {len(never)} |"
+        )
+        print("| round | entries at that witness age |")
+        print("|---|---|")
+        for rnd in sorted(by_round):
+            print(f"| r{rnd} | {len(by_round[rnd])} |")
     return 0
 
 
