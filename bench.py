@@ -129,6 +129,7 @@ HEADLINE = [
     "rfm_customer_segments",
     "dedup_containment_lsh",
     "dedup_containment_profile",
+    "dedup_containment_bounded",
     "split_leakage_check_lsh",
     "dedup_keep_best_lsh",
     "sim_ann_ivf_persisted",
@@ -269,6 +270,14 @@ PREBUILD_CONSUMERS = {
         "curation_token_budget_rows",
     ),
     "shared_ann_index_build": ("sim_ann_ivf_persisted",),
+    "shared_kmeans_cells_build": (
+        # trained-codebook cell assignment (r12): the 3-round Lloyd
+        # loop was re-run by both consumers; now a once-per-corpus
+        # index artifact (sim_kmeans_train/centroids still train live —
+        # the iteration log is their output, not a cacheable artifact)
+        "sim_ann_ivf_trained",
+        "sim_ann_recall_report",
+    ),
     "shared_exact_topk_build": (
         # session-shared exact cosine top-k anchor (r12): its own entry
         # plus every QA report that scores a method against the truth
@@ -540,6 +549,17 @@ def main() -> None:
         _pq_codes(spark, sf_dir).count()
         _pq_codes_packed(spark, sf_dir).count()  # r6: the packed ADC layout
         per_query["shared_pq_codes_build"] = round(time.time() - t0, 3)
+
+    # and the trained-codebook cells (r12): the Lloyd training is the
+    # once-per-rebuild index build; its payoff assignment is shared
+    if "shared_kmeans_cells_build" not in skip:
+        from kafka_flink_streaming_pipeline_spark.operators.similarity import (
+            _ivf_trained_cells,
+        )
+
+        t0 = time.time()
+        _ivf_trained_cells(spark, sf_dir).count()
+        per_query["shared_kmeans_cells_build"] = round(time.time() - t0, 3)
 
     # and the exact top-k anchor (r12): session-shared truth side of
     # the recall/agreement/matryoshka QA reports — the one-time

@@ -2549,6 +2549,28 @@ ORDER BY cid
 """
 
 
+def _ivf_trained_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cid): every vector's final-codebook cell — the trained
+    index build, SESSION-SHARED + disk-cached (r12, extending r11
+    verdict ask #5 past the exact anchor): `sim_ann_ivf_trained` and
+    `sim_ann_recall_report` each re-ran the full 3-round Lloyd loop
+    (~2.5–3.3 s at sf0.1, the report's dominant arm) to rebuild an
+    artifact a production stack trains once per index rebuild —
+    exactly the on-disk-IVF/PQ-code-table precedent. The training
+    PROCESS entries (`sim_kmeans_train` / `sim_kmeans_centroids`)
+    deliberately keep calling `_km_train` — the iteration log IS their
+    output; this cache holds only the payoff assignment."""
+    from kafka_flink_streaming_pipeline_spark.operators.dedup import (
+        _session_shared,
+    )
+
+    def build() -> DataFrame:
+        _, cent, _, pts = _km_train(spark, sf_dir)
+        return _km_assign(pts, cent).select("vec_id", "cid")
+
+    return _session_shared(spark, sf_dir, "ivf_trained_cells", build)
+
+
 def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe over the TRAINED codebook (nprobe=1): the payoff
     query for `sim_kmeans_train` — index build assigns every vector to
@@ -2562,8 +2584,7 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the cell assignment is the index build (written once,
     like `build_ann_index`); per query the candidate set is one cell,
     ~|corpus|/K rows."""
-    _, cent, _, pts = _km_train(spark, sf_dir)
-    cells = _km_assign(pts, cent).select("vec_id", "cid")
+    cells = _ivf_trained_cells(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
     with_norm = e.select(
         "vec_id",

@@ -123,15 +123,16 @@ class QuerySpec:
 #: r12 window: (a) the one NEW entry `dedup_containment_bounded`
 #: (estimate-screened exact containment, r11 verdict ask #3) plus the
 #: four consumers of the newly session-shared/disk-cached exact top-k
-#: anchor (ask #5 — values are unchanged by construction, but their
+#: anchor and the trained-cells consumer `sim_ann_ivf_trained`
+#: (ask #5 — values are unchanged by construction, but their
 #: materialization path now crosses the parquet cache round-trip, so
 #: they get fresh witnesses under the new plumbing, the standing r7
 #: lesson); (b) ALL 28 remaining r7-era witnesses — the oldest cohort,
 #: raising the official witness-age floor to r8 (verdict ask #1:
 #: these sit on the shared subtrees — disk cache, int8 layout, DSIR
-#: chain — that churned r8–r11); (c) the 17 stalest r8-era entries as
+#: chain — that churned r8–r11); (c) the 16 stalest r8-era entries as
 #: emitted by `tools/witness_report.py --emit-window`, truncated to
-#: keep the window at 50.
+#: keep the window at 50 (fp_geo_top_5m rotates to r13).
 PRIORITY_WINDOW: tuple[str, ...] = (
     # (a) new this round + shared-exact-anchor consumers
     "dedup_containment_bounded",
@@ -139,6 +140,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "sim_int8_topk_agreement",
     "sim_ann_recall_report",
     "sim_matryoshka_recall",
+    "sim_ann_ivf_trained",
     # (b) the 28 remaining r7-era witnesses (oldest cohort)
     "rolling_revenue_30d",
     "tpch_q2_max_balance_supplier",
@@ -185,7 +187,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "profile_gapfill_minutely",
     "cdc_latest_state_per_user",
     "fp_doc_counts_5m",
-    "fp_geo_top_5m",
 )
 
 
