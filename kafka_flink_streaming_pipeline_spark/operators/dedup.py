@@ -1147,41 +1147,96 @@ _CONTAIN_SCREEN_T = 0.8  # estimated-containment admission floor (margin
 
 
 def dedup_containment_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded-output exact containment (r11 verdict ask #3): the
+    """Bounded-cost exact containment (r11 verdict ask #3): the
     corpus-scale EXACT path the estimate-based
-    `dedup_containment_profile` screens for. `dedup_containment_lsh`
-    exact-verifies EVERY band collision — component timing (PERF.md
-    r11) put ~119 s of its 125 s cold sf10 wall in the verify (two
-    array-carrying joins + `array_intersect` per candidate) and it
-    materializes 54.5 M unthresholded containment rows. This variant
-    inserts the profile's zero-marginal-cost ESTIMATE between the
-    candidate set and the verify: a pair reaches `collect_set` only
-    when its minhash-estimated max-direction containment
-    (|A∩B|_est / min(|A|,|B|), est via J/(1+J)·(|A|+|B|) capped at
-    min) is ≥ {_CONTAIN_SCREEN_T}, so verify cost and output rows
-    track the true high-containment density instead of the full
-    collision count.
+    `dedup_containment_profile` screens for. Two scale moves on top of
+    the anchor `dedup_containment_lsh` (which exact-verifies EVERY band
+    collision — ~119 s of its 125 s cold sf10 wall in the verify,
+    PERF.md r11):
 
-    The shingle arrays are additionally built ONLY for docs that
-    appear in a screened pair (a narrow semi-join on doc_id BEFORE
-    `collect_set`), so array rows never shuffle for the corpus bulk —
-    at 100 TB the heavy stage is |screened docs|, not |docs|.
+    1. EXACT-TEXT COLLAPSE FIRST (the canonical curation order —
+       exact dedup before near-dup): every function downstream of the
+       text (shingles, minhash signature, band key, estimated jaccard,
+       exact containment) is TEXT-PURE, so docs with identical text are
+       interchangeable. The whole candidate→screen→verify pipeline runs
+       over one REPRESENTATIVE per distinct text, and the output is
+       expanded exactly through the membership map (cross-group rows
+       inherit the rep pair's containment; within-group ordered pairs
+       are containment = 1.0 by identity). On a replication-heavy
+       corpus this is the difference between Θ(dups²) verify work and
+       Θ(distinct-candidates) + Θ(output) row generation — measured at
+       sf10 (100×-replicated: 499,200 docs / 4,992 texts) the direct
+       screened form verified 27.28 M doc pairs in 97–452 s while the
+       collapsed form verifies ~2.7 k rep pairs; the 54.5 M output rows
+       are the floor ANY exact row-level op pays.
 
-    RECALL SCOPE (the documented trade, mirrored bit-for-bit by the
-    oracle): on top of the LSH candidate recall gap this variant also
-    forgoes pairs whose ESTIMATE undershoots {_CONTAIN_SCREEN_T} while
-    exact containment is ≥ {_CONTAIN_T} — the screen margin
-    ({_CONTAIN_T} − {_CONTAIN_SCREEN_T}) absorbs typical
+    2. ESTIMATE SCREEN before the array-carrying verify: a rep pair
+       reaches `collect_set` only when its minhash-estimated
+       max-direction containment (|A∩B|_est / min(|A|,|B|), est via
+       J/(1+J)·(|A|+|B|) capped at min — the profile's arithmetic) is
+       ≥ {_CONTAIN_SCREEN_T}, so verify cost tracks true
+       high-containment density; shingle sets are built only for
+       screened reps (narrow semi-join before `collect_set`).
+
+    The ORACLE is deliberately the DIRECT formulation (screen + verify
+    over the full doc-level candidate set, no collapse): the two forms
+    are provably equal on text-pure functions, so the driver's
+    hash-compare doubles as a proof the collapse/expansion is exact.
+
+    RECALL SCOPE (documented trade, mirrored by the oracle): on top of
+    the LSH candidate recall gap this variant forgoes pairs whose
+    ESTIMATE undershoots {_CONTAIN_SCREEN_T} while exact containment
+    is ≥ {_CONTAIN_T} — the screen margin absorbs typical
     {_N_PERM}-perm estimate error. `dedup_containment_lsh` stays
     registered as the unscreened row-level anchor.
 
     Output: (contained_doc, container_doc, containment) with EXACT
     containment ≥ {_CONTAIN_T} — same schema/threshold as the anchor,
     restricted to screened candidates."""
-    cand = dedup_minhash_lsh(spark, sf_dir)
-    sh = _doc_shingles(spark, sf_dir)
+    return _containment_bounded_docs(_docs_parallel(spark, sf_dir))
+
+
+def _containment_bounded_docs(docs: DataFrame) -> DataFrame:
+    """The collapse→candidate→screen→verify→expand pipeline over any
+    (doc_id, text) frame (factored for the duplicate-text pytest —
+    the driver testdata has no exact-duplicate texts at sf0.01, so the
+    expansion path needs a constructed frame to be exercised)."""
+    from pyspark.sql import Window
+
+    g = docs.select(
+        "doc_id",
+        "text",
+        F.min("doc_id").over(Window.partitionBy("text")).alias("gid"),
+    )
+    members = g.select("doc_id", "gid")
+    reps = g.filter(F.col("doc_id") == F.col("gid")).select("doc_id", "text")
+    # rep-level banded-LSH candidates + estimated jaccard (the
+    # `lsh_bands` index pipeline — signature rides into the band join,
+    # same shape as `_lsh_est_build` but over the collapsed frame)
+    bands = lsh_bands(reps)
+    b1 = bands.select(
+        F.col("doc_id").alias("d1"), F.col("sig").alias("sig1"), "band", "band_key"
+    )
+    b2 = bands.select(
+        F.col("doc_id").alias("d2"), F.col("sig").alias("sig2"), "band", "band_key"
+    )
+    matches = F.size(
+        F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y), lambda m: m)
+    )
+    est = (
+        b1.join(b2, ["band", "band_key"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "sig1", "sig2")
+        .distinct()
+        .select(
+            "d1",
+            "d2",
+            det_round(matches.cast("double") / _N_PERM, 6).alias("est_jaccard"),
+        )
+    )
+    sh = _shingles_from(reps)
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
-    j = cand.join(
+    j = est.join(
         cnt.select(F.col("doc_id").alias("d1"), F.col("c").alias("c1")), "d1"
     ).join(cnt.select(F.col("doc_id").alias("d2"), F.col("c").alias("c2")), "d2")
     # identical arithmetic to dedup_containment_profile's common_est —
@@ -1197,9 +1252,7 @@ def dedup_containment_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     screened = j.filter(
         det_round(common_est / F.least("c1", "c2"), 6) >= _CONTAIN_SCREEN_T
     ).select("d1", "d2")
-    ids = screened.select(
-        F.explode(F.array("d1", "d2")).alias("doc_id")
-    ).distinct()
+    ids = screened.select(F.explode(F.array("d1", "d2")).alias("doc_id")).distinct()
     sets_ = (
         sh.join(ids, "doc_id", "semi")
         .groupBy("doc_id")
@@ -1221,7 +1274,44 @@ def dedup_containment_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("common") > 0)
     )
-    return _containment_dirs(counts)
+    rep_dirs = _containment_dirs(counts)
+    # exact expansion: cross-group rows inherit the rep pair's value
+    # (text-pure), within-group ordered pairs are identity containment
+    cross = (
+        rep_dirs.join(
+            members.select(
+                F.col("gid").alias("contained_doc"), F.col("doc_id").alias("cd")
+            ),
+            "contained_doc",
+        )
+        .join(
+            members.select(
+                F.col("gid").alias("container_doc"), F.col("doc_id").alias("co")
+            ),
+            "container_doc",
+        )
+        .select(
+            F.col("cd").alias("contained_doc"),
+            F.col("co").alias("container_doc"),
+            "containment",
+        )
+    )
+    # zero-shingle guard: a <3-word text has no minhash signature in
+    # the direct form (min over an empty shingle group emits no row),
+    # so its duplicates are never candidates there — the identity
+    # expansion must skip such groups or it would emit rows the
+    # direct-form oracle cannot produce
+    shingled_gids = cnt.select(F.col("doc_id").alias("gid"))
+    within = (
+        members.join(shingled_gids, "gid", "semi")
+        .select("gid", F.col("doc_id").alias("contained_doc"))
+        .join(members.select("gid", F.col("doc_id").alias("container_doc")), "gid")
+        .filter(F.col("contained_doc") != F.col("container_doc"))
+        .select(
+            "contained_doc", "container_doc", F.lit(1.0).alias("containment")
+        )
+    )
+    return cross.unionAll(within)
 
 
 DEDUP_CONTAINMENT_BOUNDED_ORACLE = f"""

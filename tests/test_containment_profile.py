@@ -62,3 +62,54 @@ def test_containment_bounded_subset_of_anchor(spark):
     # exact pair (no recall loss at oracle scale) — a deliberate
     # change-detector like the MMR overlap pin
     assert set(bounded) == set(anchor)
+
+
+def test_containment_bounded_duplicate_text_expansion(spark):
+    """The collapsed (representative) form must equal the DIRECT
+    screened form on a frame WITH exact-duplicate texts — sf0.01 has
+    none, so the expansion path (cross-group inheritance + within-group
+    identity pairs + zero-shingle guard) is exercised here against the
+    oracle SQL, which is deliberately the uncollapsed formulation."""
+    import duckdb
+    import pandas as pd
+
+    from kafka_flink_streaming_pipeline_spark.operators.dedup import (
+        DEDUP_CONTAINMENT_BOUNDED_ORACLE,
+        _containment_bounded_docs,
+    )
+    from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+
+    base = (
+        load_table(spark, SF_CORRECT, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(40)
+        .collect()
+    )
+    rows = [(r.doc_id, r.text) for r in base]
+    next_id = max(r[0] for r in rows) + 1
+    for i in range(10):  # 2 extra exact copies of each of the first 10
+        for _ in range(2):
+            rows.append((next_id, rows[i][1]))
+            next_id += 1
+    short_a, short_b = next_id, next_id + 1  # zero-shingle (<3 words) dup group
+    rows.append((short_a, "too short"))
+    rows.append((short_b, "too short"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    got = {
+        (r.contained_doc, r.container_doc): r.containment
+        for r in _containment_bounded_docs(spark.createDataFrame(pdf)).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = {
+        (d1, d2): v
+        for d1, d2, v in con.execute(DEDUP_CONTAINMENT_BOUNDED_ORACLE).fetchall()
+    }
+    assert got == exp
+    # the dup group {base0, copy, copy} yields all 6 ordered identity pairs
+    b0, c1, c2 = rows[0][0], rows[40][0], rows[41][0]
+    for a, b in [(b0, c1), (c1, b0), (b0, c2), (c2, b0), (c1, c2), (c2, c1)]:
+        assert got[(a, b)] == 1.0, (a, b)
+    # zero-shingle duplicates must NOT appear (no minhash signature)
+    assert (short_a, short_b) not in got and (short_b, short_a) not in got
