@@ -2425,8 +2425,10 @@ QUERIES: dict[str, QuerySpec] = {
         "dedup_containment_bounded",
         dedup_containment_bounded,
         DEDUP_CONTAINMENT_BOUNDED_ORACLE,
-        "exact containment verified only for candidates whose minhash "
-        "estimate >= 0.8 (bounded-output corpus-scale exact path)",
+        "exact containment via exact-text collapse + estimate screen: "
+        "verify runs over one representative per distinct text, output "
+        "expanded exactly through the membership map (corpus-scale "
+        "exact path; oracle is the uncollapsed direct form)",
     ),
     "dedup_incoming_vs_corpus": QuerySpec(
         "dedup_incoming_vs_corpus",
