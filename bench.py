@@ -256,7 +256,9 @@ PREBUILD_CONSUMERS = {
         "dedup_minhash_bbit",
         "dedup_containment_lsh",
         "dedup_containment_profile",
-        "dedup_containment_bounded",
+        # NOT dedup_containment_bounded: the collapsed form builds its
+        # own representative-level LSH pipeline (text-pure equivalence)
+        # and does not touch the doc-level shared graph
         "dedup_lsh_calibration",  # LSH side is the thing calibrated
         "dedup_components_lsh",
         "dedup_keep_best_lsh",
