@@ -139,3 +139,33 @@ def test_bench_diff_min_abs_is_canary_normalized(tmp_path):
         capture_output=True, text=True, check=True,
     ).stdout
     assert "regressed" in out and "q: 2.0 -> 6.0" in out
+
+
+def test_bench_diff_warns_on_unstable_canary_pair(tmp_path):
+    # r12: both sf1 batteries produced phantom normalized regressions
+    # because their OWN start/end canaries disagreed (box settling
+    # mid-run) — one factor cannot normalize a battery that spanned a
+    # machine-context transition. bench_diff must warn and point at
+    # the raw column; a stable pair must stay silent.
+    import subprocess
+
+    def run(old, new):
+        (tmp_path / "old.json").write_text(json.dumps(old))
+        (tmp_path / "new.json").write_text(json.dumps(new))
+        return subprocess.run(
+            [sys.executable, str(REPO / "tools" / "bench_diff.py"),
+             str(tmp_path / "old.json"), str(tmp_path / "new.json")],
+            capture_output=True, text=True, check=True,
+        ).stdout
+
+    stable = {"value": 1.0, "queries": {"q": 1.0},
+              "canary_s": {"start": 0.40, "end": 0.44}}
+    unstable = {"value": 1.0, "queries": {"q": 1.0},
+                "canary_s": {"start": 0.499, "end": 0.267}}
+    out = run(stable, unstable)
+    assert "WARNING: NEW battery's own canary pair is unstable" in out
+    assert "read the RAW ratio column" in out
+    out = run(unstable, stable)
+    assert "WARNING: OLD battery's own canary pair is unstable" in out
+    out = run(stable, stable)
+    assert "unstable" not in out

@@ -59,6 +59,24 @@ def main() -> int:
             f"per-entry ratios below are canary-normalized)"
         )
 
+    # Intra-battery canary stability (r12): a battery whose OWN start
+    # and end canaries disagree spanned a machine-context transition
+    # (box settling, competing load arriving/leaving), so ONE factor
+    # cannot normalize all its entries — both r12 sf1 runs produced
+    # phantom "normalized regressions" this way (factors 0.826x and
+    # 0.645x while raw totals improved). Warn and point at the raw
+    # column rather than silently over- or under-correcting.
+    for label, doc in (("OLD", a), ("NEW", b)):
+        c = doc.get("canary_s") or {}
+        s, e = c.get("start"), c.get("end")
+        if s and e and max(s, e) / min(s, e) > 1.3:
+            print(
+                f"WARNING: {label} battery's own canary pair is unstable "
+                f"(start {s} vs end {e} s, {max(s, e) / min(s, e):.2f}x) — "
+                "it spanned a machine-context transition; read the RAW "
+                "ratio column for per-entry verdicts, not the normalized one"
+            )
+
     # data-canary pair (r12): the CPU canary is blind to page-cache
     # state on data files. When both snapshots carry canary_data_s,
     # print the warm-scan I/O factor and each battery's start
