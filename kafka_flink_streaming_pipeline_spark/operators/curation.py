@@ -989,46 +989,38 @@ def _clf_train(
     (floor(mean·lr + 0.5)).
 
     Plan shape at 100 TB: the feature scan is one pass (regexp counts,
-    no Python); each step is a map-side score against the BROADCAST
-    1-row weight vector plus one 1-row aggregation — S passes over the
-    feature frame total, the textbook distributed-GD layout.
-    localCheckpoint truncates lineage per step (the BPE-loop device).
-    Gradient-term magnitude is bounded by 1e6, so the exact integer
-    sum holds to ~9e12 docs."""
+    no Python); each step is a map-side score against the step's
+    weight vector (4 BIGINT scalars — r13: carried as driver literals
+    instead of a broadcast 1-row frame, the same 1-row-scalar-collect
+    device `label_propagate`'s convergence loop uses) plus one 1-row
+    aggregation — S passes over the feature frame total, the textbook
+    distributed-GD layout; the r13 form removes the per-step
+    localCheckpoint jobs (2 per step) and their broadcast plumbing.
+    The weight update floor(g/n·lr + 0.5) is the identical IEEE-double
+    expression evaluated on the driver (Python floats ARE doubles;
+    ints convert with the same rounding as Spark's CAST), so the
+    trajectory is bit-identical to the in-plan form. Gradient-term
+    magnitude is bounded by 1e6, so the exact integer sum holds to
+    ~9e12 docs."""
+    import math
+
     feats = _clf_features(spark, sf_dir).localCheckpoint()
-    stats = feats.agg(
-        F.count("*").alias("n"),
-        F.expr("CAST(sum(y DIV 1000000) * 1000000 DIV count(*) AS BIGINT)").alias(
-            "prior_ppm"
-        ),
-    ).localCheckpoint()
 
-    w = spark.range(1).select(
-        *[F.lit(0).cast("bigint").alias(f"w{i}") for i in range(4)]
-    ).localCheckpoint()
-
-    def p_ppm() -> F.Column:
+    def p_ppm(w: list[int]) -> F.Column:
         # x is ppm (1e6) and w is micro (1e6), so the exact integer dot
         # product is on the 1e12 scale — one double division recovers
         # the real-unit logit
-        s_int = sum(F.col(f"x{i}") * F.col(f"w{i}") for i in range(4))
+        s_int = sum(F.col(f"x{i}") * F.lit(w[i]).cast("bigint") for i in range(4))
         return F.floor(
             F.lit(1_000_000.0) / (F.lit(1.0) + F.exp(-(s_int.cast("double") / 1e12)))
             + F.lit(0.5)
         ).cast("bigint")
 
-    rows = []
+    w = [0, 0, 0, 0]
+    rows: list[tuple] = []
     for step in range(1, _CLF_STEPS + 1):
-        scored = (
-            feats.crossJoin(F.broadcast(w))
-            .crossJoin(F.broadcast(stats))
-            .select(
-                *[f"x{i}" for i in range(4)],
-                "y",
-                "n",
-                "prior_ppm",
-                p_ppm().alias("p"),
-            )
+        scored = feats.select(
+            *[f"x{i}" for i in range(4)], "y", p_ppm(w).alias("p")
         )
         terms = [
             F.expr(
@@ -1037,12 +1029,10 @@ def _clf_train(
             ).alias(f"t{i}")
             for i in range(4)
         ]
-        agg = (
-            scored.select(
-                "n", "prior_ppm", "y", "p", *terms
-            )
-            .groupBy("n", "prior_ppm")
+        r = (
+            scored.select("y", "p", *terms)
             .agg(
+                F.count(F.lit(1)).alias("n"),
                 *[F.sum(f"t{i}").alias(f"g{i}") for i in range(4)],
                 F.sum(
                     F.when((F.col("p") >= 500_000) & (F.col("y") > 0), 1)
@@ -1061,36 +1051,24 @@ def _clf_train(
                     .otherwise(0)
                 ).alias("tn"),
             )
-            .localCheckpoint()
+            .collect()[0]
         )
-        w = agg.crossJoin(F.broadcast(w)).select(
-            *[
-                (
-                    F.col(f"w{i}")
-                    + F.floor(
-                        F.col(f"g{i}").cast("double") / F.col("n") * _CLF_LR
-                        + F.lit(0.5)
-                    ).cast("bigint")
-                ).alias(f"w{i}")
-                for i in range(4)
-            ]
-        ).localCheckpoint()
+        # identical arithmetic to the previous in-plan update:
+        # floor(cast(g as double) / n * lr + 0.5) — Python floats are
+        # IEEE doubles and evaluation order matches left-to-right
+        w = [
+            w[i] + math.floor(r[f"g{i}"] / r["n"] * _CLF_LR + 0.5)
+            for i in range(4)
+        ]
         rows.append(
-            agg.crossJoin(F.broadcast(w)).select(
-                F.lit(step).cast("bigint").alias("step"),
-                F.col("w0").alias("w_bias_micro"),
-                F.col("w1").alias("w_len_micro"),
-                F.col("w2").alias("w_stop_micro"),
-                F.col("w3").alias("w_punct_micro"),
-                F.col("tp").cast("bigint").alias("tp"),
-                F.col("fp").cast("bigint").alias("fp"),
-                F.col("fn").cast("bigint").alias("fn"),
-                F.col("tn").cast("bigint").alias("tn"),
-            )
+            (step, w[0], w[1], w[2], w[3], r["tp"], r["fp"], r["fn"], r["tn"])
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
+    out = spark.createDataFrame(
+        rows,
+        "step bigint, w_bias_micro bigint, w_len_micro bigint, "
+        "w_stop_micro bigint, w_punct_micro bigint, "
+        "tp bigint, fp bigint, fn bigint, tn bigint",
+    )
     return out.orderBy("step"), feats, w
 
 
@@ -1119,14 +1097,12 @@ def curation_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFra
     final weights + a ≤10-row aggregation — at 100 TB this costs one
     scan, the same shape as a GD step."""
     _, feats, w = _clf_train(spark, sf_dir)
-    s_int = sum(F.col(f"x{i}") * F.col(f"w{i}") for i in range(4))
+    s_int = sum(F.col(f"x{i}") * F.lit(w[i]).cast("bigint") for i in range(4))
     p = F.floor(
         F.lit(1_000_000.0) / (F.lit(1.0) + F.exp(-(s_int.cast("double") / 1e12)))
         + F.lit(0.5)
     ).cast("bigint")
-    scored = feats.crossJoin(F.broadcast(w)).select(
-        p.alias("p"), F.col("y").alias("y")
-    )
+    scored = feats.select(p.alias("p"), F.col("y").alias("y"))
     return (
         scored.select(
             F.least(F.expr("p DIV 100000"), F.lit(9)).cast("int").alias("decile"),

@@ -143,8 +143,16 @@ def _shingles_from(docs: DataFrame, distinct: bool = True) -> DataFrame:
             F.element_at(ws, i + 2),
         ),
     )
-    out = d.select("doc_id", F.explode(shingles).alias("shingle"))
-    return out.distinct() if distinct else out
+    # set semantics are established INSIDE the array (array_distinct is
+    # a per-doc, map-side dedup) rather than by a corpus-wide
+    # `.distinct()` — same (doc_id, shingle) set, one less full-stream
+    # exchange for every jaccard/containment/verify consumer (r13,
+    # guide §2.4: remove shuffles outright)
+    if distinct:
+        return d.select(
+            "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+        )
+    return d.select("doc_id", F.explode(shingles).alias("shingle"))
 
 
 _DOC_SHINGLES_SQL = f"""
@@ -1146,6 +1154,58 @@ _CONTAIN_SCREEN_T = 0.8  # estimated-containment admission floor (margin
 # below the 0.9 exact threshold absorbs minhash estimate error)
 
 
+def _containment_screen_verify(est: DataFrame, sh: DataFrame) -> DataFrame:
+    """Shared screen→verify→threshold stage of the bounded containment:
+    `est` = (d1, d2, est_jaccard) candidate pairs, `sh` = the matching
+    distinct (doc_id, shingle) stream. Screens candidates on the
+    minhash-estimated max-direction containment ≥ {_CONTAIN_SCREEN_T},
+    builds shingle sets ONLY for screened ids (semi-join before
+    `collect_set`), exact-verifies via `array_intersect`, and emits
+    both thresholded directions (`_containment_dirs`). Factored out
+    (r13) so the identity-collapse fast path and the rep-level collapse
+    path run literally the same stage."""
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    j = est.join(
+        cnt.select(F.col("doc_id").alias("d1"), F.col("c").alias("c1")), "d1"
+    ).join(cnt.select(F.col("doc_id").alias("d2"), F.col("c").alias("c2")), "d2")
+    # identical arithmetic to dedup_containment_profile's common_est —
+    # det-rounded so the >= comparison is an exact-ppm-multiple compare
+    # in both engines
+    common_est = F.least(
+        F.col("est_jaccard")
+        / (F.lit(1.0) + F.col("est_jaccard"))
+        * (F.col("c1") + F.col("c2")),
+        F.col("c1").cast("double"),
+        F.col("c2").cast("double"),
+    )
+    screened = j.filter(
+        det_round(common_est / F.least("c1", "c2"), 6) >= _CONTAIN_SCREEN_T
+    ).select("d1", "d2")
+    ids = screened.select(F.explode(F.array("d1", "d2")).alias("doc_id")).distinct()
+    sets_ = (
+        sh.join(ids, "doc_id", "semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sset"))
+    )
+    counts = (
+        screened.join(
+            sets_.select(F.col("doc_id").alias("d1"), F.col("sset").alias("s1")), "d1"
+        )
+        .join(
+            sets_.select(F.col("doc_id").alias("d2"), F.col("sset").alias("s2")), "d2"
+        )
+        .select(
+            "d1",
+            "d2",
+            F.size(F.array_intersect("s1", "s2")).alias("common"),
+            F.size("s1").alias("c1"),
+            F.size("s2").alias("c2"),
+        )
+        .filter(F.col("common") > 0)
+    )
+    return _containment_dirs(counts)
+
+
 def dedup_containment_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-cost exact containment (r11 verdict ask #3): the
     corpus-scale EXACT path the estimate-based
@@ -1193,14 +1253,33 @@ def dedup_containment_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (contained_doc, container_doc, containment) with EXACT
     containment ≥ {_CONTAIN_T} — same schema/threshold as the anchor,
     restricted to screened candidates."""
-    return _containment_bounded_docs(_docs_parallel(spark, sf_dir))
+    # r13 (r12 verdict ask #3, guide §2.4): the rep-level minhash/band
+    # pipeline is a strict RESTRICTION of the session-shared doc-level
+    # candidate subtree — signatures, band keys and est_jaccard are all
+    # text-pure and every representative IS a document, so a rep pair
+    # collides in a rep-level band iff it collides in the doc-level
+    # band join, with the identical estimate. The candidates therefore
+    # come from `dedup_minhash_lsh` (shared/disk-cached) semi-joined to
+    # the rep ids instead of rebuilding 6 md5s/shingle + a band
+    # self-join over the collapsed frame.
+    return _containment_bounded_docs(
+        _docs_parallel(spark, sf_dir), shared_est=dedup_minhash_lsh(spark, sf_dir)
+    )
 
 
-def _containment_bounded_docs(docs: DataFrame) -> DataFrame:
+def _containment_bounded_docs(
+    docs: DataFrame, shared_est: DataFrame | None = None
+) -> DataFrame:
     """The collapse→candidate→screen→verify→expand pipeline over any
     (doc_id, text) frame (factored for the duplicate-text pytest —
     the driver testdata has no exact-duplicate texts at sf0.01, so the
-    expansion path needs a constructed frame to be exercised)."""
+    expansion path needs a constructed frame to be exercised).
+
+    ``shared_est``: optional pre-built doc-level (d1, d2, est_jaccard)
+    candidate frame covering AT LEAST all rep pairs with identical
+    estimates (`dedup_minhash_lsh` qualifies — text-pure signatures);
+    when given, rep-level candidates are its restriction to rep ids
+    (two semi-joins) instead of a rebuilt band pipeline."""
     from pyspark.sql import Window
 
     g = docs.select(
@@ -1210,71 +1289,39 @@ def _containment_bounded_docs(docs: DataFrame) -> DataFrame:
     )
     members = g.select("doc_id", "gid")
     reps = g.filter(F.col("doc_id") == F.col("gid")).select("doc_id", "text")
-    # rep-level banded-LSH candidates + estimated jaccard (the
-    # `lsh_bands` index pipeline — signature rides into the band join,
-    # same shape as `_lsh_est_build` but over the collapsed frame)
-    bands = lsh_bands(reps)
-    b1 = bands.select(
-        F.col("doc_id").alias("d1"), F.col("sig").alias("sig1"), "band", "band_key"
-    )
-    b2 = bands.select(
-        F.col("doc_id").alias("d2"), F.col("sig").alias("sig2"), "band", "band_key"
-    )
-    matches = F.size(
-        F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y), lambda m: m)
-    )
-    est = (
-        b1.join(b2, ["band", "band_key"])
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", "sig1", "sig2")
-        .distinct()
-        .select(
-            "d1",
-            "d2",
-            det_round(matches.cast("double") / _N_PERM, 6).alias("est_jaccard"),
+    if shared_est is not None:
+        rep_ids = reps.select("doc_id")
+        est = shared_est.join(
+            rep_ids.select(F.col("doc_id").alias("d1")), "d1", "semi"
+        ).join(rep_ids.select(F.col("doc_id").alias("d2")), "d2", "semi")
+    else:
+        # rep-level banded-LSH candidates + estimated jaccard (the
+        # `lsh_bands` index pipeline — signature rides into the band
+        # join, same shape as `_lsh_est_build` over the collapsed frame)
+        bands = lsh_bands(reps)
+        b1 = bands.select(
+            F.col("doc_id").alias("d1"), F.col("sig").alias("sig1"), "band", "band_key"
         )
-    )
+        b2 = bands.select(
+            F.col("doc_id").alias("d2"), F.col("sig").alias("sig2"), "band", "band_key"
+        )
+        matches = F.size(
+            F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y), lambda m: m)
+        )
+        est = (
+            b1.join(b2, ["band", "band_key"])
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2", "sig1", "sig2")
+            .distinct()
+            .select(
+                "d1",
+                "d2",
+                det_round(matches.cast("double") / _N_PERM, 6).alias("est_jaccard"),
+            )
+        )
     sh = _shingles_from(reps)
+    rep_dirs = _containment_screen_verify(est, sh)
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
-    j = est.join(
-        cnt.select(F.col("doc_id").alias("d1"), F.col("c").alias("c1")), "d1"
-    ).join(cnt.select(F.col("doc_id").alias("d2"), F.col("c").alias("c2")), "d2")
-    # identical arithmetic to dedup_containment_profile's common_est —
-    # det-rounded so the >= comparison is an exact-ppm-multiple compare
-    # in both engines
-    common_est = F.least(
-        F.col("est_jaccard")
-        / (F.lit(1.0) + F.col("est_jaccard"))
-        * (F.col("c1") + F.col("c2")),
-        F.col("c1").cast("double"),
-        F.col("c2").cast("double"),
-    )
-    screened = j.filter(
-        det_round(common_est / F.least("c1", "c2"), 6) >= _CONTAIN_SCREEN_T
-    ).select("d1", "d2")
-    ids = screened.select(F.explode(F.array("d1", "d2")).alias("doc_id")).distinct()
-    sets_ = (
-        sh.join(ids, "doc_id", "semi")
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("sset"))
-    )
-    counts = (
-        screened.join(
-            sets_.select(F.col("doc_id").alias("d1"), F.col("sset").alias("s1")), "d1"
-        )
-        .join(
-            sets_.select(F.col("doc_id").alias("d2"), F.col("sset").alias("s2")), "d2"
-        )
-        .select(
-            "d1",
-            "d2",
-            F.size(F.array_intersect("s1", "s2")).alias("common"),
-            F.size("s1").alias("c1"),
-            F.size("s2").alias("c2"),
-        )
-        .filter(F.col("common") > 0)
-    )
-    rep_dirs = _containment_dirs(counts)
     # exact expansion: cross-group rows inherit the rep pair's value
     # (text-pure), within-group ordered pairs are identity containment
     cross = (
@@ -1364,10 +1411,14 @@ def span_dup_fractions(docs: DataFrame) -> DataFrame:
     (property-tested against a pure-Python model in
     tests/test_span_dedup_property.py).
 
-    Plan shape at 100 TB: spans explode from the scan (no shuffle),
+    Plan shape at 100 TB (r13 rework, guide §2.3/§2.4): per-doc span
+    sets are established map-side (`array_distinct` inside the array —
+    no corpus-wide distinct exchange), `n_spans` is a local
+    `size(...)` per doc (no rollup shuffle of the full span stream),
     groupBy(span) counts distinct docs per span (partial aggs collapse
-    the Zipf head), and the per-doc rollup shuffles doc_id only. Output
-    is one row per doc (corpus-sized — unsorted)."""
+    the Zipf head), and only DUP hits (span stream ∩ dup set) flow into
+    the per-doc count. Output is one row per doc (corpus-sized —
+    unsorted)."""
     d = docs.select("doc_id", F.split("text", " ").alias("ws"))
     n = F.size("ws")
     idx = F.when(n >= _SPAN_W, F.sequence(F.lit(1), n - (_SPAN_W - 1))).otherwise(
@@ -1379,28 +1430,32 @@ def span_dup_fractions(docs: DataFrame) -> DataFrame:
             " ", *[F.element_at(F.col("ws"), i + k) for k in range(_SPAN_W)]
         ),
     )
-    doc_spans = d.select(
-        "doc_id", F.explode_outer(spans).alias("span")
-    ).distinct()  # set semantics per doc; explode_outer keeps short docs
-    span_df = (
-        doc_spans.filter(F.col("span").isNotNull())
-        .groupBy("span")
-        .agg(F.count("*").alias("ndocs"))
+    # set semantics per doc, established in the array domain (map-side)
+    span_set = F.array_distinct(spans)
+    doc_spans = d.select("doc_id", F.explode(span_set).alias("span"))
+    dup_spans = (
+        doc_spans.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .filter(F.col("ndocs") > 1)
+        .select("span")
+    )
+    dup_per_doc = (
+        doc_spans.join(dup_spans, "span")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
     )
     return (
-        doc_spans.join(span_df, "span", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("span").alias("n_spans"),
-            F.count(F.when(F.col("ndocs") > 1, 1)).alias("n_dup_spans"),
-        )
+        d.select("doc_id", F.size(span_set).cast("long").alias("n_spans"))
+        .join(dup_per_doc, "doc_id", "left")
         .select(
             "doc_id",
             "n_spans",
-            "n_dup_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
             F.when(
                 F.col("n_spans") > 0,
-                det_round(F.col("n_dup_spans") / F.col("n_spans"), 6),
+                det_round(
+                    F.coalesce("n_dup_spans", F.lit(0)) / F.col("n_spans"), 6
+                ),
             )
             .otherwise(F.lit(0.0))
             .alias("dup_span_frac"),
@@ -1411,6 +1466,76 @@ def span_dup_fractions(docs: DataFrame) -> DataFrame:
 def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`span_dup_fractions` over the documents table."""
     return span_dup_fractions(_docs_parallel(spark, sf_dir))
+
+
+def _hit_interval_cols(hs: Column) -> tuple[Column, Column]:
+    """Merged covered intervals from a SORTED array of fixed-width hit
+    starts: every hit covers [s, s + _SPAN_W - 1]; overlapping-or-
+    adjacent intervals coalesce. Because starts are sorted and widths
+    equal, interval ends are monotone, so a start opens a new merged
+    interval iff it exceeds its predecessor by more than _SPAN_W.
+    Returns (los, his) — equal-length arrays of interval bounds.
+    CASE guards keep element_at off index 0 / past the end (ANSI).
+    All array-domain: O(|hs|) per doc, no shuffle, no window."""
+    m = F.size(hs)
+    los = F.filter(
+        hs,
+        lambda s, i: F.when(i == 0, F.lit(True)).otherwise(
+            s - F.element_at(hs, i) > _SPAN_W
+        ),
+    )
+    run_ends = F.filter(
+        hs,
+        lambda s, i: F.when(i == m - 1, F.lit(True)).otherwise(
+            F.element_at(hs, i + 2) - s > _SPAN_W
+        ),
+    )
+    return los, F.transform(run_ends, lambda s: s + (_SPAN_W - 1))
+
+
+def _scrub_clean_cols(ws: Column, hs: Column) -> tuple[Column, Column]:
+    """(n_kept, clean_text) from the words array and the (possibly
+    NULL) sorted array of removed-window starts: merge the hit windows
+    into covered intervals, then re-assemble the doc from the GAP
+    slices of the original words array — original order for free, no
+    per-word rows, no collect_list/array_sort shuffle (r13 rework;
+    guide §2.3 'shuffle keys and metadata instead of payloads')."""
+    n = F.size(ws)
+    los, his = _hit_interval_cols(F.coalesce(hs, F.array().cast("array<bigint>")))
+    # gap k sits between covered intervals k-1 and k, with sentinels
+    # hi_0 = 0 and lo_last = n_words + 1: slice (prev_hi+1 .. next_lo-1)
+    prev_hi = F.concat(F.array(F.lit(0).cast("bigint")), his)
+    next_lo = F.concat(los, F.array((n + 1).cast("bigint")))
+    kept = F.flatten(
+        F.zip_with(
+            prev_hi,
+            next_lo,
+            lambda a, b: F.slice(ws, (a + 1).cast("int"), (b - a - 1).cast("int")),
+        )
+    )
+    return F.size(kept).cast("long"), F.concat_ws(" ", kept)
+
+
+def _scrub_reassemble(d: DataFrame, hits: DataFrame) -> DataFrame:
+    """Shared scrub tail: `d` = (doc_id, ws), `hits` = (doc_id, start)
+    rows of removed windows (unique per (doc_id, start)). One small
+    aggregation of hit starts per doc (dup mass only), one doc-level
+    join, and the gap-slice re-assembly — the corpus text crosses the
+    network exactly once."""
+    hit_starts = hits.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.col("start").cast("bigint"))).alias("hs")
+    )
+    n = F.size("ws")
+    n_kept, clean_text = _scrub_clean_cols(F.col("ws"), F.col("hs"))
+    return (
+        d.join(hit_starts, "doc_id", "left")
+        .select(
+            "doc_id",
+            n.cast("long").alias("n_words"),
+            (n.cast("long") - n_kept).alias("n_removed"),
+            clean_text.alias("clean_text"),
+        )
+    )  # scrubbed corpus: one row per doc, unsorted
 
 
 DEDUP_SPAN_ORACLE = f"""
@@ -1459,12 +1584,20 @@ def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def span_scrub(docs: DataFrame) -> DataFrame:
     """`dedup_span_scrub` over any (doc_id, text) frame — see that
     docstring; split out so the synthetic-corpus property test
-    (tests/test_span_dedup_property.py) can drive it directly."""
+    (tests/test_span_dedup_property.py) can drive it directly.
+
+    r13 rework (guide §2.3/§2.4): the per-word posexplode → anti-join →
+    collect_list/array_sort re-assembly shuffled the FULL word stream
+    twice (once keyed (doc_id, pos) for the anti-join, once keyed
+    doc_id to rebuild the text) plus the ±{_SPAN_W} covered-position
+    explode+distinct. The covered set is fully determined by the HIT
+    WINDOW STARTS, so only (doc_id, start) hit rows (dup mass) are
+    shuffled now; the text is re-assembled per doc by slicing the
+    original words array around the merged covered intervals
+    (`_scrub_clean_cols`) — same output, the corpus text crosses the
+    network once (the doc-level join) instead of three times."""
     d = docs.select("doc_id", F.split("text", " ").alias("ws"))
     n = F.size("ws")
-    words = d.select(
-        "doc_id", F.posexplode("ws").alias("pos0", "word")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
     idx = F.when(n >= _SPAN_W, F.sequence(F.lit(1), n - (_SPAN_W - 1))).otherwise(
         F.array().cast("array<int>")
     )
@@ -1489,43 +1622,12 @@ def span_scrub(docs: DataFrame) -> DataFrame:
         .filter(F.col("ndocs") >= 2)
         .select("span", "keeper")
     )
-    covered = (
+    hits = (
         occ.join(dups, "span")
         .filter(F.col("doc_id") != F.col("keeper"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("start"), F.col("start") + (_SPAN_W - 1))
-            ).alias("pos"),
-        )
-        .distinct()
+        .select("doc_id", "start")
     )
-    clean = (
-        words.join(covered, ["doc_id", "pos"], "left_anti")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_kept"),
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
-                    lambda s: s.word,
-                ),
-            ).alias("clean_text"),
-        )
-    )
-    return (
-        d.select("doc_id", n.cast("long").alias("n_words"))
-        .join(clean, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_words",
-            (F.col("n_words") - F.coalesce("n_kept", F.lit(0))).cast("long").alias(
-                "n_removed"
-            ),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        )
-    )  # scrubbed corpus: one row per doc, unsorted
+    return _scrub_reassemble(d, hits)
 
 
 DEDUP_SPAN_SCRUB_ORACLE = f"""
@@ -1626,26 +1728,23 @@ def span_islands(docs: DataFrame) -> DataFrame:
         .filter(F.col("ndocs") >= 2)
         .select("span")
     )
-    hits = occ.join(dups, "span").select(
-        "doc_id", "start", (F.col("start") + (_SPAN_W - 1)).alias("end")
+    # r13 rework (guide §2.4): the islands coalescence is fully
+    # determined by each doc's sorted hit starts (fixed window width ⇒
+    # monotone interval ends), so the per-doc window (shuffle + sort) +
+    # regions/per-doc aggregations collapse into ONE groupBy(doc_id) of
+    # the hit rows and a map-side interval merge (`_hit_interval_cols`).
+    hit_starts = occ.join(dups, "span").groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.col("start"))).alias("hs")
     )
-    w = Window.partitionBy("doc_id").orderBy("start")
-    prev_max_end = F.max("end").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    marked = hits.withColumn(
-        "is_new",
-        F.when(
-            prev_max_end.isNull() | (F.col("start") > prev_max_end + 1), 1
-        ).otherwise(0),
-    ).withColumn("island", F.sum("is_new").over(w))
-    regions = marked.groupBy("doc_id", "island").agg(
-        F.min("start").alias("lo"), F.max("end").alias("hi")
-    )
-    per_doc = regions.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_regions"),
-        F.sum(F.col("hi") - F.col("lo") + 1).cast("long").alias("dup_words"),
-        F.max(F.col("hi") - F.col("lo") + 1).cast("long").alias("max_region_words"),
+    los, his = _hit_interval_cols(F.col("hs"))
+    lens = F.zip_with(his, los, lambda h, l: h - l + 1)
+    per_doc = hit_starts.select(
+        "doc_id",
+        F.size(los).cast("long").alias("n_regions"),
+        F.aggregate(
+            lens, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("dup_words"),
+        F.array_max(lens).cast("long").alias("max_region_words"),
     )
     return (
         d.select("doc_id", n.cast("long").alias("n_words"))
@@ -1776,12 +1875,11 @@ def dedup_exactsubstr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def exactsubstr_scrub(docs: DataFrame) -> DataFrame:
     """`dedup_exactsubstr_scrub` over any (doc_id, text) frame — split
-    out for the property test (the `span_scrub` convention)."""
+    out for the property test (the `span_scrub` convention). Same r13
+    gap-slice re-assembly as `span_scrub` (see its docstring): only
+    (doc_id, start) hit rows shuffle; the corpus text moves once."""
     d = docs.select("doc_id", F.split("text", " ").alias("ws"))
     n = F.size("ws")
-    words = d.select("doc_id", F.posexplode("ws").alias("pos0", "word")).select(
-        "doc_id", (F.col("pos0") + 1).alias("pos"), "word"
-    )
     idx = F.when(n >= _SPAN_W, F.sequence(F.lit(1), n - (_SPAN_W - 1))).otherwise(
         F.array().cast("array<int>")
     )
@@ -1810,43 +1908,12 @@ def exactsubstr_scrub(docs: DataFrame) -> DataFrame:
         .filter(F.col("nocc") >= 2)
         .select("span", "keeper_key")
     )
-    covered = (
+    hits = (
         occ.join(dups, "span")
         .filter(F.col("occkey") != F.col("keeper_key"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("start"), F.col("start") + (_SPAN_W - 1))
-            ).alias("pos"),
-        )
-        .distinct()
+        .select("doc_id", "start")
     )
-    clean = (
-        words.join(covered, ["doc_id", "pos"], "left_anti")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_kept"),
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
-                    lambda s: s.word,
-                ),
-            ).alias("clean_text"),
-        )
-    )
-    return (
-        d.select("doc_id", n.cast("long").alias("n_words"))
-        .join(clean, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_words",
-            (F.col("n_words") - F.coalesce("n_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        )
-    )  # scrubbed corpus: one row per doc, unsorted
+    return _scrub_reassemble(d, hits)
 
 
 DEDUP_EXACTSUBSTR_ORACLE = f"""

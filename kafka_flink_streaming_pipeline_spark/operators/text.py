@@ -323,15 +323,22 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rule ablation) without re-scanning."""
     d = load_table(spark, sf_dir, "documents")
     n_words = F.regexp_count("text", F.lit(r"[a-z0-9]+"))
-    word_chars = F.length(F.regexp_replace("text", r"[^a-z0-9]", ""))
-    symbols = F.length(F.regexp_replace("text", r"[a-z0-9 ]", ""))
-    stops = F.regexp_count("text", F.lit(_STOPWORDS))
+    # char-CLASS counts via single-pass `translate` instead of regex
+    # traversals (r13, guide §1.2 per-task work): translate(text, S, '')
+    # deletes exactly the chars in S, so length arithmetic reproduces
+    # the regexp_replace counts bit-for-bit — # alnum chars and # chars
+    # outside [a-z0-9 ] — without the regex engine.
+    _ALNUM = "abcdefghijklmnopqrstuvwxyz0123456789"
+    word_chars = F.length("text") - F.length(F.translate("text", _ALNUM, ""))
+    symbols = F.length(F.translate("text", _ALNUM + " ", ""))
+    # the stopword RULE only needs existence, not the count: rlike
+    # stops at the first match instead of scanning the whole doc
+    r_stop = F.col("text").rlike(_STOPWORDS)
     mwl = det_round(word_chars.cast("double") / F.nullif(n_words, F.lit(0)), 6)
     sym_ratio = det_round(symbols.cast("double") / F.nullif(n_words, F.lit(0)), 6)
     r_words = n_words >= _MIN_WORDS
     r_mwl = (mwl >= _MIN_MWL) & (mwl <= _MAX_MWL)
     r_sym = sym_ratio < _MAX_SYMBOL_RATIO
-    r_stop = stops > 0
     return d.select(
         "doc_id",
         n_words.alias("n_words"),

@@ -678,12 +678,20 @@ def _fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     outs = []
     for table, det, dep in _FD_CANDIDATES:
         t = load_table(spark, sf_dir, table)
+        # r13 (guide §2.4): distinct-pairs + countDistinct(a) re-shuffled
+        # the distinct pair set a second time; one groupBy(a) over the
+        # two-phase (a, b) aggregate yields both counts from a single
+        # full-data exchange (n_keys = rows of the per-key rollup,
+        # n_pairs = sum of per-key distinct-b counts).
         agg = (
             t.select(F.col(det).alias("a"), F.col(dep).alias("b"))
-            .distinct()
+            .groupBy("a", "b")
+            .agg(F.lit(1).alias("one"))
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("nb"))
             .agg(
-                F.countDistinct("a").alias("n_keys"),
-                F.count("*").alias("n_pairs"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("nb").alias("n_pairs"),
             )
         )
         outs.append(
