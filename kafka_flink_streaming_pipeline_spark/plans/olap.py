@@ -36,7 +36,10 @@ from pyspark.sql import functions as F
 
 from kafka_flink_streaming_pipeline_spark.functions.core import det_round
 from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
-from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+from kafka_flink_streaming_pipeline_spark.sources.batch import (
+    load_table,
+    load_table_parallel,
+)
 
 
 def _dec(c: str) -> F.Column:
@@ -56,7 +59,9 @@ def _rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     total in ONE shuffle (Expand + two-phase agg). NULL group keys from
     the rollup are coalesced to 'ALL' so both engines hash identical
     strings; grouping_id disambiguates levels."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # map-side CPU (3 broadcast joins + decimal + Expand x3) dominates
+    # the scan: restore split parallelism (r13; see load_table_parallel)
+    li = load_table_parallel(spark, sf_dir, "lineitem")
     supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
     region = F.broadcast(load_table(spark, sf_dir, "region"))

@@ -25,7 +25,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_flink_streaming_pipeline_spark.plans import QuerySpec
-from kafka_flink_streaming_pipeline_spark.sources.batch import load_table
+from kafka_flink_streaming_pipeline_spark.sources.batch import (
+    load_table,
+    load_table_parallel,
+)
 
 
 def _dec(c: str) -> F.Column:
@@ -36,7 +39,10 @@ def _dec(c: str) -> F.Column:
 
 
 def _q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # decimal-arithmetic battery over the full fact table: the per-row
+    # CPU dominates the scan, so restore map-side parallelism when the
+    # input arrives as one split (r13; see load_table_parallel)
+    li = load_table_parallel(spark, sf_dir, "lineitem")
     disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
     charge = disc_price * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax"))
     return (

@@ -62,6 +62,24 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """`load_table` + scan-parallelism restoration for plans whose cost
+    is per-row CPU ABOVE the scan (decimal arithmetic batteries, heavy
+    aggregates): when the scan yields fewer input splits than half the
+    session's parallelism — the single-row-group testdata layout, where
+    the whole map side otherwise runs on one core — round-robin
+    repartition to defaultParallelism. This is `_docs_parallel`'s
+    documented policy (operators/dedup.py) generalized to the fact
+    tables; the partition-count probe makes it scale-adaptive: a real
+    many-split table takes the no-shuffle branch (r13, guide §2.5
+    input-skew remedy / §1.2 distributed-algorithm-first)."""
+    df = load_table(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, par // 2):
+        return df.repartition(par)
+    return df
+
+
 def jdbc_table(
     spark: SparkSession,
     url: str,
