@@ -3254,31 +3254,63 @@ def _mmr_greedy(shortlist: DataFrame) -> DataFrame:
     ).localCheckpoint()
     lam, mu = F.lit(_MMR_LAMBDA), F.lit(_MMR_MU)
     w_q = Window.partitionBy("query_id")
-    for r in range(1, _MMR_K + 1):
-        # struct-max argmax: unpicked-first, then score, then min
-        # cand_id (via max of the negation); the winner's code/norm
-        # ride along in the struct so no second pass is needed
-        st = state.withColumn(
-            "score",
-            F.when(F.col("maxsim").isNull(), lam * F.col("rel")).otherwise(
-                lam * F.col("rel") - mu * F.col("maxsim")
-            ),
-        ).withColumn(
-            "best",
-            F.max(
-                F.struct(
-                    F.col("prk").isNull().alias("u"),
-                    F.col("score").alias("s"),
-                    (-F.col("cand_id")).alias("nid"),
-                    F.col("cv8").alias("c8"),
-                    F.col("cn").alias("n"),
-                )
-            ).over(w_q),
+    # round-invariant expression columns hoisted out of the loop (r13:
+    # the K unrolled rounds spent ~2.6 s of DRIVER time re-building and
+    # re-analyzing these trees per round — plan construction, not
+    # execution, dominated the entry); each round is now two
+    # projections with identical semantics.
+    # struct-max argmax: unpicked-first, then score, then min cand_id
+    # (via max of the negation); the winner's code/norm ride along in
+    # the struct so no second pass is needed
+    score = F.when(F.col("maxsim").isNull(), lam * F.col("rel")).otherwise(
+        lam * F.col("rel") - mu * F.col("maxsim")
+    )
+    best = F.max(
+        F.struct(
+            F.col("prk").isNull().alias("u"),
+            score.alias("s"),
+            (-F.col("cand_id")).alias("nid"),
+            F.col("cv8").alias("c8"),
+            F.col("cn").alias("n"),
         )
-        is_pick = (
+    ).over(w_q)
+    is_pick = (
+        F.col("best.u")
+        & F.col("prk").isNull()
+        & (F.col("cand_id") == -F.col("best.nid"))
+    )
+    sim_to_best = (
+        _dot(F.col("cv8"), F.col("best.c8")) / F.col("cn") / F.col("best.n")
+    )
+    new_maxsim = (
+        F.when(
             F.col("best.u")
             & F.col("prk").isNull()
-            & (F.col("cand_id") == -F.col("best.nid"))
+            & (F.col("cand_id") != -F.col("best.nid")),
+            F.when(F.col("maxsim").isNull(), sim_to_best).otherwise(
+                F.greatest(F.col("maxsim"), sim_to_best)
+            ),
+        )
+        .otherwise(F.col("maxsim"))
+        .alias("maxsim")
+    )
+    new_pick_score = (
+        F.when(is_pick, F.col("score"))
+        .otherwise(F.col("pick_score"))
+        .alias("pick_score")
+    )
+    for r in range(1, _MMR_K + 1):
+        st = state.select(
+            "query_id",
+            "cand_id",
+            "cv8",
+            "cn",
+            "rel",
+            "maxsim",
+            "prk",
+            "pick_score",
+            score.alias("score"),
+            best.alias("best"),
         )
         state = st.select(
             "query_id",
@@ -3286,30 +3318,9 @@ def _mmr_greedy(shortlist: DataFrame) -> DataFrame:
             "cv8",
             "cn",
             "rel",
-            F.when(
-                F.col("best.u")
-                & F.col("prk").isNull()
-                & (F.col("cand_id") != -F.col("best.nid")),
-                F.when(
-                    F.col("maxsim").isNull(),
-                    _dot(F.col("cv8"), F.col("best.c8"))
-                    / F.col("cn")
-                    / F.col("best.n"),
-                ).otherwise(
-                    F.greatest(
-                        F.col("maxsim"),
-                        _dot(F.col("cv8"), F.col("best.c8"))
-                        / F.col("cn")
-                        / F.col("best.n"),
-                    )
-                ),
-            )
-            .otherwise(F.col("maxsim"))
-            .alias("maxsim"),
+            new_maxsim,
             F.when(is_pick, F.lit(r)).otherwise(F.col("prk")).alias("prk"),
-            F.when(is_pick, F.col("score"))
-            .otherwise(F.col("pick_score"))
-            .alias("pick_score"),
+            new_pick_score,
         )
     return (
         state.filter(F.col("prk").isNotNull())
