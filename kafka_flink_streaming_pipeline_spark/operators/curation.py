@@ -656,23 +656,31 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _DSIR_B
         ).alias("b"),
     )
-    # ONE pass over the bucketed occurrence stream (r13, guide §2.3
-    # "aggregate before you shuffle"): the raw/target distributions and
-    # the corpus totals are all sums of the per-doc bucket counts, so
-    # they derive from `per_doc` instead of re-running the
-    # tokenize+md5 extraction three more times.
+    # (r13 note: deriving raw/tgt/totals from `per_doc` — "one pass over
+    # the bucketed stream" — was built and MEASURED SLOWER at sf0.1 AND
+    # sf10 (select 9.4→12.2 s at sf10): the three "extra" aggregations
+    # collapse map-side into ≤{B}-row exchanges and run concurrently,
+    # while the derived form serializes the broadcast distribution
+    # behind the much wider (doc_id, b) exchange. Kept as-is.)
     per_doc = bucketed.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
-    is_tgt = F.col("doc_id") % 97 == 0
-    by_bucket = per_doc.groupBy("b").agg(
-        F.sum("c").alias("rc"),
-        F.sum(F.when(is_tgt, F.col("c")).otherwise(0)).alias("tc"),
+    raw = bucketed.groupBy("b").agg(F.count("*").alias("rc"))
+    tgt = (
+        bucketed.filter(F.col("doc_id") % 97 == 0)
+        .groupBy("b")
+        .agg(F.count("*").alias("tc"))
     )
-    # B-row distribution table with the corpus-total scalars broadcast in
+    # B-row distribution table: raw LEFT JOIN target (absent target
+    # buckets smooth to 1), with corpus-total scalars broadcast in
     dist = (
-        by_bucket.crossJoin(
+        raw.join(tgt, "b", "left")
+        .na.fill({"tc": 0})
+        .crossJoin(
             F.broadcast(
-                by_bucket.agg(
-                    F.sum("rc").alias("n_raw"), F.sum("tc").alias("n_tgt")
+                bucketed.agg(
+                    F.count("*").alias("n_raw"),
+                    F.sum(
+                        F.when(F.col("doc_id") % 97 == 0, 1).otherwise(0)
+                    ).alias("n_tgt"),
                 )
             )
         )

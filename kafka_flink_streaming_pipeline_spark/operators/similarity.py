@@ -2384,16 +2384,20 @@ def _km_train(
     at ~1e9+ vectors the sum needs a DECIMAL(38) internal accumulator —
     an internal (unhashed) representation choice, not a contract one."""
     pts = _km_points(spark, sf_dir).localCheckpoint()
-    cent = (
-        pts.filter(
-            (F.col("vec_id") >= _N_QUERIES) & (F.col("vec_id") < _N_QUERIES + _IVF_K)
-        )
-        .select(
-            (F.col("vec_id") - _N_QUERIES).cast("int").alias("cid"),
-            "dim",
-            F.col("xm").alias("cm"),
-        )
-        .localCheckpoint()
+    # r13: only the ASSIGNMENT is checkpointed per round. The centroid
+    # frames are K×dim rows consumed exactly once (by the next round's
+    # assign, or by the final consumer), and the assign checkpoints
+    # already bound lineage at depth 2 — so the per-round centroid
+    # localCheckpoint jobs (3 of the 8 eager jobs in this loop, ~0.8 s
+    # of the 2.3 s build at bench scale) were pure overhead; at scale
+    # each corpus-sized assign⋈pts aggregation still runs exactly once,
+    # inside the next checkpoint job.
+    cent = pts.filter(
+        (F.col("vec_id") >= _N_QUERIES) & (F.col("vec_id") < _N_QUERIES + _IVF_K)
+    ).select(
+        (F.col("vec_id") - _N_QUERIES).cast("int").alias("cid"),
+        "dim",
+        F.col("xm").alias("cm"),
     )
     reports: list[DataFrame] = []
     prev = None
@@ -2423,7 +2427,6 @@ def _km_train(
             assign.join(pts, "vec_id")
             .groupBy("cid", "dim")
             .agg(F.expr("CAST(sum(xm) DIV count(*) AS BIGINT)").alias("cm"))
-            .localCheckpoint()
         )
     return reports, cent, assign, pts
 
