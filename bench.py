@@ -440,6 +440,21 @@ def _mem_stats() -> dict | None:
 #: the operator can rerun before the file is graded.
 _DIRTY_START_FACTOR = 3.0
 
+#: Canary-pair stability band (r14, carried r12 verdict ask #4): the
+#: same 1.3x threshold tools/bench_diff.py uses to refuse single-factor
+#: normalization of a battery that spanned a machine-context transition.
+_CANARY_STABLE_FACTOR = 1.3
+
+
+def _canary_stable(canary_start: float, canary_end: float) -> bool:
+    """True iff the battery's own start/end canary pair agrees within
+    `_CANARY_STABLE_FACTOR` — i.e. the run did NOT span a
+    machine-context transition and one factor can normalize it."""
+    if not canary_start or not canary_end:
+        return False
+    pair = (canary_start, canary_end)
+    return max(pair) / min(pair) <= _CANARY_STABLE_FACTOR
+
 
 def _dirty_start_warning(canary_start: float, canary_end: float) -> str | None:
     if canary_end > 0 and canary_start > _DIRTY_START_FACTOR * canary_end:
@@ -672,6 +687,13 @@ def main() -> None:
     canary_end = _canary(spark)
     canary_data_end = _canary_data(spark, sf_dir)
     mem_end = _mem_stats()
+    # Canary-pair stability verdict (carried r12 verdict ask #4): a
+    # battery whose OWN start/end canaries disagree by >1.3x spanned a
+    # machine-context transition, so one factor cannot normalize its
+    # entries (tools/bench_diff.py prints the same warning at compare
+    # time — this puts the verdict in the headline line itself, where
+    # cross-round comparisons start).
+    canary_stable = _canary_stable(canary_start, canary_end)
     warn = _dirty_start_warning(canary_start, canary_end)
     if warn:
         print(warn, file=sys.stderr)
@@ -693,6 +715,7 @@ def main() -> None:
         # cross-round per-entry ratio by (canary_r10 / canary_r9) to
         # separate boot context from plan regression
         "canary_s": {"start": canary_start, "end": canary_end},
+        "canary_stable": canary_stable,
         # data-touching twin (r12): fixed parquet-shard scan, first
         # pass + warm min at battery start/end — first/min >> 1 at
         # start = page-cache-cold boot; bench_diff reads the pair to
@@ -720,6 +743,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(per_query),
                 "loadavg_1m": load1,
+                "canary_stable": canary_stable,
                 "queries": slowest,
             }
         )

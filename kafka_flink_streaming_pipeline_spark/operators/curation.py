@@ -1003,10 +1003,13 @@ def _clf_train(
     distributed-GD layout; the r13 form removes the per-step
     localCheckpoint jobs (2 per step) and their broadcast plumbing.
     The weight update floor(g/n·lr + 0.5) is the identical IEEE-double
-    expression evaluated on the driver (Python floats ARE doubles;
-    ints convert with the same rounding as Spark's CAST), so the
-    trajectory is bit-identical to the in-plan form. Gradient-term
-    magnitude is bounded by 1e6, so the exact integer sum holds to
+    expression evaluated on the driver: each BIGINT converts to double
+    FIRST via float() (the same round-to-nearest cast as Spark's
+    CAST(g AS DOUBLE)), then divides — so the trajectory is
+    bit-identical to the in-plan/oracle form for the full BIGINT range
+    (r14; the earlier bare int/int division only matched while
+    |g| < 2^53, ~9e9 max-magnitude docs). Gradient-term magnitude is
+    bounded by 1e6, so the exact integer SUM stays in BIGINT to
     ~9e12 docs."""
     import math
 
@@ -1060,10 +1063,15 @@ def _clf_train(
             .collect()[0]
         )
         # identical arithmetic to the previous in-plan update:
-        # floor(cast(g as double) / n * lr + 0.5) — Python floats are
-        # IEEE doubles and evaluation order matches left-to-right
+        # floor(cast(g as double) / n * lr + 0.5) — convert each BIGINT
+        # to double FIRST (float(g) is the same round-to-nearest cast
+        # as Spark's CAST(g AS DOUBLE)), then divide; a bare int/int
+        # division would be correctly-rounded on the exact rationals
+        # and only agrees with cast-then-divide while |g| < 2^53
+        # (ADVICE r13 — same values at any realistic scale, but this
+        # form is the oracle's rounding exactly)
         w = [
-            w[i] + math.floor(r[f"g{i}"] / r["n"] * _CLF_LR + 0.5)
+            w[i] + math.floor(float(r[f"g{i}"]) / float(r["n"]) * _CLF_LR + 0.5)
             for i in range(4)
         ]
         rows.append(

@@ -690,7 +690,15 @@ def _fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("a")
             .agg(F.count(F.lit(1)).alias("nb"))
             .agg(
-                F.count(F.lit(1)).alias("n_keys"),
+                # count(a), not count(*): the oracle's count(DISTINCT a)
+                # excludes a NULL determinant value while the per-key
+                # rollup keeps it as a group, so the key count must skip
+                # the NULL-key row; n_pairs (count(*) over the distinct
+                # pair set) keeps NULL-determinant pairs in BOTH engines
+                # (r14, ADVICE r13 — current candidates are non-null so
+                # the outputs are identical, but the semantics now hold
+                # for any data)
+                F.count(F.col("a")).alias("n_keys"),
                 F.sum("nb").alias("n_pairs"),
             )
         )

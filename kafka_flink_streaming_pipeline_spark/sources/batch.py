@@ -72,12 +72,26 @@ def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFram
     documented policy (operators/dedup.py) generalized to the fact
     tables; the partition-count probe makes it scale-adaptive: a real
     many-split table takes the no-shuffle branch (r13, guide §2.5
-    input-skew remedy / §1.2 distributed-algorithm-first)."""
+    input-skew remedy / §1.2 distributed-algorithm-first).
+
+    The probe (`df.rdd.getNumPartitions()` — forces physical planning
+    plus a DataFrame→RDD conversion) runs ONCE per (sf_dir, table,
+    parallelism) and the branch decision is memoized for the session
+    (r14, ADVICE r13): split count is a pure function of the file
+    layout and the scan confs, both fixed within a session, so repeat
+    builds of the same plan skip the double planning entirely."""
     df = load_table(spark, sf_dir, name)
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, par // 2):
-        return df.repartition(par)
-    return df
+    key = (sf_dir, name, par)
+    few = _PARALLEL_PROBE_CACHE.get(key)
+    if few is None:
+        few = df.rdd.getNumPartitions() < max(2, par // 2)
+        _PARALLEL_PROBE_CACHE[key] = few
+    return df.repartition(par) if few else df
+
+
+#: memoized `load_table_parallel` branch decisions — see its docstring
+_PARALLEL_PROBE_CACHE: dict[tuple[str, str, int], bool] = {}
 
 
 def jdbc_table(

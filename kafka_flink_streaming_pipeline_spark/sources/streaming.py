@@ -154,7 +154,16 @@ def prepare_replay_chunks(
     )
     import time
 
-    base = time.time()
+    # Backdate the ladder so every chunk mtime is strictly in the PAST
+    # (base + n_chunks < now). The r13 order-dependent streaming-test
+    # flake was exactly this race: chunk mtimes ran up to n_chunks
+    # seconds into the future, so a sentinel/extra file copied into the
+    # watch dir within that window (fast warm-JVM test runs) sorted
+    # BEFORE the last real chunks in the file source's mtime order —
+    # its far-future watermark then dropped the newest real windows as
+    # late data. Backdating keeps the strictly-increasing replay order
+    # AND guarantees any later-created file replays after every chunk.
+    base = time.time() - (n_chunks + 1)
     for i in range(1, n_chunks + 1):
         parts = glob.glob(f"{staging}/chunk={i}/part-*.parquet")
         if not parts:  # quantile ties can leave a trailing chunk empty

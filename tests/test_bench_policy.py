@@ -106,6 +106,65 @@ def test_dirty_start_warning_fires_only_on_contaminated_start():
     assert bench._dirty_start_warning(0.5, 0.0) is None
 
 
+def test_canary_stable_band():
+    # r12 verdict ask #4: the headline verdict uses the same 1.3x band
+    # bench_diff refuses to normalize across. Stable pairs (r13's
+    # 0.382/0.314 = 1.22x) pass; the r12 sf1 transition pairs fail.
+    assert bench._canary_stable(0.382, 0.314) is True
+    assert bench._canary_stable(0.4, 0.4) is True
+    assert bench._canary_stable(0.458, 0.265) is False  # 1.73x
+    assert bench._canary_stable(6.52, 0.365) is False  # r10 dirty start
+    # missing/zero canaries are NOT stable (no evidence either way)
+    assert bench._canary_stable(0.0, 0.4) is False
+    assert bench._canary_stable(0.4, 0.0) is False
+
+
+def test_bench_headline_line_carries_canary_stable(tmp_path):
+    """Run bench.py as the driver does (subprocess, sf0.001) with every
+    entry skipped: the battery degenerates to warmup + canaries, and
+    BOTH emitted JSON documents must carry the canary_stable verdict."""
+    import os
+    import subprocess
+
+    from kafka_flink_streaming_pipeline_spark.plans import merged
+
+    skip = sorted(
+        set(merged())
+        | {
+            "shared_exact_graph_build",
+            "shared_lsh_graph_build",
+            "shared_ann_index_build",
+            "shared_pq_codes_build",
+            "shared_kmeans_cells_build",
+            "shared_exact_topk_build",
+            "shared_power_iteration",
+        }
+    )
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_SKIP=",".join(skip),
+        SPARK_GRAFT_SHUFFLE="8",
+    )
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    docs = [json.loads(l) for l in lines]
+    headline = docs[-1]
+    assert headline["metric"] == "headline_queries_wall_clock"
+    assert isinstance(headline.get("canary_stable"), bool)
+    detail = [d for d in docs if "canary_s" in d]
+    assert detail and all(
+        isinstance(d.get("canary_stable"), bool) for d in detail
+    )
+
+
 def test_bench_diff_min_abs_is_canary_normalized(tmp_path):
     # A raw +0.25 s "regression" that is fully explained by a 2x slower
     # boot (canary 0.4 -> 0.8) must NOT pass the min_abs gate once the

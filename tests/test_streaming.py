@@ -30,6 +30,34 @@ def chunks(spark, tmp_path_factory):
     return d
 
 
+def test_replay_chunk_mtimes_precede_later_files(spark, tmp_path):
+    """Regression test for the r13 order-dependent streaming flake: the
+    chunk mtime ladder ran up to n_chunks seconds into the FUTURE, so a
+    sentinel file copied into the watch dir within that window (fast
+    warm-JVM runs) sorted BEFORE the last real chunks in the file
+    source's modification-time replay order — its far-future watermark
+    then dropped the newest real windows as late data. The ladder must
+    stay strictly increasing AND entirely in the past, so any file
+    created after prepare_replay_chunks() returns replays last."""
+    import glob
+    import os
+    import time
+
+    events = load_table(spark, SF_SMOKE, "events")
+    chunk_dir = str(tmp_path / "chunks")
+    prepare_replay_chunks(spark, events, chunk_dir, n_chunks=6)
+    now = time.time()
+    sentinel = f"{chunk_dir}/zz_sentinel.parquet"
+    with open(sentinel, "wb") as fh:
+        fh.write(b"")
+    mtimes = sorted(
+        os.path.getmtime(p) for p in glob.glob(f"{chunk_dir}/chunk_*.parquet")
+    )
+    assert mtimes == sorted(set(mtimes))  # strictly increasing ladder
+    assert mtimes[-1] < now  # nothing in the future
+    assert mtimes[-1] < os.path.getmtime(sentinel)  # sentinel replays last
+
+
 def test_fp2_streaming_equals_batch(spark, tmp_path, chunks):
     """Replaying the bounded events through the streaming FP2 job must
     produce exactly the batch FP2 result (J1 restructuring proof)."""
