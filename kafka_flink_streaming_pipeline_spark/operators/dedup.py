@@ -1401,6 +1401,31 @@ FROM dirs WHERE containment >= {_CONTAIN_T}
 _SPAN_W = 8  # words per span — the "memorization-length" window
 
 
+def _span_key(span: Column) -> Column:
+    """16-byte BINARY grouping key for a span string — `unhex(md5(s))`.
+
+    r14 key compaction (guide §2.3 'shuffle fewer bytes'): the span
+    family groups/joins on {_SPAN_W}-word span strings (~50-60 B each)
+    whose VALUE never reaches any output — only span IDENTITY matters
+    (which occurrences collide). Substituting a 128-bit digest for the
+    string keeps every exchange/aggregation semantically identical as
+    long as no two distinct spans in the corpus share a digest:
+
+    - words come from `split(text, ' ')`, so they contain no spaces and
+      the space-joined span string is a BIJECTION of the word tuple —
+      string equality is exactly tuple equality;
+    - md5 is 128-bit: for S distinct spans the collision probability is
+      ~S²/2¹²⁹; at 100 TB (~10¹³ spans) that is ~10⁻¹³ — far below any
+      hardware error rate. (A 64-bit key, e.g. xxhash64, would NOT be
+      safe at that scale: ~10²⁶/2⁶⁵ ≈ 0.3.)
+
+    The digest is computed map-side in the same projection that builds
+    the span, so the string itself never crosses an exchange. (A
+    struct<xxhash64,xxhash64> key was also measured: grouping/joining
+    on a nested struct lost badly to flat BINARY — 2× slower at sf10.)"""
+    return F.unhex(F.md5(span))
+
+
 def span_dup_fractions(docs: DataFrame) -> DataFrame:
     """Per-doc fraction of 8-word spans that also occur in ANOTHER doc —
     the exact-substring duplication signal behind suffix-array dedup of
@@ -1411,51 +1436,61 @@ def span_dup_fractions(docs: DataFrame) -> DataFrame:
     (property-tested against a pure-Python model in
     tests/test_span_dedup_property.py).
 
-    Plan shape at 100 TB (r13 rework, guide §2.3/§2.4): per-doc span
-    sets are established map-side (`array_distinct` inside the array —
-    no corpus-wide distinct exchange), `n_spans` is a local
-    `size(...)` per doc (no rollup shuffle of the full span stream),
-    groupBy(span) counts distinct docs per span (partial aggs collapse
-    the Zipf head), and only DUP hits (span stream ∩ dup set) flow into
-    the per-doc count. Output is one row per doc (corpus-sized —
-    unsorted)."""
+    Plan shape at 100 TB (r13 rework, guide §2.3/§2.4; r14 window
+    form, §2.4): per-doc span sets are established map-side
+    (`array_distinct` inside the array — no corpus-wide distinct
+    exchange) over 16-byte `_span_key` digests (the span string never
+    crosses an exchange — see `_span_key` for the collision argument).
+    The per-doc distinct span stream then crosses the network ONCE: a
+    count over a span-keyed window marks each row with its span's
+    corpus doc-frequency (each doc contributes one row per span, so
+    count(*) per key IS countDistinct(doc_id)), and one groupBy(doc_id)
+    derives BOTH outputs from the marked rows — `n_spans` as the row
+    count (the per-doc set size) and `n_dup_spans` as the rows whose
+    span frequency exceeds 1. The r13 form paid a second span-keyed
+    exchange (dup-set join) plus a second span-array build for
+    `n_spans`; both are gone (sf10: 12.4 → 7.7 s). Output is one row
+    per doc (corpus-sized — unsorted)."""
     d = docs.select("doc_id", F.split("text", " ").alias("ws"))
     n = F.size("ws")
     idx = F.when(n >= _SPAN_W, F.sequence(F.lit(1), n - (_SPAN_W - 1))).otherwise(
         F.array().cast("array<int>")
     )
-    spans = F.transform(
+    keys = F.transform(
         idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(F.col("ws"), i + k) for k in range(_SPAN_W)]
+        lambda i: _span_key(
+            F.concat_ws(
+                " ", *[F.element_at(F.col("ws"), i + k) for k in range(_SPAN_W)]
+            )
         ),
     )
-    # set semantics per doc, established in the array domain (map-side)
-    span_set = F.array_distinct(spans)
-    doc_spans = d.select("doc_id", F.explode(span_set).alias("span"))
-    dup_spans = (
-        doc_spans.groupBy("span")
-        .agg(F.count(F.lit(1)).alias("ndocs"))
-        .filter(F.col("ndocs") > 1)
-        .select("span")
+    # set semantics per doc, established in the array domain (map-side);
+    # |distinct keys| = |distinct spans| under the `_span_key` argument
+    doc_spans = d.select("doc_id", F.explode(F.array_distinct(keys)).alias("k"))
+    marked = doc_spans.select(
+        "doc_id", F.count("*").over(Window.partitionBy("k")).alias("ndocs")
     )
-    dup_per_doc = (
-        doc_spans.join(dup_spans, "span")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_spans"),
     )
     return (
-        d.select("doc_id", F.size(span_set).cast("long").alias("n_spans"))
-        .join(dup_per_doc, "doc_id", "left")
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        )
         .select(
             "doc_id",
             "n_spans",
-            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            "n_dup_spans",
             F.when(
                 F.col("n_spans") > 0,
-                det_round(
-                    F.coalesce("n_dup_spans", F.lit(0)) / F.col("n_spans"), 6
-                ),
+                det_round(F.col("n_dup_spans") / F.col("n_spans"), 6),
             )
             .otherwise(F.lit(0.0))
             .alias("dup_span_frac"),
@@ -1573,11 +1608,12 @@ def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     with clean_text the surviving words in original order ('' when a
     doc is scrubbed empty).
 
-    Plan shape at 100 TB: span occurrences explode map-side; the dup
-    set is one span-keyed aggregation (Zipf head collapses in partial
-    aggs); covered positions re-explode only DUP occurrences; the
-    anti-join and the ordered re-assembly both hash-partition on
-    doc_id. No pair join anywhere — cost is O(corpus + dup mass)."""
+    Plan shape at 100 TB: span occurrences explode map-side and cross
+    the network once as 16-byte digests (`_span_key`); hit-or-not is
+    decided by min/max running aggregates of one span-keyed window (no
+    dup-set join, no second occurrence build); only (doc_id, start)
+    hit rows re-shuffle for the gap-slice re-assembly. No pair join
+    anywhere — cost is O(corpus + dup mass)."""
     return span_scrub(_docs_parallel(spark, sf_dir))
 
 
@@ -1595,7 +1631,20 @@ def span_scrub(docs: DataFrame) -> DataFrame:
     shuffled now; the text is re-assembled per doc by slicing the
     original words array around the merged covered intervals
     (`_scrub_clean_cols`) — same output, the corpus text crosses the
-    network once (the doc-level join) instead of three times."""
+    network once (the doc-level join) instead of three times.
+
+    r14 (guide §2.3/§2.4): the span stream now crosses the network
+    ONCE. Exchanges carry the 16-byte `_span_key` instead of the raw
+    ~50-60 B span string (the span VALUE never reaches the output,
+    only which occurrences collide), and the dups-aggregation +
+    occ⋈dups join pair — which rebuilt the whole occurrence stream a
+    SECOND time on the probe side (the explode+concat build measured
+    ~7 s of the ~24 s sf10 entry) — collapses into one span-keyed
+    window: `countDistinct(doc_id) >= 2` is exactly
+    `min(doc_id) != max(doc_id)`, and the keeper IS `min(doc_id)`, so
+    each occurrence row can decide hit-or-not from two running
+    aggregates of its own window partition. One occ build, one
+    exchange+sort, no join (sf10: 24.9 → ~14 s)."""
     d = docs.select("doc_id", F.split("text", " ").alias("ws"))
     n = F.size("ws")
     idx = F.when(n >= _SPAN_W, F.sequence(F.lit(1), n - (_SPAN_W - 1))).otherwise(
@@ -1608,25 +1657,23 @@ def span_scrub(docs: DataFrame) -> DataFrame:
                 idx,
                 lambda i: F.struct(
                     i.alias("start"),
-                    F.concat_ws(" ", F.slice("ws", i, _SPAN_W)).alias("span"),
+                    _span_key(
+                        F.concat_ws(" ", F.slice("ws", i, _SPAN_W))
+                    ).alias("k"),
                 ),
             )
         ).alias("o"),
-    ).select("doc_id", "o.start", "o.span")
-    dups = (
-        occ.groupBy("span")
-        .agg(
-            F.countDistinct("doc_id").alias("ndocs"),
-            F.min("doc_id").alias("keeper"),
-        )
-        .filter(F.col("ndocs") >= 2)
-        .select("span", "keeper")
+    ).select("doc_id", "o.start", "o.k")
+    w = Window.partitionBy("k")
+    marked = occ.select(
+        "doc_id",
+        "start",
+        F.min("doc_id").over(w).alias("keeper"),
+        F.max("doc_id").over(w).alias("mx"),
     )
-    hits = (
-        occ.join(dups, "span")
-        .filter(F.col("doc_id") != F.col("keeper"))
-        .select("doc_id", "start")
-    )
+    hits = marked.filter(
+        (F.col("keeper") != F.col("mx")) & (F.col("doc_id") != F.col("keeper"))
+    ).select("doc_id", "start")
     return _scrub_reassemble(d, hits)
 
 
@@ -1694,10 +1741,11 @@ def dedup_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per doc: total words, region count, duplicated word mass, longest
     region, and the duplicated fraction in pure-BIGINT ppm. Plan shape
-    at 100 TB: span occurrences explode map-side, the dup set is one
-    span-keyed aggregation, and the islands pass is a doc-partitioned
-    window (running max of interval end, running sum of breaks) — one
-    hash shuffle on doc_id, no pair join anywhere."""
+    at 100 TB: span occurrences explode map-side and cross the network
+    once as 16-byte digests (`_span_key`); duplicated-or-not is decided
+    by min/max running aggregates of one span-keyed window; the islands
+    coalescence is an array-domain interval merge after one
+    groupBy(doc_id) of the hit rows — no pair join anywhere."""
     return span_islands(_docs_parallel(spark, sf_dir))
 
 
@@ -1717,23 +1765,32 @@ def span_islands(docs: DataFrame) -> DataFrame:
                 idx,
                 lambda i: F.struct(
                     i.cast("long").alias("start"),
-                    F.concat_ws(" ", F.slice("ws", i, _SPAN_W)).alias("span"),
+                    _span_key(
+                        F.concat_ws(" ", F.slice("ws", i, _SPAN_W))
+                    ).alias("k"),
                 ),
             )
         ).alias("o"),
-    ).select("doc_id", "o.start", "o.span")
-    dups = (
-        occ.groupBy("span")
-        .agg(F.countDistinct("doc_id").alias("ndocs"))
-        .filter(F.col("ndocs") >= 2)
-        .select("span")
-    )
+    ).select("doc_id", "o.start", "o.k")
     # r13 rework (guide §2.4): the islands coalescence is fully
     # determined by each doc's sorted hit starts (fixed window width ⇒
     # monotone interval ends), so the per-doc window (shuffle + sort) +
     # regions/per-doc aggregations collapse into ONE groupBy(doc_id) of
     # the hit rows and a map-side interval merge (`_hit_interval_cols`).
-    hit_starts = occ.join(dups, "span").groupBy("doc_id").agg(
+    # r14 (guide §2.3/§2.4): the span stream crosses the network once —
+    # 16-byte `_span_key` exchanges, and the dups aggregation + semi-
+    # join pair (which rebuilt the occurrence stream a second time on
+    # the probe side) collapses into one span-keyed window:
+    # `countDistinct(doc_id) >= 2` is exactly `min(doc_id) !=
+    # max(doc_id)` (sf10: 27.9 → ~14 s; see `span_scrub`).
+    w = Window.partitionBy("k")
+    hit = occ.select(
+        "doc_id",
+        "start",
+        F.min("doc_id").over(w).alias("mn"),
+        F.max("doc_id").over(w).alias("mx"),
+    ).filter(F.col("mn") != F.col("mx"))
+    hit_starts = hit.groupBy("doc_id").agg(
         F.array_sort(F.collect_list(F.col("start"))).alias("hs")
     )
     los, his = _hit_interval_cols(F.col("hs"))
@@ -1863,11 +1920,12 @@ def dedup_exactsubstr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean_text) — `span_scrub`'s shape, so the two policies diff
     directly.
 
-    Plan shape at 100 TB: windows explode map-side; ONE span-keyed
-    aggregation finds (count, first occurrence) — partial aggs collapse
-    the Zipf head; only duplicated occurrences re-explode to covered
-    positions; anti-join and ordered reassembly hash-partition on
-    doc_id. No pair join, no suffix array, O(corpus + dup mass).
+    Plan shape at 100 TB: windows explode map-side and cross the
+    network once as 16-byte digests (`_span_key`); (count, first
+    occurrence) are running aggregates of one span-keyed window, so
+    each occurrence row decides hit-or-not locally; only (doc_id,
+    start) hit rows re-shuffle for the gap-slice reassembly. No pair
+    join, no suffix array, O(corpus + dup mass).
     Reference analogue: the dedup step a training-data pipeline runs
     before tokenization (SURVEY.md LLM-ops family)."""
     return exactsubstr_scrub(_docs_parallel(spark, sf_dir))
@@ -1877,7 +1935,12 @@ def exactsubstr_scrub(docs: DataFrame) -> DataFrame:
     """`dedup_exactsubstr_scrub` over any (doc_id, text) frame — split
     out for the property test (the `span_scrub` convention). Same r13
     gap-slice re-assembly as `span_scrub` (see its docstring): only
-    (doc_id, start) hit rows shuffle; the corpus text moves once."""
+    (doc_id, start) hit rows shuffle; the corpus text moves once.
+    r14: one span-keyed window over the 16-byte `_span_key` instead of
+    the dups aggregation + occ⋈dups join — the occurrence count and
+    first-occurrence key are running aggregates of each row's own
+    window partition, so the span stream is built and exchanged once
+    (see `span_scrub`)."""
     d = docs.select("doc_id", F.split("text", " ").alias("ws"))
     n = F.size("ws")
     idx = F.when(n >= _SPAN_W, F.sequence(F.lit(1), n - (_SPAN_W - 1))).otherwise(
@@ -1890,29 +1953,31 @@ def exactsubstr_scrub(docs: DataFrame) -> DataFrame:
                 idx,
                 lambda i: F.struct(
                     i.cast("long").alias("start"),
-                    F.concat_ws(" ", F.slice("ws", i, _SPAN_W)).alias("span"),
+                    _span_key(
+                        F.concat_ws(" ", F.slice("ws", i, _SPAN_W))
+                    ).alias("k"),
                 ),
             )
         ).alias("o"),
     ).select(
         "doc_id",
         "o.start",
-        "o.span",
+        "o.k",
         (F.col("doc_id") * _POS_STRIDE + F.col("o.start")).alias("occkey"),
     )
-    # one aggregation: occurrence count (NOT distinct docs) + first
-    # occurrence in corpus order
-    dups = (
-        occ.groupBy("span")
-        .agg(F.count("*").alias("nocc"), F.min("occkey").alias("keeper_key"))
-        .filter(F.col("nocc") >= 2)
-        .select("span", "keeper_key")
+    # occurrence count (NOT distinct docs) + first occurrence in corpus
+    # order, as running aggregates over the span-keyed window
+    w = Window.partitionBy("k")
+    marked = occ.select(
+        "doc_id",
+        "start",
+        "occkey",
+        F.count("*").over(w).alias("nocc"),
+        F.min("occkey").over(w).alias("keeper_key"),
     )
-    hits = (
-        occ.join(dups, "span")
-        .filter(F.col("occkey") != F.col("keeper_key"))
-        .select("doc_id", "start")
-    )
+    hits = marked.filter(
+        (F.col("nocc") >= 2) & (F.col("occkey") != F.col("keeper_key"))
+    ).select("doc_id", "start")
     return _scrub_reassemble(d, hits)
 
 
